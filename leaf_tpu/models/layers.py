@@ -1,0 +1,144 @@
+"""Pure-functional transformer building blocks for TPU.
+
+TPU-first re-design of the reference transformer
+(`/root/reference/src/open_clip/transformer.py`): instead of per-layer
+torch modules, each tower keeps its L residual blocks as a single
+*stacked* pytree (leading axis = layer) and runs them with
+`jax.lax.scan`.  This compiles once regardless of depth, keeps every
+matmul MXU-shaped, and makes rematerialisation a one-liner.
+
+Numerics match the reference:
+  * LayerNorm is computed in float32 and cast back
+    (`transformer.py:15-30`, LayerNormFp32 semantics).
+  * Attention softmax is accumulated in float32.
+  * QuickGELU is `x * sigmoid(1.702 x)` (`transformer.py:33-36`).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Initialisers (match the reference's text-tower init, transformer.py:731-752)
+# ---------------------------------------------------------------------------
+
+def _normal(key, shape, std, dtype=jnp.float32):
+    return std * jax.random.normal(key, shape, dtype=dtype)
+
+
+def init_layer_norm(width: int) -> Params:
+    return {"scale": jnp.ones((width,), jnp.float32),
+            "bias": jnp.zeros((width,), jnp.float32)}
+
+
+def init_block_stack(key, layers: int, width: int, mlp_width: int) -> Params:
+    """Initialise a stack of residual attention blocks, stacked on axis 0."""
+    proj_std = (width ** -0.5) * ((2 * layers) ** -0.5)
+    attn_std = width ** -0.5
+    fc_std = (2 * width) ** -0.5
+    k = jax.random.split(key, 4)
+    ones = lambda *s: jnp.ones(s, jnp.float32)
+    zeros = lambda *s: jnp.zeros(s, jnp.float32)
+    return {
+        "ln_1": {"scale": ones(layers, width), "bias": zeros(layers, width)},
+        "attn": {
+            # qkv weight stored [L, width, 3*width]: y = x @ w + b
+            "qkv_w": _normal(k[0], (layers, width, 3 * width), attn_std),
+            "qkv_b": zeros(layers, 3 * width),
+            "out_w": _normal(k[1], (layers, width, width), proj_std),
+            "out_b": zeros(layers, width),
+        },
+        "ln_2": {"scale": ones(layers, width), "bias": zeros(layers, width)},
+        "mlp": {
+            "fc_w": _normal(k[2], (layers, width, mlp_width), fc_std),
+            "fc_b": zeros(layers, mlp_width),
+            "proj_w": _normal(k[3], (layers, mlp_width, width), proj_std),
+            "proj_b": zeros(layers, width),
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# Forward ops
+# ---------------------------------------------------------------------------
+
+def layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """LayerNorm with fp32 accumulation, cast back to input dtype."""
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def gelu(x: jnp.ndarray) -> jnp.ndarray:
+    # torch nn.GELU default is the exact (erf) formulation
+    return jax.nn.gelu(x, approximate=False)
+
+
+def attention(p: Params, x: jnp.ndarray, mask: Optional[jnp.ndarray],
+              n_heads: int) -> jnp.ndarray:
+    """Multi-head self-attention.
+
+    x: [B, S, D]; mask: additive [S, S] (or None), applied in fp32.
+    Matches torch nn.MultiheadAttention used at `transformer.py:225,250-252`.
+    """
+    B, S, D = x.shape
+    head_dim = D // n_heads
+    qkv = x @ p["qkv_w"].astype(x.dtype) + p["qkv_b"].astype(x.dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(t):
+        return t.reshape(B, S, n_heads, head_dim).transpose(0, 2, 1, 3)
+
+    q, k, v = heads(q), heads(k), heads(v)
+    scale = head_dim ** -0.5
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        logits = logits + mask.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    out = out.transpose(0, 2, 1, 3).reshape(B, S, D)
+    return out @ p["out_w"].astype(x.dtype) + p["out_b"].astype(x.dtype)
+
+
+def mlp(p: Params, x: jnp.ndarray, act) -> jnp.ndarray:
+    h = x @ p["fc_w"].astype(x.dtype) + p["fc_b"].astype(x.dtype)
+    h = act(h)
+    return h @ p["proj_w"].astype(x.dtype) + p["proj_b"].astype(x.dtype)
+
+
+def residual_block(p: Params, x: jnp.ndarray, mask, n_heads: int, act,
+                   ln_eps: float) -> jnp.ndarray:
+    """Pre-LN residual attention block (`transformer.py:254-265`)."""
+    x = x + attention(p["attn"], layer_norm(p["ln_1"], x, ln_eps), mask, n_heads)
+    x = x + mlp(p["mlp"], layer_norm(p["ln_2"], x, ln_eps), act)
+    return x
+
+
+def transformer_stack(p: Params, x: jnp.ndarray, mask, n_heads: int, act,
+                      ln_eps: float, remat: bool = False) -> jnp.ndarray:
+    """Run L stacked residual blocks via lax.scan (layer axis = 0)."""
+    block = functools.partial(residual_block, mask=mask, n_heads=n_heads,
+                              act=act, ln_eps=ln_eps)
+    if remat:
+        block = jax.checkpoint(block)
+
+    def body(h, layer_p):
+        return block(layer_p, h), None
+
+    x, _ = jax.lax.scan(body, x, p)
+    return x

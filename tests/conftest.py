@@ -1,0 +1,23 @@
+"""Test configuration: force an 8-device virtual CPU backend.
+
+Mirrors the SURVEY.md §4 implication: the reference could only test
+distributed code at world_size=1; here every test sees 8 XLA CPU
+devices so mesh/pjit paths are exercised for real.
+"""
+import os
+
+# Must be set before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def tokenizer():
+    from leaf_tpu.tokenizer import get_tokenizer
+    return get_tokenizer()
