@@ -1,0 +1,257 @@
+"""Pure-functional CLIP model (text + vision towers) for TPU.
+
+TPU-first re-design of the reference model core
+(`/root/reference/src/open_clip/model.py:220-315`,
+`src/open_clip/transformer.py:434-809`):
+
+  * parameters are a plain pytree (dict) — no module system; frozen vs
+    trainable towers are just two pytrees through the same apply fn
+    (avoids the reference's full-model deepcopy,
+    `train_AT_text_only.py:439-465`);
+  * residual blocks are stacked on a leading layer axis and run with
+    `lax.scan` (compiles once, remat-friendly);
+  * patch embedding is a reshape + single MXU matmul instead of a
+    conv (identical math to the stride-p conv at
+    `transformer.py:470`, but trivially fused by XLA);
+  * images are NHWC (TPU-native layout);
+  * everything is jit/vmap/pjit-compatible: static shapes, no Python
+    control flow on traced values.
+
+Numerical parity with the reference/HF CLIP is pinned by
+`tests/test_model_parity.py`.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from leaf_tpu.models import layers
+from leaf_tpu.models.config import CLIPConfig, TextConfig, VisionConfig
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Masks & pooling
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache()
+def causal_mask(seq_len: int) -> jnp.ndarray:
+    """Additive causal mask [S, S]; -inf above the diagonal
+    (reference `transformer.py:759-765` build_causal_mask)."""
+    return jnp.triu(jnp.full((seq_len, seq_len), -jnp.inf, jnp.float32), k=1)
+
+
+def text_pool(x: jnp.ndarray, tokens: jnp.ndarray, pool_type: str) -> jnp.ndarray:
+    """Pool token features [B, S, D] → [B, D].
+
+    'argmax' takes the EOT position — EOT has the highest token id in
+    every sequence (reference `transformer.py:653-665`).
+    """
+    if pool_type == "argmax":
+        eot = jnp.argmax(tokens, axis=-1)
+        return jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0]
+    if pool_type == "first":
+        return x[:, 0]
+    if pool_type == "last":
+        return x[:, -1]
+    raise ValueError(f"unsupported pool_type {pool_type!r}")
+
+
+def _act(quick_gelu: bool):
+    return layers.quick_gelu if quick_gelu else layers.gelu
+
+
+# ---------------------------------------------------------------------------
+# Initialisation
+# ---------------------------------------------------------------------------
+
+def init_text_tower(key, cfg: TextConfig, quick_gelu: bool = False) -> Params:
+    k = jax.random.split(key, 4)
+    mlp_width = int(cfg.width * cfg.mlp_ratio)
+    p = {
+        "token_embedding": 0.02 * jax.random.normal(
+            k[0], (cfg.vocab_size, cfg.width), jnp.float32),
+        "positional_embedding": 0.01 * jax.random.normal(
+            k[1], (cfg.context_length, cfg.width), jnp.float32),
+        "blocks": layers.init_block_stack(k[2], cfg.layers, cfg.width, mlp_width),
+        "ln_final": layers.init_layer_norm(cfg.width),
+        "text_projection": (cfg.width ** -0.5) * jax.random.normal(
+            k[3], (cfg.width, cfg.output_dim), jnp.float32),
+    }
+    if cfg.proj_bias:
+        p["text_projection_bias"] = jnp.zeros((cfg.output_dim,), jnp.float32)
+    return p
+
+
+def init_vision_tower(key, cfg: VisionConfig, quick_gelu: bool = False) -> Params:
+    k = jax.random.split(key, 5)
+    mlp_width = int(cfg.width * cfg.mlp_ratio)
+    scale = cfg.width ** -0.5
+    patch_dim = cfg.patch_size * cfg.patch_size * 3
+    return {
+        # [p*p*3, width]: pixels flattened (ph, pw, c) — see patchify()
+        "patch_embedding": scale * jax.random.normal(
+            k[0], (patch_dim, cfg.width), jnp.float32),
+        "class_embedding": scale * jax.random.normal(k[1], (cfg.width,), jnp.float32),
+        "positional_embedding": scale * jax.random.normal(
+            k[2], (cfg.num_tokens, cfg.width), jnp.float32),
+        "ln_pre": layers.init_layer_norm(cfg.width),
+        "blocks": layers.init_block_stack(k[3], cfg.layers, cfg.width, mlp_width),
+        "ln_post": layers.init_layer_norm(cfg.width),
+        "proj": scale * jax.random.normal(k[4], (cfg.width, cfg.output_dim), jnp.float32),
+    }
+
+
+def init_clip(key, cfg: CLIPConfig) -> Params:
+    kt, kv = jax.random.split(key)
+    p = {
+        "text": init_text_tower(kt, cfg.text, cfg.quick_gelu),
+        "visual": init_vision_tower(kv, cfg.vision, cfg.quick_gelu),
+        "logit_scale": jnp.asarray(cfg.init_logit_scale, jnp.float32),
+    }
+    if cfg.init_logit_bias is not None:
+        p["logit_bias"] = jnp.asarray(cfg.init_logit_bias, jnp.float32)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# Text tower
+# ---------------------------------------------------------------------------
+
+def embed_tokens(params: Params, tokens: jnp.ndarray,
+                 dtype=jnp.float32) -> jnp.ndarray:
+    """Token-id lookup [B, S] → [B, S, D] (exposed for PEZ-style
+    embedding-space optimisation, reference
+    `src/pez/open_clip_pez/model.py:204-246`)."""
+    return params["token_embedding"].astype(dtype)[tokens]
+
+
+def encode_text_embedding(params: Params, cfg: TextConfig, embeds: jnp.ndarray,
+                          tokens: jnp.ndarray, quick_gelu: bool = False,
+                          normalize: bool = False,
+                          remat: bool = False) -> jnp.ndarray:
+    """Text forward from *embeddings* [B, S, D] (tokens only drive the
+    EOT argmax pool).  `encode_text` = this ∘ embed_tokens; splitting the
+    two is what enables prompt inversion (PEZ) and keeps one compiled
+    graph for both paths."""
+    dtype = embeds.dtype
+    x = embeds + params["positional_embedding"][:embeds.shape[1]].astype(dtype)
+    mask = None if cfg.no_causal_mask else causal_mask(embeds.shape[1])
+    x = layers.transformer_stack(
+        params["blocks"], x, mask, cfg.heads, _act(quick_gelu), cfg.ln_eps,
+        remat=remat)
+    x = layers.layer_norm(params["ln_final"], x, cfg.ln_eps)
+    pooled = text_pool(x, tokens, cfg.pool_type)
+    pooled = pooled @ params["text_projection"].astype(dtype)
+    if "text_projection_bias" in params:
+        pooled = pooled + params["text_projection_bias"].astype(dtype)
+    if normalize:
+        pooled = l2_normalize(pooled)
+    return pooled
+
+
+def encode_text(params: Params, cfg: TextConfig, tokens: jnp.ndarray,
+                quick_gelu: bool = False, normalize: bool = False,
+                dtype=jnp.float32, remat: bool = False) -> jnp.ndarray:
+    """Token ids [B, S] → text features [B, output_dim]
+    (reference `model.py:269-284`)."""
+    embeds = embed_tokens(params, tokens, dtype)
+    return encode_text_embedding(params, cfg, embeds, tokens,
+                                 quick_gelu=quick_gelu, normalize=normalize,
+                                 remat=remat)
+
+
+# ---------------------------------------------------------------------------
+# Vision tower
+# ---------------------------------------------------------------------------
+
+def patchify(images: jnp.ndarray, patch_size: int) -> jnp.ndarray:
+    """NHWC images [B, H, W, 3] → patches [B, gh*gw, p*p*3].
+
+    Equivalent to the reference's stride-p conv (`transformer.py:470`)
+    followed by flatten; pixel order within a patch is (ph, pw, c),
+    matching the conv-weight transpose in interop.py.
+    """
+    B, H, W, C = images.shape
+    p = patch_size
+    gh, gw = H // p, W // p
+    x = images.reshape(B, gh, p, gw, p, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)          # [B, gh, gw, p, p, C]
+    return x.reshape(B, gh * gw, p * p * C)
+
+
+def encode_image(params: Params, cfg: VisionConfig, images: jnp.ndarray,
+                 quick_gelu: bool = False, normalize: bool = False,
+                 dtype=jnp.float32, remat: bool = False) -> jnp.ndarray:
+    """NHWC images [B, H, W, 3] → image features [B, output_dim]
+    (reference `transformer.py:559-612` VisionTransformer.forward)."""
+    x = patchify(images.astype(dtype), cfg.patch_size)
+    x = x @ params["patch_embedding"].astype(dtype)
+    cls = jnp.broadcast_to(params["class_embedding"].astype(dtype),
+                           (x.shape[0], 1, cfg.width))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["positional_embedding"].astype(dtype)
+    x = layers.layer_norm(params["ln_pre"], x, cfg.ln_eps)
+    x = layers.transformer_stack(
+        params["blocks"], x, None, cfg.heads, _act(quick_gelu), cfg.ln_eps,
+        remat=remat)
+    x = layers.layer_norm(params["ln_post"], x, cfg.ln_eps)
+    if cfg.pool_type == "tok":
+        pooled = x[:, 0]
+    elif cfg.pool_type == "avg":
+        pooled = x.mean(axis=1)
+    else:
+        raise ValueError(f"unsupported pool_type {cfg.pool_type!r}")
+    pooled = pooled @ params["proj"].astype(dtype)
+    if normalize:
+        pooled = l2_normalize(pooled)
+    return pooled
+
+
+# ---------------------------------------------------------------------------
+# Full model
+# ---------------------------------------------------------------------------
+
+def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
+    """Matches torch F.normalize: x / max(||x||, eps)."""
+    norm = jnp.linalg.norm(x, axis=axis, keepdims=True)
+    return x / jnp.maximum(norm, eps)
+
+
+def forward(params: Params, cfg: CLIPConfig,
+            images: Optional[jnp.ndarray] = None,
+            tokens: Optional[jnp.ndarray] = None,
+            dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
+    """Joint forward returning the reference's output dict
+    (`model.py:295-315`)."""
+    out = {"logit_scale": jnp.exp(params["logit_scale"])}
+    if images is not None:
+        out["image_features"] = encode_image(
+            params["visual"], cfg.vision, images, cfg.quick_gelu,
+            normalize=True, dtype=dtype)
+    if tokens is not None:
+        out["text_features"] = encode_text(
+            params["text"], cfg.text, tokens, cfg.quick_gelu,
+            normalize=True, dtype=dtype)
+    if "logit_bias" in params:
+        out["logit_bias"] = params["logit_bias"]
+    return out
+
+
+def get_logits(params: Params, cfg: CLIPConfig, images: jnp.ndarray,
+               tokens: jnp.ndarray, dtype=jnp.float32):
+    """(image_logits, text_logits) as in reference `model.py:286-293`."""
+    out = forward(params, cfg, images, tokens, dtype)
+    image_logits = out["logit_scale"] * out["image_features"] @ out["text_features"].T
+    if "logit_bias" in out:
+        image_logits = image_logits + out["logit_bias"]
+    return image_logits, image_logits.T
+
+
+def count_params(params: Params) -> int:
+    return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))

@@ -1,0 +1,100 @@
+"""Model factory: name → (params, config), plus tokenizer and transforms.
+
+TPU-native equivalent of `create_model_and_transforms` / `get_tokenizer`
+(reference `/root/reference/src/open_clip/factory.py:180-375`): instead
+of building torch modules and casting them, we resolve a registered
+config, initialise (or load) a parameter pytree, and hand back pure
+apply functions bound to that config.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from leaf_tpu.models import clip, interop
+from leaf_tpu.models.config import CLIPConfig, get_model_config
+from leaf_tpu.models.preprocess import image_transform
+from leaf_tpu.tokenizer import get_tokenizer as _get_bpe
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass
+class CLIPModel:
+    """Bundle of (config, params) with bound apply fns.
+
+    A thin convenience wrapper — all state lives in `.params`, a plain
+    pytree, so the same object works for trainable and frozen towers
+    (swap the pytree, keep the functions)."""
+    cfg: CLIPConfig
+    params: Params
+    dtype: Any = jnp.float32
+
+    def encode_text(self, tokens, params: Optional[Params] = None,
+                    normalize: bool = False):
+        p = self.params if params is None else params
+        return clip.encode_text(p["text"], self.cfg.text, tokens,
+                                self.cfg.quick_gelu, normalize, self.dtype)
+
+    def encode_image(self, images, params: Optional[Params] = None,
+                     normalize: bool = False):
+        p = self.params if params is None else params
+        return clip.encode_image(p["visual"], self.cfg.vision, images,
+                                 self.cfg.quick_gelu, normalize, self.dtype)
+
+    def forward(self, images=None, tokens=None, params: Optional[Params] = None):
+        p = self.params if params is None else params
+        return clip.forward(p, self.cfg, images, tokens, self.dtype)
+
+    @property
+    def logit_scale(self):
+        return self.params["logit_scale"]
+
+
+def create_model(
+    model_name: str,
+    pretrained: Optional[str] = None,
+    precision: str = "fp32",
+    seed: int = 0,
+) -> CLIPModel:
+    """Build a CLIP model by registry name.
+
+    `pretrained` is a local checkpoint path (HF or OpenCLIP format,
+    auto-detected — the reference's hf-hub: download path is replaced by
+    local files in this offline-first design)."""
+    cfg = get_model_config(model_name)
+    if pretrained:
+        params = interop.load_pretrained(pretrained, cfg)
+        params = jax.tree.map(jnp.asarray, params)
+    else:
+        params = clip.init_clip(jax.random.PRNGKey(seed), cfg)
+    dtype = {"fp32": jnp.float32, "bf16": jnp.bfloat16,
+             "bfloat16": jnp.bfloat16}[precision]
+    return CLIPModel(cfg=cfg, params=params, dtype=dtype)
+
+
+def create_model_and_transforms(
+    model_name: str,
+    pretrained: Optional[str] = None,
+    precision: str = "fp32",
+    seed: int = 0,
+) -> Tuple[CLIPModel, Callable, Callable]:
+    """(model, preprocess_train, preprocess_val) — reference
+    `factory.py:375+`.  Both transforms are the eval pipeline (LEAF's
+    text-only training never augments images)."""
+    model = create_model(model_name, pretrained, precision, seed)
+    preprocess = image_transform(model.cfg.vision.image_size)
+    return model, preprocess, preprocess
+
+
+@functools.lru_cache()
+def get_tokenizer(model_name: str = ""):
+    """Tokenizer for a model name (all registered models use the
+    byte-BPE SimpleTokenizer scheme; HF-hub text towers are out of
+    scope for LEAF parity — reference `factory.py:84-127`)."""
+    del model_name
+    return _get_bpe()

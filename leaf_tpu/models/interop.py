@@ -1,0 +1,271 @@
+"""Checkpoint interop: HF CLIPModel / OpenCLIP state dicts ↔ leaf_tpu pytrees.
+
+TPU-native equivalent of the reference's conversion layer
+(`/root/reference/conversion/convert_2.py:119-274` OpenCLIP→HF and
+`conversion/convert_to_openclip.py:14-203` HF→OpenCLIP): LEAF trains in
+OpenCLIP format and releases/evaluates in HF format, so the rebuild must
+ingest and emit both.  Mapping rules re-derived here:
+
+  * torch `nn.Linear` stores weight [out, in]; our convention is
+    y = x @ w, so w = weight.T;
+  * OpenCLIP fuses QKV (`attn.in_proj_weight` [3D, D]); HF splits into
+    q/k/v projections — we store fused column-blocks [D, 3D];
+  * the vision stride-p conv weight [width, 3, p, p] becomes our
+    patch-matmul weight [p*p*3, width] via transpose to (ph, pw, c)
+    pixel order (see `clip.patchify`);
+  * per-layer torch blocks are stacked on a leading layer axis.
+
+Round-trip and forward parity are pinned by `tests/test_model_parity.py`
+and `tests/test_interop.py`.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+from leaf_tpu.models.config import CLIPConfig, TextConfig, VisionConfig
+
+Params = Dict[str, Any]
+
+
+def _np(x) -> np.ndarray:
+    """torch tensor / np array → float32 numpy."""
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().float().numpy()
+    return np.asarray(x, dtype=np.float32)
+
+
+def _stack(per_layer):
+    return np.stack(per_layer, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# HF transformers CLIPModel → pytree
+# ---------------------------------------------------------------------------
+
+def _hf_block_stack(sd: Mapping[str, Any], prefix: str, layers: int) -> Params:
+    def get(i, name):
+        return _np(sd[f"{prefix}.layers.{i}.{name}"])
+
+    qkv_w, qkv_b = [], []
+    for i in range(layers):
+        qkv_w.append(np.concatenate(
+            [get(i, f"self_attn.{p}_proj.weight").T for p in ("q", "k", "v")],
+            axis=1))
+        qkv_b.append(np.concatenate(
+            [get(i, f"self_attn.{p}_proj.bias") for p in ("q", "k", "v")]))
+    return {
+        "ln_1": {"scale": _stack([get(i, "layer_norm1.weight") for i in range(layers)]),
+                 "bias": _stack([get(i, "layer_norm1.bias") for i in range(layers)])},
+        "attn": {
+            "qkv_w": _stack(qkv_w),
+            "qkv_b": _stack(qkv_b),
+            "out_w": _stack([get(i, "self_attn.out_proj.weight").T for i in range(layers)]),
+            "out_b": _stack([get(i, "self_attn.out_proj.bias") for i in range(layers)]),
+        },
+        "ln_2": {"scale": _stack([get(i, "layer_norm2.weight") for i in range(layers)]),
+                 "bias": _stack([get(i, "layer_norm2.bias") for i in range(layers)])},
+        "mlp": {
+            "fc_w": _stack([get(i, "mlp.fc1.weight").T for i in range(layers)]),
+            "fc_b": _stack([get(i, "mlp.fc1.bias") for i in range(layers)]),
+            "proj_w": _stack([get(i, "mlp.fc2.weight").T for i in range(layers)]),
+            "proj_b": _stack([get(i, "mlp.fc2.bias") for i in range(layers)]),
+        },
+    }
+
+
+def hf_text_to_params(sd: Mapping[str, Any], cfg: TextConfig) -> Params:
+    p = {
+        "token_embedding": _np(sd["text_model.embeddings.token_embedding.weight"]),
+        "positional_embedding": _np(sd["text_model.embeddings.position_embedding.weight"]),
+        "blocks": _hf_block_stack(sd, "text_model.encoder", cfg.layers),
+        "ln_final": {"scale": _np(sd["text_model.final_layer_norm.weight"]),
+                     "bias": _np(sd["text_model.final_layer_norm.bias"])},
+        "text_projection": _np(sd["text_projection.weight"]).T,
+    }
+    if "text_projection.bias" in sd:
+        p["text_projection_bias"] = _np(sd["text_projection.bias"])
+    return p
+
+
+def hf_vision_to_params(sd: Mapping[str, Any], cfg: VisionConfig) -> Params:
+    conv = _np(sd["vision_model.embeddings.patch_embedding.weight"])  # [D,3,p,p]
+    patch_w = conv.transpose(2, 3, 1, 0).reshape(-1, conv.shape[0])
+    # HF spells it "pre_layrnorm" (sic)
+    pre_key = ("vision_model.pre_layrnorm.weight"
+               if "vision_model.pre_layrnorm.weight" in sd
+               else "vision_model.pre_layernorm.weight")
+    pre = pre_key.rsplit(".", 1)[0]
+    return {
+        "patch_embedding": patch_w,
+        "class_embedding": _np(sd["vision_model.embeddings.class_embedding"]),
+        "positional_embedding": _np(sd["vision_model.embeddings.position_embedding.weight"]),
+        "ln_pre": {"scale": _np(sd[f"{pre}.weight"]), "bias": _np(sd[f"{pre}.bias"])},
+        "blocks": _hf_block_stack(sd, "vision_model.encoder", cfg.layers),
+        "ln_post": {"scale": _np(sd["vision_model.post_layernorm.weight"]),
+                    "bias": _np(sd["vision_model.post_layernorm.bias"])},
+        "proj": _np(sd["visual_projection.weight"]).T,
+    }
+
+
+def hf_to_params(sd: Mapping[str, Any], cfg: CLIPConfig) -> Params:
+    """Full HF `CLIPModel.state_dict()` → leaf_tpu pytree."""
+    p = {
+        "text": hf_text_to_params(sd, cfg.text),
+        "visual": hf_vision_to_params(sd, cfg.vision),
+        "logit_scale": _np(sd["logit_scale"]).reshape(()),
+    }
+    return p
+
+
+# ---------------------------------------------------------------------------
+# OpenCLIP state dict → pytree
+# ---------------------------------------------------------------------------
+
+def _openclip_block_stack(sd: Mapping[str, Any], prefix: str, layers: int) -> Params:
+    def get(i, name):
+        return _np(sd[f"{prefix}.resblocks.{i}.{name}"])
+
+    return {
+        "ln_1": {"scale": _stack([get(i, "ln_1.weight") for i in range(layers)]),
+                 "bias": _stack([get(i, "ln_1.bias") for i in range(layers)])},
+        "attn": {
+            "qkv_w": _stack([get(i, "attn.in_proj_weight").T for i in range(layers)]),
+            "qkv_b": _stack([get(i, "attn.in_proj_bias") for i in range(layers)]),
+            "out_w": _stack([get(i, "attn.out_proj.weight").T for i in range(layers)]),
+            "out_b": _stack([get(i, "attn.out_proj.bias") for i in range(layers)]),
+        },
+        "ln_2": {"scale": _stack([get(i, "ln_2.weight") for i in range(layers)]),
+                 "bias": _stack([get(i, "ln_2.bias") for i in range(layers)])},
+        "mlp": {
+            "fc_w": _stack([get(i, "mlp.c_fc.weight").T for i in range(layers)]),
+            "fc_b": _stack([get(i, "mlp.c_fc.bias") for i in range(layers)]),
+            "proj_w": _stack([get(i, "mlp.c_proj.weight").T for i in range(layers)]),
+            "proj_b": _stack([get(i, "mlp.c_proj.bias") for i in range(layers)]),
+        },
+    }
+
+
+def openclip_to_params(sd: Mapping[str, Any], cfg: CLIPConfig) -> Params:
+    """OpenCLIP `CLIP.state_dict()` → leaf_tpu pytree."""
+    sd = {k[len("module."):] if k.startswith("module.") else k: v
+          for k, v in sd.items()}
+    conv = _np(sd["visual.conv1.weight"])
+    patch_w = conv.transpose(2, 3, 1, 0).reshape(-1, conv.shape[0])
+    p = {
+        "text": {
+            "token_embedding": _np(sd["token_embedding.weight"]),
+            "positional_embedding": _np(sd["positional_embedding"]),
+            "blocks": _openclip_block_stack(sd, "transformer", cfg.text.layers),
+            "ln_final": {"scale": _np(sd["ln_final.weight"]),
+                         "bias": _np(sd["ln_final.bias"])},
+            "text_projection": _np(sd["text_projection"]),
+        },
+        "visual": {
+            "patch_embedding": patch_w,
+            "class_embedding": _np(sd["visual.class_embedding"]),
+            "positional_embedding": _np(sd["visual.positional_embedding"]),
+            "ln_pre": {"scale": _np(sd["visual.ln_pre.weight"]),
+                       "bias": _np(sd["visual.ln_pre.bias"])},
+            "blocks": _openclip_block_stack(sd, "visual.transformer", cfg.vision.layers),
+            "ln_post": {"scale": _np(sd["visual.ln_post.weight"]),
+                        "bias": _np(sd["visual.ln_post.bias"])},
+            "proj": _np(sd["visual.proj"]),
+        },
+        "logit_scale": _np(sd["logit_scale"]).reshape(()),
+    }
+    return p
+
+
+# ---------------------------------------------------------------------------
+# pytree → HF state dict (export, equivalent of conversion/convert_2.py)
+# ---------------------------------------------------------------------------
+
+def params_to_hf(params: Params, cfg: CLIPConfig) -> Dict[str, np.ndarray]:
+    """leaf_tpu pytree → HF CLIPModel state dict (numpy values)."""
+    sd: Dict[str, np.ndarray] = {}
+
+    def put(k, v):
+        sd[k] = np.asarray(v, dtype=np.float32)
+
+    t = params["text"]
+    put("text_model.embeddings.token_embedding.weight", t["token_embedding"])
+    put("text_model.embeddings.position_embedding.weight", t["positional_embedding"])
+    put("text_model.final_layer_norm.weight", t["ln_final"]["scale"])
+    put("text_model.final_layer_norm.bias", t["ln_final"]["bias"])
+    put("text_projection.weight", np.asarray(t["text_projection"]).T)
+
+    v = params["visual"]
+    p = cfg.vision.patch_size
+    width = cfg.vision.width
+    conv = np.asarray(v["patch_embedding"]).reshape(p, p, 3, width)
+    put("vision_model.embeddings.patch_embedding.weight", conv.transpose(3, 2, 0, 1))
+    put("vision_model.embeddings.class_embedding", v["class_embedding"])
+    put("vision_model.embeddings.position_embedding.weight", v["positional_embedding"])
+    put("vision_model.pre_layrnorm.weight", v["ln_pre"]["scale"])
+    put("vision_model.pre_layrnorm.bias", v["ln_pre"]["bias"])
+    put("vision_model.post_layernorm.weight", v["ln_post"]["scale"])
+    put("vision_model.post_layernorm.bias", v["ln_post"]["bias"])
+    put("visual_projection.weight", np.asarray(v["proj"]).T)
+    put("logit_scale", params["logit_scale"])
+
+    for tower, prefix, n_layers in ((t, "text_model.encoder", cfg.text.layers),
+                                    (v, "vision_model.encoder", cfg.vision.layers)):
+        b = tower["blocks"]
+        D = np.asarray(b["attn"]["qkv_w"]).shape[1]
+        for i in range(n_layers):
+            base = f"{prefix}.layers.{i}"
+            qkv_w = np.asarray(b["attn"]["qkv_w"][i])
+            qkv_b = np.asarray(b["attn"]["qkv_b"][i])
+            for j, name in enumerate(("q", "k", "v")):
+                put(f"{base}.self_attn.{name}_proj.weight",
+                    qkv_w[:, j * D:(j + 1) * D].T)
+                put(f"{base}.self_attn.{name}_proj.bias", qkv_b[j * D:(j + 1) * D])
+            put(f"{base}.self_attn.out_proj.weight", np.asarray(b["attn"]["out_w"][i]).T)
+            put(f"{base}.self_attn.out_proj.bias", b["attn"]["out_b"][i])
+            put(f"{base}.layer_norm1.weight", b["ln_1"]["scale"][i])
+            put(f"{base}.layer_norm1.bias", b["ln_1"]["bias"][i])
+            put(f"{base}.layer_norm2.weight", b["ln_2"]["scale"][i])
+            put(f"{base}.layer_norm2.bias", b["ln_2"]["bias"][i])
+            put(f"{base}.mlp.fc1.weight", np.asarray(b["mlp"]["fc_w"][i]).T)
+            put(f"{base}.mlp.fc1.bias", b["mlp"]["fc_b"][i])
+            put(f"{base}.mlp.fc2.weight", np.asarray(b["mlp"]["proj_w"][i]).T)
+            put(f"{base}.mlp.fc2.bias", b["mlp"]["proj_b"][i])
+    return sd
+
+
+# ---------------------------------------------------------------------------
+# File loaders
+# ---------------------------------------------------------------------------
+
+def load_state_dict_file(path: str) -> Dict[str, np.ndarray]:
+    """Load a checkpoint file (.safetensors or torch .pt/.bin) → numpy dict."""
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+        return load_file(path)
+    import torch
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict) and "state_dict" in ckpt:
+        ckpt = ckpt["state_dict"]
+    return {k: _np(v) for k, v in ckpt.items()}
+
+
+def load_pretrained(path: str, cfg: CLIPConfig) -> Params:
+    """Load an HF or OpenCLIP checkpoint file/dir into a pytree,
+    auto-detecting the key schema."""
+    if os.path.isdir(path):
+        for cand in ("model.safetensors", "open_clip_pytorch_model.bin",
+                     "pytorch_model.bin"):
+            f = os.path.join(path, cand)
+            if os.path.exists(f):
+                path = f
+                break
+        else:
+            raise FileNotFoundError(f"no checkpoint file found under {path}")
+    sd = load_state_dict_file(path)
+    keys = set(sd.keys())
+    if any(k.startswith("text_model.") for k in keys):
+        return hf_to_params(sd, cfg)
+    return openclip_to_params(sd, cfg)

@@ -14,7 +14,12 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
+import jax  # noqa: E402
 import pytest  # noqa: E402
+
+# JAX's default matmul precision is bf16-grade (the TPU MXU fast path);
+# parity tests need true fp32 accumulation.
+jax.config.update("jax_default_matmul_precision", "highest")
 
 
 @pytest.fixture(scope="session")
