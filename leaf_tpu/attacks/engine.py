@@ -1,0 +1,205 @@
+"""Device-side candidate scoring engine.
+
+This is the TPU-native redesign of the reference's attack hot loop
+(SURVEY.md §3a/§3c): where the reference ping-pongs
+string-edit → tokenize → GPU encode → host argmax per round with dynamic
+batch shapes, here every scoring call is a single jitted computation
+over a *fixed-shape* [B, N, 77] candidate token buffer:
+
+    encode B·N candidates (one fused MXU-friendly batch)
+      → objective vs anchors → per-row argmax/top-k → best features
+
+Fixed shapes mean XLA compiles once per (B, N) bucket; padded slots are
+masked to -inf before the argmax so selection semantics match the
+reference exactly (SURVEY.md §7 hard part 1).  Only the winning indices
+(a few scalars) return to host between rounds.
+
+Objectives (reference `utils_attacks.py:330-346`):
+  l2      maximise ‖f − a‖²           (unnormalised features)
+  negl2   minimise ‖f − a‖²
+  sim     maximise ⟨f̂, â⟩             (normalised)
+  dissim  minimise ⟨f̂, â⟩
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from leaf_tpu.models import clip as lclip
+from leaf_tpu.models.config import CLIPConfig
+
+OBJECTIVES = ("l2", "negl2", "sim", "dissim")
+
+
+def objective_loss(feats: jnp.ndarray, anchors: jnp.ndarray,
+                   objective: str) -> jnp.ndarray:
+    """feats [..., N, D], anchors [..., D] → loss [..., N]."""
+    a = anchors[..., None, :]
+    if objective == "l2":
+        return jnp.sum(jnp.square(feats - a), axis=-1)
+    if objective == "negl2":
+        return -jnp.sum(jnp.square(feats - a), axis=-1)
+    if objective == "sim":
+        return jnp.sum(feats * a, axis=-1)
+    if objective == "dissim":
+        return -jnp.sum(feats * a, axis=-1)
+    raise ValueError(f"unknown objective {objective!r}")
+
+
+def margin_loss(logits: jnp.ndarray, label) -> jnp.ndarray:
+    """max_{j≠y} logits_j − logits_y (reference `utils_attacks.py:148-153`)."""
+    n_cls = logits.shape[-1]
+    is_true = jax.nn.one_hot(label, n_cls, dtype=bool)
+    other = jnp.max(jnp.where(is_true, -jnp.inf, logits), axis=-1)
+    return other - jnp.take_along_axis(
+        logits, jnp.asarray(label)[..., None], axis=-1)[..., 0]
+
+
+class CandidateScorer:
+    """Jit-cached batched text-candidate scorer for one model config.
+
+    All methods take numpy/JAX token buffers and anchor features; params
+    are passed per call so the same scorer serves trainable and frozen
+    towers (or two different models, as in the SDXL dual-encoder mode).
+    """
+
+    def __init__(self, cfg: CLIPConfig, dtype=jnp.float32, bucket: int = 256):
+        self.cfg = cfg
+        self.dtype = dtype
+        self.bucket = bucket
+
+    # -- raw text encode ---------------------------------------------------
+
+    @functools.cached_property
+    def _encode(self):
+        cfg = self.cfg
+
+        @functools.partial(jax.jit, static_argnames=("normalize",))
+        def encode(text_params, tokens, normalize):
+            return lclip.encode_text(text_params, cfg.text, tokens,
+                                     cfg.quick_gelu, normalize, self.dtype)
+
+        return encode
+
+    def encode_text(self, text_params, tokens, normalize: bool = False):
+        tokens = jnp.asarray(tokens)
+        return self._encode(text_params, tokens, normalize)
+
+    # -- batch-parallel scoring (LEAF training attack) ---------------------
+
+    @functools.cached_property
+    def _score_rows(self):
+        cfg = self.cfg
+
+        @functools.partial(jax.jit, static_argnames=("objective",))
+        def score(text_params, tokens, anchors, mask, objective):
+            B, N, C = tokens.shape
+            normalize = objective in ("sim", "dissim")
+            feats = lclip.encode_text(text_params, cfg.text,
+                                      tokens.reshape(B * N, C),
+                                      cfg.quick_gelu, normalize, self.dtype)
+            feats = feats.reshape(B, N, -1)
+            loss = objective_loss(feats.astype(jnp.float32),
+                                  anchors.astype(jnp.float32), objective)
+            loss = jnp.where(mask, loss, -jnp.inf)
+            best = jnp.argmax(loss, axis=-1)
+            best_feats = jnp.take_along_axis(
+                feats, best[:, None, None], axis=1)[:, 0]
+            return best, best_feats, loss
+
+        return score
+
+    def score_rows(self, text_params, tokens: np.ndarray, anchors,
+                   objective: str, mask: Optional[np.ndarray] = None
+                   ) -> Tuple[np.ndarray, jnp.ndarray, jnp.ndarray]:
+        """tokens [B, N, C], anchors [B, D] → (best_idx [B] np,
+        best_feats [B, D] dev, loss [B, N] dev).
+
+        If `objective` normalises features, anchors must already be
+        normalised (the attacks do this once up front)."""
+        tokens = jnp.asarray(tokens)
+        B, N, _ = tokens.shape
+        if mask is None:
+            mask = jnp.ones((B, N), dtype=bool)
+        else:
+            mask = jnp.asarray(mask)
+        best, best_feats, loss = self._score_rows(
+            text_params, tokens, jnp.asarray(anchors), mask, objective)
+        return np.asarray(best), best_feats, loss
+
+    # -- single-sentence scoring with bucketing (Charmer/bruteforce) -------
+
+    def _pad(self, tokens: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        n = tokens.shape[0]
+        padded_n = max(self.bucket, int(np.ceil(n / self.bucket)) * self.bucket)
+        if padded_n != n:
+            pad = np.broadcast_to(tokens[0], (padded_n - n,) + tokens.shape[1:])
+            tokens = np.concatenate([tokens, pad], axis=0)
+        mask = np.zeros(padded_n, dtype=bool)
+        mask[:n] = True
+        return tokens, mask
+
+    def score_flat(self, text_params, tokens: np.ndarray, anchor,
+                   objective: str, anchor2=None, text_params2=None) -> np.ndarray:
+        """tokens [N, C], anchor [D] → loss [N] (numpy, -inf on padding).
+
+        Supports the dual-encoder mode (average of two models' losses,
+        reference `utils_attacks.py:492-516`) via (text_params2, anchor2).
+        """
+        n = tokens.shape[0]
+        padded, mask = self._pad(tokens)
+        loss = self._score_flat(text_params, jnp.asarray(padded),
+                                jnp.asarray(anchor), objective)
+        if text_params2 is not None:
+            loss2 = self._score_flat(text_params2, jnp.asarray(padded),
+                                     jnp.asarray(anchor2), objective)
+            loss = (loss + loss2) / 2
+        out = np.asarray(loss)[:n]
+        return out
+
+    @functools.cached_property
+    def _score_flat(self):
+        cfg = self.cfg
+
+        @functools.partial(jax.jit, static_argnames=("objective",))
+        def score(text_params, tokens, anchor, objective):
+            normalize = objective in ("sim", "dissim")
+            feats = lclip.encode_text(text_params, cfg.text, tokens,
+                                      cfg.quick_gelu, normalize, self.dtype)
+            return objective_loss(feats.astype(jnp.float32)[None],
+                                  anchor.astype(jnp.float32)[None],
+                                  objective)[0]
+
+        return score
+
+    # -- classification scoring (margin loss vs class anchors) -------------
+
+    @functools.cached_property
+    def _score_cls(self):
+        cfg = self.cfg
+
+        @jax.jit
+        def score(text_params, tokens, class_feats, label):
+            feats = lclip.encode_text(text_params, cfg.text, tokens,
+                                      cfg.quick_gelu, True, self.dtype)
+            logits = feats.astype(jnp.float32) @ class_feats.T.astype(jnp.float32)
+            loss = margin_loss(logits, jnp.full((tokens.shape[0],), label))
+            preds = jnp.argmax(logits, axis=-1)
+            return loss, preds
+
+        return score
+
+    def score_classification(self, text_params, tokens: np.ndarray,
+                             class_feats, label: int
+                             ) -> Tuple[np.ndarray, np.ndarray]:
+        """tokens [N, C], class_feats [K, D] (normalised) → (margin loss
+        [N], predictions [N]) with -inf loss on padding."""
+        n = tokens.shape[0]
+        padded, mask = self._pad(tokens)
+        loss, preds = self._score_cls(text_params, jnp.asarray(padded),
+                                      jnp.asarray(class_feats), label)
+        return np.asarray(loss)[:n], np.asarray(preds)[:n]

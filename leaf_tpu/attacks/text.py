@@ -1,0 +1,251 @@
+"""Character-level (Levenshtein-k) text attacks.
+
+TPU-native re-expression of the reference attack library
+(`/root/reference/utils_attacks.py:297-643,732-819`).  The search
+structure (probe positions with space-substitution, then try characters
+at the best positions) is preserved exactly; the *execution* is
+restructured so each round is host string-edit + one fixed-shape device
+scoring call (see `engine.CandidateScorer`).
+
+One behavioural deviation, on purpose: the reference's manual batch
+chunking silently drops the final candidate of each chunk
+(`utils_attacks.py:424,485` — `end = min(..., len(SS)-1)`); here every
+candidate is scored.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from leaf_tpu.attacks import edits
+from leaf_tpu.attacks.constraint import WordConstraint
+from leaf_tpu.attacks.engine import CandidateScorer
+from leaf_tpu.models import clip as lclip
+
+
+def _normalize_np(a):
+    import jax.numpy as jnp
+    return lclip.l2_normalize(jnp.asarray(a))
+
+
+def attack_text_leaf(
+    scorer: CandidateScorer,
+    text_params,
+    tokenizer,
+    sentences: Sequence[str],
+    anchor_features,
+    objective: str = "l2",
+    n: int = 10,
+    k: int = 1,
+    vocab: Sequence[int] = edits.DEFAULT_VOCAB,
+    constraint: Optional[WordConstraint] = None,
+    rng: Optional[np.random.Generator] = None,
+) -> Tuple[np.ndarray, List[str]]:
+    """LEAF training attack — batch-parallel over sentences
+    (reference `utils_attacks.py:297-393`).
+
+    Per round: (1) probe ρ=n random slots per sentence with a space
+    substitution, scored in one [B, n] device call, keep the best slot;
+    (2) try ρ random vocabulary characters at that slot, scored in a
+    second [B, n] call, keep the argmax-loss sentence.
+
+    Returns (adversarial features [B, D], adversarial sentences).
+    """
+    rng = rng or np.random.default_rng()
+    sentences = list(sentences)
+    B = len(sentences)
+    if objective in ("sim", "dissim"):
+        anchor_features = _normalize_np(anchor_features)
+
+    best_feats = None
+    for _ in range(k):
+        # ---- phase 1: find the most vulnerable position per sentence
+        positions = [edits.sample_positions(len(S), n, rng=rng)
+                     for S in sentences]
+        probe_rows = [
+            [edits.apply_edit(S, int(z), 0, edits.SPACE_VOCAB, alternative=-1)
+             for z in positions[i]]
+            for i, S in enumerate(sentences)
+        ]
+        if constraint is not None:
+            probe_rows = constraint.filter_batched(sentences, probe_rows)
+        flat = [s for row in probe_rows for s in row]
+        tokens = tokenizer(flat).reshape(B, n, -1)
+        best_idx, _, _ = scorer.score_rows(
+            text_params, tokens, anchor_features, objective)
+        best_pos = [int(positions[i][best_idx[i]]) for i in range(B)]
+
+        # ---- phase 2: try random characters at the winning position
+        cand_rows = [
+            edits.generate_random_sentences_at_z(
+                S, best_pos[i], vocab, n, alternative=-1, rng=rng)
+            for i, S in enumerate(sentences)
+        ]
+        if constraint is not None:
+            cand_rows = constraint.filter_batched(sentences, cand_rows)
+        flat = [s for row in cand_rows for s in row]
+        tokens = tokenizer(flat).reshape(B, n, -1)
+        best_idx, best_feats, _ = scorer.score_rows(
+            text_params, tokens, anchor_features, objective)
+        sentences = [cand_rows[i][best_idx[i]] for i in range(B)]
+
+    return np.asarray(best_feats), sentences
+
+
+def attack_text_bruteforce(
+    scorer: CandidateScorer,
+    text_params,
+    tokenizer,
+    sentence: str,
+    anchor_features,
+    objective: str = "l2",
+    k: int = 1,
+    vocab: Sequence[int] = edits.DEFAULT_VOCAB,
+    constraint: Optional[WordConstraint] = None,
+) -> Tuple[str, int]:
+    """Exhaustive k=1 attack: score every ((k+1)L+k)·|V| single edit
+    (reference `utils_attacks.py:395-449`)."""
+    if objective in ("sim", "dissim"):
+        anchor_features = _normalize_np(anchor_features)
+    candidates = edits.generate_all_sentences(sentence, vocab, alternative=-1)
+    if constraint is not None:
+        candidates = constraint.filter(sentence, candidates)
+    tokens = tokenizer(candidates)
+    loss = scorer.score_flat(text_params, tokens, anchor_features, objective)
+    return candidates[int(np.argmax(loss))], 1
+
+
+def attack_text_charmer_inference(
+    scorer: CandidateScorer,
+    text_params,
+    tokenizer,
+    sentence: str,
+    anchor_features,
+    objective: str = "l2",
+    n: int = 10,
+    k: int = 1,
+    vocab: Sequence[int] = edits.DEFAULT_VOCAB,
+    constraint: Optional[WordConstraint] = None,
+    text_params2=None,
+    anchor_features2=None,
+) -> Tuple[str, int]:
+    """Charmer attack (arXiv:2405.04346), single sentence
+    (reference `utils_attacks.py:451-580`).
+
+    Per round: score ALL (k=1 slot count) space substitutions, take the
+    top-n positions, then try the full vocabulary at those positions.
+    Optional second encoder (SDXL dual-tower mode): losses averaged.
+    """
+    if objective in ("sim", "dissim"):
+        anchor_features = _normalize_np(anchor_features)
+        if anchor_features2 is not None:
+            anchor_features2 = _normalize_np(anchor_features2)
+
+    dist = 0
+    for dist in range(k):
+        probes = edits.generate_all_sentences(
+            sentence, edits.SPACE_VOCAB, alternative=-1)
+        if constraint is not None:
+            probes = constraint.filter(sentence, probes)
+        loss = scorer.score_flat(text_params, tokenizer(probes),
+                                 anchor_features, objective,
+                                 anchor2=anchor_features2,
+                                 text_params2=text_params2)
+        top = np.argsort(-loss)[:min(n, len(loss))]
+
+        candidates = edits.generate_all_sentences(
+            sentence, vocab, subset_z=top.tolist(), alternative=-1)
+        if constraint is not None:
+            candidates = constraint.filter(sentence, candidates)
+            if not candidates:
+                candidates = [sentence]
+        loss = scorer.score_flat(text_params, tokenizer(candidates),
+                                 anchor_features, objective,
+                                 anchor2=anchor_features2,
+                                 text_params2=text_params2)
+        sentence = candidates[int(np.argmax(loss))]
+    return sentence, dist + 1
+
+
+def attack_text_charmer_classification(
+    scorer: CandidateScorer,
+    text_params,
+    tokenizer,
+    sentence: str,
+    class_features,
+    label: int,
+    n: int = 10,
+    k: int = 1,
+    vocab: Sequence[int] = edits.DEFAULT_VOCAB,
+) -> Tuple[str, int]:
+    """Charmer with margin loss over class-anchor similarities;
+    early-exits once the prediction flips
+    (reference `utils_attacks.py:582-643`)."""
+    class_features = _normalize_np(class_features)
+    dist = 0
+    for dist in range(k):
+        probes = edits.generate_all_sentences(
+            sentence, edits.SPACE_VOCAB, alternative=-1)
+        loss, _ = scorer.score_classification(
+            text_params, tokenizer(probes), class_features, label)
+        top = np.argsort(-loss)[:min(n, len(loss))]
+
+        candidates = edits.generate_all_sentences(
+            sentence, vocab, subset_z=top.tolist(), alternative=-1)
+        loss, preds = scorer.score_classification(
+            text_params, tokenizer(candidates), class_features, label)
+        best = int(np.argmax(loss))
+        sentence = candidates[best]
+        if preds[best] != label:
+            break
+    return sentence, dist + 1
+
+
+def attack_text_charmer_constrained_ret(
+    scorer: CandidateScorer,
+    text_params,
+    tokenizer,
+    sentence: str,
+    anchor_features=None,
+    objective: str = "l2",
+    n: int = 10,
+    k: int = 1,
+    vocab: Sequence[int] = edits.DEFAULT_VOCAB,
+    constraint: Optional[WordConstraint] = None,
+) -> Tuple[str, int]:
+    """Targeted/untargeted retrieval attack variant
+    (reference `utils_attacks.py:732-819`).
+
+    With `anchor_features` set: pull toward the (harmful) target
+    caption.  With anchor None: repel from the sentence's own original
+    embedding (negl2 on the original features).
+    """
+    import jax.numpy as jnp
+    if anchor_features is None:
+        orig = scorer.encode_text(text_params, tokenizer([sentence]))[0]
+        anchor, obj = orig, {"l2": "negl2", "dissim": "sim"}[objective]
+    else:
+        anchor = jnp.asarray(anchor_features)
+        obj = objective
+    if obj in ("sim", "dissim"):
+        anchor = _normalize_np(anchor)
+
+    dist = 0
+    for dist in range(k):
+        probes = edits.generate_all_sentences(
+            sentence, edits.SPACE_VOCAB, alternative=-1)
+        if constraint is not None:
+            probes = constraint.filter(sentence, probes)
+        loss = scorer.score_flat(text_params, tokenizer(probes), anchor, obj)
+        top = np.argsort(-loss)[:min(n, len(loss))]
+
+        candidates = edits.generate_all_sentences(
+            sentence, vocab, subset_z=top.tolist(), alternative=-1)
+        if constraint is not None:
+            candidates = constraint.filter(sentence, candidates)
+            if not candidates:
+                candidates = [sentence]
+        loss = scorer.score_flat(text_params, tokenizer(candidates), anchor, obj)
+        sentence = candidates[int(np.argmax(loss))]
+    return sentence, dist + 1

@@ -40,10 +40,11 @@ Params = Dict[str, Any]
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache()
-def causal_mask(seq_len: int) -> jnp.ndarray:
+def causal_mask(seq_len: int) -> np.ndarray:
     """Additive causal mask [S, S]; -inf above the diagonal
-    (reference `transformer.py:759-765` build_causal_mask)."""
-    return jnp.triu(jnp.full((seq_len, seq_len), -jnp.inf, jnp.float32), k=1)
+    (reference `transformer.py:759-765` build_causal_mask).  Returned as
+    a host constant (numpy) so it is safe to cache across jit traces."""
+    return np.triu(np.full((seq_len, seq_len), -np.inf, np.float32), k=1)
 
 
 def text_pool(x: jnp.ndarray, tokens: jnp.ndarray, pool_type: str) -> jnp.ndarray:
