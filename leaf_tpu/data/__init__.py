@@ -1,0 +1,77 @@
+"""Data layer: host-side pipelines feeding numpy batches to device.
+
+`get_data` assembles the reference's dataset dict
+(`/root/reference/data_AT.py:655-679`): train (wds/csv/synthetic),
+optional imagenet-val, and the text-classification eval sets.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+from leaf_tpu.data.common import DataInfo, Prefetcher
+from leaf_tpu.data.csv_data import CsvDataset, get_csv_dataset
+from leaf_tpu.data.imagenet import ImageFolderDataset, get_imagenet
+from leaf_tpu.data.synthetic import SyntheticDataset, get_synthetic_dataset
+from leaf_tpu.data.textcls import (
+    TextClassificationData,
+    char_vocabulary,
+    get_text_classification_dataset,
+)
+from leaf_tpu.data.wds import WdsConfig, WdsDataset, expand_urls, get_wds_dataset
+
+__all__ = [
+    "DataInfo", "Prefetcher", "CsvDataset", "get_csv_dataset",
+    "ImageFolderDataset", "get_imagenet", "SyntheticDataset",
+    "get_synthetic_dataset", "TextClassificationData", "char_vocabulary",
+    "get_text_classification_dataset", "WdsConfig", "WdsDataset",
+    "expand_urls", "get_wds_dataset", "get_data",
+]
+
+
+def get_data(args, preprocess: Callable, epoch: int = 0,
+             process_index: int = 0, process_count: int = 1
+             ) -> Dict[str, object]:
+    """Assemble datasets from a parsed-args namespace (see
+    `leaf_tpu.train.params`)."""
+    data: Dict[str, object] = {}
+
+    if getattr(args, "dataset_type", None) == "synthetic":
+        data["train"] = get_synthetic_dataset(
+            args.train_num_samples or 100, args.batch_size,
+            image_size=getattr(args, "image_size", 224), seed=args.seed,
+            preprocess=preprocess)
+    elif getattr(args, "train_data", None):
+        if args.dataset_type in ("webdataset", "auto"):
+            data["train"] = get_wds_dataset(
+                WdsConfig(urls=args.train_data, batch_size=args.batch_size,
+                          is_train=True, seed=args.seed,
+                          num_samples=args.train_num_samples,
+                          resampled=getattr(args, "dataset_resampled", False),
+                          process_index=process_index,
+                          process_count=process_count),
+                preprocess)
+        elif args.dataset_type == "csv":
+            data["train"] = get_csv_dataset(
+                args.train_data, preprocess, args.batch_size,
+                img_key=args.csv_img_key, caption_key=args.csv_caption_key,
+                sep=args.csv_separator, shuffle=True, seed=args.seed)
+
+    if getattr(args, "val_data", None):
+        data["val"] = get_wds_dataset(
+            WdsConfig(urls=args.val_data, batch_size=args.batch_size,
+                      is_train=False, num_samples=args.val_num_samples),
+            preprocess)
+
+    if getattr(args, "imagenet_val", None):
+        data["imagenet-val"] = get_imagenet(
+            args.imagenet_val, preprocess, "val", args.batch_size,
+            n_val=getattr(args, "n_val_imagenet", 1000), seed=args.seed)
+
+    if getattr(args, "val_text_classification", None):
+        n = getattr(args, "n_val_text", 200)
+        data["train-agnews"] = get_text_classification_dataset(
+            "agnews", n_samples=n, test=False)
+        data["train-sst2"] = get_text_classification_dataset(
+            "sst2", n_samples=n, test=False)
+
+    return data

@@ -1,0 +1,77 @@
+"""Shared data-pipeline plumbing.
+
+Replaces the reference's torch DataLoader + worker-process machinery
+(`/root/reference/data_AT.py:62-127`) with a host-side design suited to
+JAX: datasets are plain Python iterables yielding numpy batches, wrapped
+in a background-thread prefetcher so host data prep overlaps device
+compute (the role DataLoader workers played).
+"""
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+from typing import Any, Callable, Iterable, Iterator, Optional
+
+
+@dataclasses.dataclass
+class DataInfo:
+    """Bundle of (batch iterable, sizes) — reference `data_AT.py:71-83`."""
+    loader: Any
+    num_batches: int = 0
+    num_samples: int = 0
+
+    def set_epoch(self, epoch: int):
+        if hasattr(self.loader, "set_epoch"):
+            self.loader.set_epoch(epoch)
+
+
+class Prefetcher:
+    """Iterate `source` on a background thread, keeping up to `depth`
+    ready batches.  Exceptions propagate to the consumer."""
+
+    def __init__(self, source: Iterable, depth: int = 2):
+        self.source = source
+        self.depth = depth
+
+    def __iter__(self) -> Iterator:
+        q: queue.Queue = queue.Queue(maxsize=self.depth)
+        _END = object()
+        _ERR = object()
+
+        def worker():
+            try:
+                for item in self.source:
+                    q.put((None, item))
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                q.put((_ERR, e))
+            finally:
+                q.put((_END, None))
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            tag, item = q.get()
+            if tag is _END:
+                break
+            if tag is _ERR:
+                raise item
+            yield item
+
+
+def shuffle_buffer(it: Iterator, bufsize: int, initial: int, rng) -> Iterator:
+    """Streaming reservoir shuffle (webdataset `_shuffle` semantics):
+    fill a buffer of `bufsize`, then yield a random element per incoming
+    sample; drain shuffled at the end.  `initial` lowers the fill level
+    at which yielding starts (faster pipeline startup)."""
+    del initial  # startup latency knob; buffer cap is what matters here
+    buf = []
+    for sample in it:
+        if len(buf) >= bufsize:
+            idx = rng.randrange(len(buf))
+            out, buf[idx] = buf[idx], sample
+            yield out
+        else:
+            buf.append(sample)
+    rng.shuffle(buf)
+    yield from buf

@@ -1,0 +1,239 @@
+"""Webdataset-style tar pipeline (pure Python, no webdataset dep).
+
+TPU-native re-implementation of the reference's training data path
+(`/root/reference/data_AT.py:279-552`): brace-expanded tar shard lists,
+deterministic epoch-seeded shard shuffle, per-host + per-worker shard
+split, no-throw tar sample grouping, streaming sample shuffle, and
+equal-batch rounding across hosts.  Outputs are (images [B,H,W,3]
+float32 NHWC, texts list[str]) — raw text, tokenization happens in the
+training process (`data_AT.py:501` keeps workers tokenizer-free).
+"""
+from __future__ import annotations
+
+import io
+import logging
+import os
+import random
+import re
+import tarfile
+from dataclasses import dataclass, field
+from typing import Callable, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from leaf_tpu.data.common import DataInfo, Prefetcher, shuffle_buffer
+
+LOG = logging.getLogger(__name__)
+
+SHARD_SHUFFLE_SIZE = 2000
+SHARD_SHUFFLE_INITIAL = 500
+SAMPLE_SHUFFLE_SIZE = 5000
+SAMPLE_SHUFFLE_INITIAL = 1000
+
+IMAGE_EXTS = ("jpg", "jpeg", "png", "webp")
+_BRACE_RE = re.compile(r"\{(\d+)\.\.(\d+)\}")
+
+
+def expand_urls(urls) -> List[str]:
+    """Expand `prefix-{0000..0099}.tar` brace notation; `::`-joined
+    lists; pass lists through (reference `data_AT.py:86-107`)."""
+    if isinstance(urls, str):
+        urls = urls.split("::")
+    out: List[str] = []
+    for url in urls:
+        m = _BRACE_RE.search(url)
+        if not m:
+            out.append(url)
+            continue
+        lo, hi = m.group(1), m.group(2)
+        width = len(lo)
+        for i in range(int(lo), int(hi) + 1):
+            out.append(url[:m.start()] + str(i).zfill(width) + url[m.end():])
+    return out
+
+
+def base_plus_ext(path: str) -> Tuple[Optional[str], Optional[str]]:
+    """Split 'dir/xyz.ext' → ('dir/xyz', 'ext'); None for dotfiles."""
+    m = re.match(r"^((?:.*/)?.+?)\.([^/]*)$", path)
+    if not m:
+        return None, None
+    return m.group(1), m.group(2)
+
+
+def iter_tar_samples(path: str, handler=None) -> Iterator[dict]:
+    """Group a tar's members into samples by key prefix; never throws on
+    corrupt members (reference `group_by_keys_nothrow`,
+    `data_AT.py:291-327`)."""
+    try:
+        tf = tarfile.open(path, "r|*" if not os.path.exists(path) else "r")
+    except Exception as e:  # noqa: BLE001
+        LOG.warning("skipping unreadable shard %s (%r)", path, e)
+        return
+    current: Optional[dict] = None
+    try:
+        for member in tf:
+            if not member.isfile():
+                continue
+            prefix, suffix = base_plus_ext(member.name)
+            if prefix is None:
+                continue
+            suffix = suffix.lower()
+            try:
+                data = tf.extractfile(member).read()
+            except Exception as e:  # noqa: BLE001
+                LOG.warning("skipping corrupt member %s (%r)", member.name, e)
+                continue
+            if current is None or prefix != current["__key__"] or suffix in current:
+                if current is not None and len(current) > 2:
+                    yield current
+                current = {"__key__": prefix, "__url__": path}
+            current[suffix] = data
+        if current is not None and len(current) > 2:
+            yield current
+    finally:
+        tf.close()
+
+
+def decode_sample(sample: dict, preprocess: Optional[Callable]) -> Optional[dict]:
+    """txt + image bytes → {'image': array, 'text': str}; None to drop
+    (reference filter `data_AT.py:279-282` + pilrgb decode)."""
+    if "txt" not in sample:
+        return None
+    img_bytes = None
+    for ext in IMAGE_EXTS:
+        if ext in sample:
+            img_bytes = sample[ext]
+            break
+    if img_bytes is None:
+        return None
+    try:
+        text = sample["txt"].decode("utf-8")
+        from PIL import Image
+        img = Image.open(io.BytesIO(img_bytes)).convert("RGB")
+        image = preprocess(img) if preprocess else np.asarray(img)
+    except Exception as e:  # noqa: BLE001
+        LOG.warning("skipping undecodable sample %s (%r)",
+                    sample.get("__key__"), e)
+        return None
+    return {"image": image, "text": text}
+
+
+@dataclass
+class WdsConfig:
+    urls: str | Sequence[str]
+    batch_size: int = 64
+    is_train: bool = True
+    seed: int = 0
+    num_samples: Optional[int] = None
+    resampled: bool = False
+    upsampling_factors: Optional[Sequence[float]] = None
+    process_index: int = 0
+    process_count: int = 1
+    shard_shuffle_size: int = SHARD_SHUFFLE_SIZE
+    shard_shuffle_initial: int = SHARD_SHUFFLE_INITIAL
+    sample_shuffle_size: int = SAMPLE_SHUFFLE_SIZE
+    sample_shuffle_initial: int = SAMPLE_SHUFFLE_INITIAL
+
+
+class WdsDataset:
+    """Epoch-aware iterable over (images, texts) batches."""
+
+    def __init__(self, cfg: WdsConfig, preprocess: Optional[Callable] = None):
+        self.cfg = cfg
+        self.preprocess = preprocess
+        self.epoch = -1
+        self.urls = expand_urls(cfg.urls)
+        if cfg.is_train and not cfg.resampled:
+            assert len(self.urls) >= cfg.process_count, \
+                "number of shards must be >= number of hosts"
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def _shards_for_epoch(self, epoch: int) -> List[str]:
+        cfg = self.cfg
+        if cfg.resampled:
+            # sample shards with replacement, optionally weighted
+            rng = random.Random(cfg.seed + epoch + 1000003 * cfg.process_index)
+            k = max(1, len(self.urls))
+            if cfg.upsampling_factors is not None:
+                return rng.choices(self.urls, weights=cfg.upsampling_factors, k=k)
+            return [rng.choice(self.urls) for _ in range(k)]
+        urls = list(self.urls)
+        if cfg.is_train:
+            # deterministic, same permutation on every host (detshuffle2
+            # with non-negative seed, `data_AT.py:350-379`)
+            rng = random.Random(cfg.seed + epoch)
+            rng.shuffle(urls)
+            urls = urls[cfg.process_index::cfg.process_count]
+        return urls
+
+    def _samples(self, epoch: int) -> Iterator[dict]:
+        rng = random.Random(self.cfg.seed + epoch + 31 * self.cfg.process_index)
+        def raw():
+            for url in self._shards_for_epoch(epoch):
+                for s in iter_tar_samples(url):
+                    d = decode_sample(s, self.preprocess)
+                    if d is not None:
+                        yield d
+        it = raw()
+        if self.cfg.is_train:
+            it = shuffle_buffer(it, self.cfg.sample_shuffle_size,
+                                self.cfg.sample_shuffle_initial, rng)
+        return it
+
+    def __iter__(self):
+        self.epoch += 1
+        epoch = self.epoch
+        cfg = self.cfg
+        target = self.num_batches if cfg.is_train else None
+
+        def batches():
+            produced = 0
+            images, texts = [], []
+            while target is None or produced < target:
+                n_before = produced
+                for s in self._samples(epoch):
+                    images.append(s["image"])
+                    texts.append(s["text"])
+                    if len(texts) == cfg.batch_size:
+                        yield np.stack(images), list(texts)
+                        images, texts = [], []
+                        produced += 1
+                        if target is not None and produced >= target:
+                            return
+                if target is None:
+                    if texts:  # eval: final partial batch
+                        yield np.stack(images), list(texts)
+                    return
+                if produced == n_before and not texts:
+                    return  # empty shard set — avoid infinite loop
+                # train: roll over the dataset to fill the fixed batch
+                # count (equal-batch rounding, `data_AT.py:513-521`)
+
+        return iter(Prefetcher(batches()))
+
+    @property
+    def num_samples(self) -> int:
+        cfg = self.cfg
+        if cfg.num_samples is not None:
+            return cfg.num_samples
+        raise RuntimeError(
+            "the number of training samples must be specified "
+            "(reference requires --train-num-samples for wds too)")
+
+    @property
+    def num_batches(self) -> int:
+        import math
+        cfg = self.cfg
+        global_batch = cfg.batch_size * cfg.process_count
+        return max(1, math.ceil(self.num_samples / global_batch))
+
+
+def get_wds_dataset(cfg: WdsConfig, preprocess=None) -> DataInfo:
+    ds = WdsDataset(cfg, preprocess)
+    if cfg.is_train:
+        nb = ds.num_batches
+        return DataInfo(ds, num_batches=nb,
+                        num_samples=nb * cfg.batch_size * cfg.process_count)
+    return DataInfo(ds, num_samples=cfg.num_samples or 0)
