@@ -1,0 +1,95 @@
+"""Headline benchmark: end-to-end LEAF train-step throughput.
+
+Measures the full per-step pipeline of the north-star config
+(BASELINE.md: ViT-L text tower, bs=128, ρ=50, k=1) on the available
+device: host candidate generation + BPE tokenisation, the two
+fixed-shape [B, ρ, 77] device scoring rounds of the LEAF attack, and
+the TextFARE train step (fwd+bwd+AdamW).
+
+Prints ONE JSON line:
+  {"metric": "leaf_train_samples_per_sec", "value": N, "unit":
+   "samples/s", "vs_baseline": R}
+
+`vs_baseline` compares against an *estimated* reference throughput on
+one A100 (the reference publishes no numbers — BASELINE.md): per step
+the reference encodes 2·B·ρ = 12800 77-token ViT-L text sequences
+(≈5.9 GFLOP each fwd) plus a bs-128 fwd/bwd; at 312 TFLOP/s bf16 and a
+generous 40% MFU that is ≈1.6 steps/s → ≈208 samples/s.
+"""
+import json
+import os
+import time
+
+import numpy as np
+
+BATCH = int(os.environ.get("BENCH_BATCH", 128))
+RHO = int(os.environ.get("BENCH_RHO", 50))
+MODEL = os.environ.get("BENCH_MODEL", "ViT-L-14")
+STEPS = int(os.environ.get("BENCH_STEPS", 8))
+BASELINE_SAMPLES_PER_SEC = 208.0  # estimated A100 reference (see docstring)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from leaf_tpu.attacks import attack_text_leaf
+    from leaf_tpu.attacks.engine import CandidateScorer
+    from leaf_tpu.models import create_model
+    from leaf_tpu.tokenizer import get_tokenizer
+    from leaf_tpu.train.optim import make_optimizer
+    from leaf_tpu.train.schedules import cosine_lr
+    from leaf_tpu.train.step import (
+        TrainState,
+        make_anchor_encode,
+        make_train_step,
+    )
+
+    model = create_model(MODEL, precision="bf16")
+    cfg = model.cfg
+    scorer = CandidateScorer(cfg, dtype=jnp.bfloat16)
+    tokenizer = get_tokenizer()
+    tx = make_optimizer(cosine_lr(1e-5, 10, 1000), weight_decay=1e-4)
+    state = TrainState.create(model.params["text"], tx)
+    train_step = make_train_step(cfg, tx, dtype=jnp.bfloat16, donate=True)
+    anchor_encode = make_anchor_encode(cfg, dtype=jnp.bfloat16)
+    frozen_text = jax.tree.map(jnp.copy, model.params["text"])
+
+    words = ("the quick brown fox jumps over lazy dog stock market rally "
+             "world cup final tech giant unveils new chip government "
+             "announces policy shift scientists discover ancient fossil").split()
+    rng = np.random.default_rng(0)
+    texts = [" ".join(rng.choice(words, size=10)) for _ in range(BATCH)]
+
+    def one_step(step_rng):
+        tokens = tokenizer(texts)
+        anchors = anchor_encode(frozen_text, tokens)
+        _, adv_texts = attack_text_leaf(
+            scorer, state.text_params, tokenizer, texts, anchors,
+            objective="l2", n=RHO, k=1, rng=step_rng)
+        adv_tokens = tokenizer(adv_texts)
+        new_state, metrics = train_step(state, adv_tokens, anchors)
+        jax.block_until_ready(metrics["loss"])
+        return new_state, metrics
+
+    # warmup / compile
+    state, _ = one_step(np.random.default_rng(1))
+    state, _ = one_step(np.random.default_rng(2))
+
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        state, metrics = one_step(np.random.default_rng(10 + i))
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = STEPS / dt
+    samples_per_sec = steps_per_sec * BATCH
+    print(json.dumps({
+        "metric": "leaf_train_samples_per_sec",
+        "value": round(samples_per_sec, 2),
+        "unit": "samples/s",
+        "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,111 @@
+"""COCO retrieval evaluation, clean vs attacked captions.
+
+Re-expression of `/root/reference/eval_retrieval.py` +
+`retrieval_helper.py`: Karpathy-split retrieval Prec@1/5 in both
+directions, then per-caption Charmer attacks (targeted toward a fixed
+harmful caption, or anchored on the caption's own features) and the
+same metrics on the perturbed captions.
+"""
+from __future__ import annotations
+
+import logging
+import re
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from leaf_tpu.attacks.engine import CandidateScorer
+from leaf_tpu.attacks.text import attack_text_charmer_inference
+from leaf_tpu.utils.meters import AverageMeter
+from leaf_tpu.utils.results import ResultsLedger
+
+LOG = logging.getLogger(__name__)
+
+# the reference's fixed targeted captions (`eval_retrieval.py:20`)
+RETRIEVAL_TARGETS = [
+    "A man aggressively kicks a stray dog on the street.",
+    "This is an image of a a pyramid",
+    "A group of teenagers vandalizes a public statue.",
+]
+
+
+def pre_caption(caption: str, max_words: int = 50) -> str:
+    """Caption cleaner (reference `retrieval_helper.py:20-39`)."""
+    caption = re.sub(r"([.!\"()*#:;~])", " ", caption.lower())
+    caption = re.sub(r"\s{2,}", " ", caption)
+    caption = caption.rstrip("\n").strip(" ")
+    words = caption.split(" ")
+    if len(words) > max_words:
+        caption = " ".join(words[:max_words])
+    return caption
+
+
+def evaluate_scores(scores: np.ndarray, img2txt: Dict[int, List[int]],
+                    txt2img: Dict[int, int]) -> Dict[str, float]:
+    """Prec@1/5 both directions from an [n_images, n_texts] score matrix
+    (reference `retrieval_helper.py:283-321`)."""
+    text_p1, text_p5 = AverageMeter(), AverageMeter()
+    for i in range(len(img2txt)):
+        top5 = np.argsort(scores[i])[-5:]
+        true = set(img2txt[i])
+        text_p1.update(float(len(true & set(top5[-1:])) > 0))
+        text_p5.update(float(len(true & set(top5)) > 0))
+    img_p1, img_p5 = AverageMeter(), AverageMeter()
+    for t in range(len(txt2img)):
+        top5 = np.argsort(scores[:, t])[-5:]
+        img_p1.update(float(txt2img[t] in top5[-1:]))
+        img_p5.update(float(txt2img[t] in top5))
+    return {"ImagePrec@1": img_p1.avg, "ImagePrec@5": img_p5.avg,
+            "TextPrec@1": text_p1.avg, "TextPrec@5": text_p5.avg}
+
+
+def embed_texts(scorer, text_params, tokenizer, texts: Sequence[str],
+                batch_size: int = 256) -> np.ndarray:
+    out = []
+    for i in range(0, len(texts), batch_size):
+        out.append(np.asarray(scorer.encode_text(
+            text_params, tokenizer(texts[i:i + batch_size]), normalize=True)))
+    return np.concatenate(out, axis=0)
+
+
+def eval_retrieval(
+    scorer: CandidateScorer,
+    params,
+    tokenizer,
+    image_embeds: np.ndarray,        # [n_images, D] normalised
+    captions: Sequence[str],
+    img2txt: Dict[int, List[int]],
+    txt2img: Dict[int, int],
+    target: Optional[int] = None,    # index into RETRIEVAL_TARGETS
+    objective: str = "l2",
+    rho: int = 10,
+    k: int = 1,
+    out_csv: Optional[str] = None,
+) -> Dict[str, Dict[str, float]]:
+    """Clean + adversarial retrieval metrics
+    (reference `eval_retrieval.py:36-97`)."""
+    text_params = params["text"]
+    clean_embeds = embed_texts(scorer, text_params, tokenizer, captions)
+    clean = evaluate_scores(image_embeds @ clean_embeds.T, img2txt, txt2img)
+
+    if target is not None:
+        anchor = scorer.encode_text(
+            text_params, tokenizer([RETRIEVAL_TARGETS[target]]))[0]
+    ledger = ResultsLedger(out_csv, columns=[
+        "sentence", "sentence_adv", "distance"]) if out_csv else None
+
+    adv_captions = []
+    for sent in captions:
+        a = anchor if target is not None else scorer.encode_text(
+            text_params, tokenizer([sent]))[0]
+        adv, dist = attack_text_charmer_inference(
+            scorer, text_params, tokenizer, sent, a, objective=objective,
+            n=rho, k=k)
+        adv_captions.append(adv)
+        if ledger is not None:
+            ledger.append({"sentence": sent, "sentence_adv": adv,
+                           "distance": dist})
+
+    adv_embeds = embed_texts(scorer, text_params, tokenizer, adv_captions)
+    adv = evaluate_scores(image_embeds @ adv_embeds.T, img2txt, txt2img)
+    return {"clean": clean, "adv": adv, "adv_captions": adv_captions}

@@ -56,16 +56,20 @@ _WORD_PATTERN = (
 
 @functools.lru_cache()
 def byte_to_unicode() -> dict:
-    """Reversible byte→printable-unicode map (standard GPT-2/CLIP scheme)."""
+    """Reversible byte→printable-unicode map (standard GPT-2/CLIP scheme).
+
+    Insertion order matters: the first 256 vocab ids follow this dict's
+    order, which is printable bytes first ('!'..'~', '¡'..'¬', '®'..'ÿ')
+    then the remaining bytes mapped to shifted codepoints — e.g. 'a' is
+    id 64 and 'a</w>' id 320 in the canonical CLIP vocab.
+    """
     printable = (list(range(ord("!"), ord("~") + 1))
                  + list(range(ord("¡"), ord("¬") + 1))
                  + list(range(ord("®"), ord("ÿ") + 1)))
-    mapping = {}
+    mapping = {b: chr(b) for b in printable}
     shift = 0
     for b in range(256):
-        if b in printable:
-            mapping[b] = chr(b)
-        else:
+        if b not in mapping:
             mapping[b] = chr(256 + shift)
             shift += 1
     return mapping
@@ -119,6 +123,9 @@ class CLIPTokenizer:
             "<start_of_text>": (self.sot_token_id,),
             "<end_of_text>": (self.eot_token_id,),
         }
+        self._bpe_path = bpe_path
+        self._native = None
+        self._native_checked = False
 
     # -- core BPE ----------------------------------------------------------
 
@@ -182,6 +189,15 @@ class CLIPTokenizer:
         if isinstance(texts, str):
             texts = [texts]
         ctx = context_length or self.context_length
+        # native C++ fast path for ASCII batches (the attack workload);
+        # '&' is excluded because the Python clean html-unescapes it
+        if not self._native_checked:
+            from leaf_tpu.tokenizer.native_binding import get_native
+            self._native = get_native(self._bpe_path)
+            self._native_checked = True
+        if self._native is not None and all(
+                t.isascii() and "&" not in t for t in texts):
+            return self._native.encode_batch(list(texts), ctx)
         result = np.zeros((len(texts), ctx), dtype=np.int32)
         sot, eot = self.sot_token_id, self.eot_token_id
         for i, text in enumerate(texts):

@@ -1,0 +1,218 @@
+"""LEAF training driver (the reference's `train_AT_text_only.py` main).
+
+Wires the pieces: mesh, model + frozen anchor tower, optimizer with
+weight-decay mask + schedule, data, per-epoch eval, checkpointing and
+the results.csv ledger.  See `scripts/train_leaf_vitl.sh` for the
+canonical recipes.
+
+TPU deltas vs the reference driver
+(`/root/reference/train_AT_text_only.py:87-588`):
+  * no DDP wrapper — params are mesh-replicated and XLA inserts the
+    grad psum;
+  * the frozen anchor model is just the initial text-param pytree (no
+    deepcopy of modules);
+  * no GradScaler — bf16 on TPU needs no loss scaling;
+  * checkpoints via Orbax (atomic), resume via directory discovery.
+"""
+from __future__ import annotations
+
+import logging
+import math
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from leaf_tpu.attacks import edits
+from leaf_tpu.attacks.constraint import WordConstraint
+from leaf_tpu.attacks.engine import CandidateScorer
+from leaf_tpu.data import get_data
+from leaf_tpu.evals.zero_shot import zero_shot_eval
+from leaf_tpu.models import create_model_and_transforms, get_tokenizer
+from leaf_tpu.models.preprocess import image_transform
+from leaf_tpu.parallel import create_mesh, replicate
+from leaf_tpu.train import checkpoint as ckpt
+from leaf_tpu.train.loop import train_one_epoch_text_only
+from leaf_tpu.train.optim import make_optimizer
+from leaf_tpu.train.params import parse_args
+from leaf_tpu.train.schedules import make_scheduler
+from leaf_tpu.train.step import TrainState, make_anchor_encode, make_train_step
+from leaf_tpu.utils.logging_utils import setup_logging
+from leaf_tpu.utils.results import ResultsLedger, TimingLedger
+
+LOG = logging.getLogger(__name__)
+
+RESULT_COLUMNS = [
+    "epoch", "train_loss",
+    "imagenet-zeroshot-val-top1", "imagenet-zeroshot-val-top5",
+    "imagenet-zeroshot-val-top1-adv",
+    "agnews-zeroshot-train-acc", "agnews-zeroshot-train-acc-adv",
+    "sst2-zeroshot-train-acc", "sst2-zeroshot-train-acc-adv",
+]
+
+
+def build_run_name(args) -> str:
+    import datetime
+    if args.name:
+        return args.name
+    now = datetime.datetime.now().strftime("%Y_%m_%d-%H_%M_%S")
+    return (f"{now}-model_{args.model.replace('/', '-')}-lr_{args.lr}-"
+            f"b_{args.batch_size}-rho_{args.rho}-k_{args.k_adv}")
+
+
+def main(args=None) -> Dict:
+    if args is None or isinstance(args, list):
+        args = parse_args(args)
+    setup_logging(level=logging.DEBUG if args.debug else logging.INFO)
+    if args.matmul_precision:
+        jax.config.update("jax_default_matmul_precision",
+                          args.matmul_precision)
+
+    run_name = build_run_name(args)
+    out_dir = os.path.join(args.custom_out_folder or args.logs, run_name)
+    ckpt_dir = os.path.join(out_dir, "checkpoints")
+    os.makedirs(out_dir, exist_ok=True)
+    LOG.info("run: %s → %s", run_name, out_dir)
+
+    mesh = create_mesh(
+        tuple(int(x) for x in args.mesh_shape.split(","))
+        if args.mesh_shape else None)
+
+    # model + frozen anchor tower -----------------------------------------
+    precision = "bf16" if args.precision in ("bf16", "amp") else "fp32"
+    model, preprocess_train, preprocess_val = create_model_and_transforms(
+        args.model, args.pretrained or None, precision=precision,
+        seed=args.seed)
+    cfg = model.cfg
+    params = replicate(model.params, mesh)
+    # real buffer copy: the train step donates its text params, so the
+    # frozen anchor tower must own distinct device buffers
+    frozen_text_params = jax.tree.map(jnp.copy, params["text"])
+    dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+
+    # attack vocabulary V (`train_AT_text_only.py:93`)
+    vocab = edits.DEFAULT_VOCAB
+    constraint = WordConstraint() if args.constrain else None
+    scorer = CandidateScorer(cfg, dtype=dtype)
+    tokenizer = get_tokenizer(args.model)
+
+    # data ----------------------------------------------------------------
+    # attacks operate in pixel space: datasets yield UN-normalised images
+    preprocess_nonorm = image_transform(cfg.vision.image_size,
+                                        do_normalize=False)
+    data = get_data(args, preprocess_nonorm,
+                    process_index=jax.process_index(),
+                    process_count=jax.process_count())
+
+    # optimizer ------------------------------------------------------------
+    steps_per_epoch = (data["train"].num_batches // args.accum_freq
+                       if "train" in data else 0)
+    total_steps = steps_per_epoch * args.epochs
+    schedule = make_scheduler(
+        "const" if args.skip_scheduler else args.lr_scheduler,
+        args.lr, args.warmup, max(total_steps, 1),
+        cooldown_steps=(args.epochs_cooldown or 0) * steps_per_epoch,
+        cooldown_power=args.lr_cooldown_power,
+        cooldown_end_lr=args.lr_cooldown_end)
+    tx = make_optimizer(lambda step: jnp.asarray(schedule(step)),
+                        weight_decay=args.wd, beta1=args.beta1,
+                        beta2=args.beta2, eps=args.eps,
+                        grad_clip_norm=args.grad_clip_norm,
+                        accum_freq=args.accum_freq)
+    # copy: the jitted train step donates its buffers, which must not
+    # alias params["text"] (still referenced by epoch-0 eval)
+    state = TrainState.create(jax.tree.map(jnp.copy, params["text"]), tx)
+
+    train_step = make_train_step(cfg, tx, normalize=args.normalize_fare,
+                                 dtype=dtype, remat=args.grad_checkpointing)
+    anchor_encode = make_anchor_encode(cfg, normalize=args.normalize_fare,
+                                       dtype=dtype)
+
+    results = ResultsLedger(os.path.join(out_dir, "results.csv"),
+                            columns=RESULT_COLUMNS)
+    timing = TimingLedger(os.path.join(out_dir,
+                                       f"times_{args.use_charmer}.csv"))
+
+    # resume ---------------------------------------------------------------
+    start_epoch = 0
+    resume = ckpt.resolve_resume(args.resume, ckpt_dir)
+    if resume is not None:
+        epoch_done, path = resume
+        LOG.info("resuming from %s (epoch %d)", path, epoch_done)
+        payload = ckpt.load_checkpoint(
+            path, like={"text_params": state.text_params,
+                        "opt_state": state.opt_state,
+                        "step": state.step,
+                        "frozen_text_params": frozen_text_params})
+        state = TrainState(text_params=payload["text_params"],
+                           opt_state=payload["opt_state"],
+                           step=payload["step"])
+        frozen_text_params = payload["frozen_text_params"]
+        # checkpoint names record *completed* epochs; training epoch
+        # indices are 0-based, so the next epoch to run == epoch_done
+        start_epoch = epoch_done
+        results.truncate_to_epoch(epoch_done)
+
+    def save(epoch: int):
+        ckpt.save_checkpoint(ckpt_dir, epoch, {
+            "text_params": state.text_params,
+            "opt_state": state.opt_state,
+            "step": state.step,
+            "frozen_text_params": frozen_text_params,
+        })
+        if args.delete_previous_checkpoint:
+            prev = os.path.join(ckpt_dir, f"epoch_{epoch - 1}")
+            if os.path.isdir(prev):
+                import shutil
+                shutil.rmtree(prev)
+
+    def eval_params():
+        p = dict(params)
+        p["text"] = state.text_params
+        return p
+
+    def run_eval(epoch: int) -> Dict[str, float]:
+        return zero_shot_eval(eval_params(), cfg, data, tokenizer,
+                              preprocess_nonorm, epoch, args, scorer=scorer,
+                              key=jax.random.PRNGKey(args.seed + epoch))
+
+    def record(epoch: int, train_loss: float, metrics: Dict[str, float]):
+        row = {"epoch": epoch, "train_loss": train_loss}
+        for col in RESULT_COLUMNS[2:]:
+            if col in metrics:
+                row[col] = metrics[col]
+        results.append(row)
+
+    # epoch-0 snapshot (`train_AT_text_only.py:492-525`)
+    if start_epoch == 0:
+        metrics = run_eval(0)
+        LOG.info("epoch 0 eval: %s", metrics)
+        record(0, float("nan"), metrics)
+        if "train" in data:
+            save(0)
+
+    if "train" not in data:
+        return {"results": results.rows, "state": state}
+
+    for epoch in range(start_epoch, args.epochs):
+        LOG.info("Start epoch %d", epoch)
+        state, log_data = train_one_epoch_text_only(
+            state, frozen_text_params, scorer, anchor_encode, train_step,
+            tokenizer, vocab, data, epoch, args, constraint=constraint,
+            timing=timing, rng=np.random.default_rng(args.seed + 1000 * epoch
+                                                     + jax.process_index()))
+        completed = epoch + 1
+        metrics = run_eval(completed)
+        LOG.info("epoch %d eval: %s", completed, metrics)
+        record(completed, log_data.get("train/loss", float("nan")), metrics)
+        if completed % args.save_frequency == 0 or completed == args.epochs:
+            save(completed)
+
+    return {"results": results.rows, "state": state,
+            "params": eval_params(), "cfg": cfg, "out_dir": out_dir}
+
+
+if __name__ == "__main__":
+    main()

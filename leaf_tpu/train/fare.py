@@ -1,0 +1,247 @@
+"""FARE image-encoder adversarial finetuning.
+
+TPU-native re-expression of the reference's single-file trainer
+(`/root/reference/src/robust_vlm/train/adversarial_training_clip.py`):
+unsupervised L2 embedding adversarial training of the *vision* tower —
+inner max: PGD-10 (or APGD) pushing the embedding away from the frozen
+model's embedding; outer min: ‖f(x_adv) − f_frozen(x)‖² (+ optional
+clean-weight and TRADES variants; CE losses when a zero-shot classifier
+is supplied).
+
+Structure: the inner attack and the outer update are each one jitted
+computation; the frozen tower is a second param pytree through the same
+apply fn.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import logging
+import math
+import time
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from leaf_tpu.attacks.apgd import apgd
+from leaf_tpu.attacks.image import pgd, _normalize_images
+from leaf_tpu.models import clip as lclip
+from leaf_tpu.models.config import CLIPConfig
+from leaf_tpu.train.schedules import cosine_lr
+from leaf_tpu.train.step import TrainState
+from leaf_tpu.utils.meters import AverageMeter
+
+LOG = logging.getLogger(__name__)
+
+
+def encode_vision(visual_params, cfg: CLIPConfig, images, output_normalize,
+                  dtype=jnp.float32):
+    """Images in [0,1] → embedding (normalisation folded in, reference
+    ClipVisionModel `adversarial_training_clip.py:263-281`)."""
+    return lclip.encode_image(visual_params, cfg.vision,
+                              _normalize_images(images), cfg.quick_gelu,
+                              normalize=output_normalize, dtype=dtype)
+
+
+def embedding_loss(loss_str: str, embedding, embedding_orig, targets=None,
+                   classifier=None, logit_scale: float = 100.0,
+                   reduction: str = "mean"):
+    """FARE loss menu (reference `adversarial_training_clip.py:558-600`)."""
+    emb32 = embedding.astype(jnp.float32)
+    if loss_str == "l2":
+        per = jnp.square(emb32 - embedding_orig.astype(jnp.float32)).sum(-1)
+    elif loss_str == "l1":
+        per = jnp.abs(emb32 - embedding_orig.astype(jnp.float32)).sum(-1)
+    elif loss_str == "ce":
+        logits = emb32 @ (logit_scale * classifier.astype(jnp.float32))
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        per = -jnp.take_along_axis(logp, targets[:, None], axis=-1)[:, 0]
+    elif loss_str == "ce_reg":
+        return (0.7 * embedding_loss("ce", embedding, embedding_orig,
+                                     targets, classifier, logit_scale,
+                                     reduction)
+                + 0.3 * embedding_loss("l2", embedding, embedding_orig,
+                                       reduction=reduction))
+    else:
+        raise ValueError(f"loss {loss_str!r} not supported")
+    return per.mean() if reduction == "mean" else per
+
+
+@dataclasses.dataclass
+class FareConfig:
+    """Flag surface of the reference trainer
+    (`adversarial_training_clip.py:35-68`)."""
+    steps: int = 10000
+    warmup: int = 700
+    batch_size: int = 128
+    lr: float = 1e-5
+    wd: float = 1e-4
+    opt: str = "adamw"
+    momentum_sgd: float = 0.9
+    attack: str = "pgd"            # pgd | apgd | none
+    norm: str = "linf"
+    eps: float = 2 / 255           # caller divides by 255 as in reference
+    iterations_adv: int = 10
+    stepsize_adv: float = 1 / 255
+    inner_loss: str = "l2"
+    loss: str = "l2"
+    loss_clean: str = "l2"
+    clean_weight: float = 0.0
+    trades: bool = False
+    output_normalize: bool = False
+    grad_clip: bool = False
+    log_freq: int = 10
+    eval_freq: int = 50
+
+
+def make_fare_optimizer(fcfg: FareConfig) -> optax.GradientTransformation:
+    schedule = cosine_lr(fcfg.lr, fcfg.warmup, fcfg.steps)
+    if fcfg.opt == "sgd":
+        opt = optax.chain(
+            optax.trace(decay=fcfg.momentum_sgd),
+            optax.add_decayed_weights(fcfg.wd),
+            optax.scale_by_learning_rate(schedule))
+    else:
+        opt = optax.chain(
+            optax.scale_by_adam(),
+            optax.add_decayed_weights(fcfg.wd),
+            optax.scale_by_learning_rate(schedule))
+    if fcfg.grad_clip:
+        opt = optax.chain(optax.clip_by_global_norm(1.0), opt)
+    return opt
+
+
+def make_fare_attack(cfg: CLIPConfig, fcfg: FareConfig, dtype=jnp.float32):
+    """Jitted inner maximisation on the *trainable* tower."""
+
+    @functools.partial(jax.jit, static_argnames=())
+    def attack(visual_params, images, embedding_orig, targets, classifier,
+               key):
+        def loss_fn(x_adv):
+            emb = encode_vision(visual_params, cfg, x_adv,
+                                fcfg.output_normalize, dtype)
+            return embedding_loss(
+                fcfg.inner_loss, emb, embedding_orig, targets, classifier,
+                reduction="mean" if fcfg.attack == "pgd" else "none")
+
+        if fcfg.attack == "none":
+            return images
+        if fcfg.attack == "apgd":
+            return apgd(loss_fn, images, norm=fcfg.norm, eps=fcfg.eps,
+                        n_iter=fcfg.iterations_adv)
+        # PGD with uniform init (reference passes a uniform perturbation)
+        pert0 = fcfg.eps * (2 * jax.random.uniform(key, images.shape,
+                                                   images.dtype) - 1)
+        pert0 = jnp.clip(images + pert0, 0.0, 1.0) - images
+        return pgd(loss_fn, images, norm=fcfg.norm, eps=fcfg.eps,
+                   iterations=fcfg.iterations_adv,
+                   stepsize=fcfg.stepsize_adv, mode="max",
+                   perturbation=pert0)
+
+    return attack
+
+
+def make_fare_train_step(cfg: CLIPConfig, fcfg: FareConfig,
+                         tx: optax.GradientTransformation,
+                         dtype=jnp.float32):
+    """Jitted outer update: returns (state', metrics)."""
+
+    def step_fn(state: TrainState, frozen_visual, images, adv_images,
+                targets, classifier):
+        embedding_orig = encode_vision(frozen_visual, cfg, images,
+                                       fcfg.output_normalize, dtype)
+
+        def loss_fn(visual_params):
+            emb_clean = encode_vision(visual_params, cfg, images,
+                                      fcfg.output_normalize, dtype)
+            loss_clean = jnp.zeros(())
+            if fcfg.clean_weight > 0:
+                loss_clean = embedding_loss(fcfg.loss_clean, emb_clean,
+                                            embedding_orig, targets,
+                                            classifier)
+            emb_adv = encode_vision(visual_params, cfg, adv_images,
+                                    fcfg.output_normalize, dtype)
+            anchor = (jax.lax.stop_gradient(emb_clean) if fcfg.trades
+                      else embedding_orig)
+            loss_adv = embedding_loss(fcfg.loss, emb_adv, anchor, targets,
+                                      classifier)
+            total = fcfg.clean_weight * loss_clean \
+                + (1 - fcfg.clean_weight) * loss_adv
+            cos = jnp.mean(jnp.sum(
+                lclip.l2_normalize(emb_adv.astype(jnp.float32))
+                * lclip.l2_normalize(embedding_orig.astype(jnp.float32)),
+                axis=-1))
+            return total, {"loss": loss_adv, "loss_clean": loss_clean,
+                           "cos_sim": cos}
+
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.text_params)
+        updates, opt_state = tx.update(grads, state.opt_state,
+                                       state.text_params)
+        new_params = optax.apply_updates(state.text_params, updates)
+        return TrainState(text_params=new_params, opt_state=opt_state,
+                          step=state.step + 1), metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def train_fare(model_params, cfg: CLIPConfig, fcfg: FareConfig, data_iter,
+               classifier=None, seed: int = 0,
+               on_step: Optional[Callable[[int, Dict], None]] = None,
+               checkpoint_fn: Optional[Callable[[int, Any], None]] = None
+               ) -> Dict:
+    """Run FARE training for fcfg.steps optimizer steps.
+
+    data_iter yields (images [B,H,W,3] in [0,1], targets or None).
+    Checkpointing: 10 evenly-spaced milestones + the final step
+    (reference `adversarial_training_clip.py:474-490`).
+    """
+    tx = make_fare_optimizer(fcfg)
+    frozen_visual = jax.tree.map(jnp.copy, model_params["visual"])
+    # copy into the state: the jitted step donates its buffers, which
+    # must not alias the caller's params
+    state = TrainState.create(jax.tree.map(jnp.copy,
+                                           model_params["visual"]), tx)
+    attack = make_fare_attack(cfg, fcfg)
+    train_step = make_fare_train_step(cfg, fcfg, tx)
+    anchor_encode = jax.jit(lambda p, x: encode_vision(
+        p, cfg, x, fcfg.output_normalize))
+
+    milestones = {int(fcfg.steps * (i + 1) / 10) for i in range(10)}
+    key = jax.random.PRNGKey(seed)
+    loss_m = AverageMeter()
+    step_total = 0
+    t0 = time.time()
+    for images, targets in data_iter:
+        if step_total >= fcfg.steps:
+            break
+        images = jnp.asarray(images)
+        targets_j = (jnp.asarray(targets) if targets is not None
+                     else jnp.zeros((images.shape[0],), jnp.int32))
+        cls = classifier if classifier is not None else \
+            jnp.zeros((model_params["visual"]["proj"].shape[1], 1))
+        key, sub = jax.random.split(key)
+        embedding_orig = anchor_encode(frozen_visual, images)
+        adv = attack(state.text_params, images, embedding_orig, targets_j,
+                     cls, sub)
+        state, metrics = train_step(state, frozen_visual, images, adv,
+                                    targets_j, cls)
+        step_total += 1
+        loss_m.update(float(metrics["loss"]), images.shape[0])
+        if on_step is not None:
+            on_step(step_total, {k: float(v) for k, v in metrics.items()})
+        if step_total % fcfg.log_freq == 0:
+            LOG.info("FARE step %d/%d loss %.5g (%.5g) cos %.4f [%.2fs/step]",
+                     step_total, fcfg.steps, loss_m.val, loss_m.avg,
+                     float(metrics["cos_sim"]),
+                     (time.time() - t0) / step_total)
+        if checkpoint_fn is not None and step_total in milestones:
+            checkpoint_fn(step_total, state)
+
+    out_params = dict(model_params)
+    out_params["visual"] = state.text_params
+    return {"params": out_params, "state": state, "steps": step_total,
+            "final_loss": loss_m.avg}

@@ -1,0 +1,128 @@
+"""FARE training CLI (the reference's
+`src/robust_vlm/train/adversarial_training_clip.py` __main__).
+
+Flag names mirror the reference's 33-flag parser
+(`adversarial_training_clip.py:35-68`, dashes instead of underscores);
+ε and step size are given in /255 units as there.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+from leaf_tpu.models import create_model, get_tokenizer
+from leaf_tpu.models.preprocess import image_transform
+from leaf_tpu.models.zero_shot import (
+    build_zero_shot_classifier,
+    imagenet_classnames,
+    openai_imagenet_templates,
+    simple_imagenet_templates,
+)
+from leaf_tpu.attacks.engine import CandidateScorer
+from leaf_tpu.data.imagenet import get_imagenet
+from leaf_tpu.train import checkpoint as ckpt
+from leaf_tpu.train.fare import FareConfig, train_fare
+from leaf_tpu.utils.logging_utils import setup_logging
+
+LOG = logging.getLogger(__name__)
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("leaf_tpu FARE image adversarial training")
+    p.add_argument("--model", type=str, default="ViT-L-14")
+    p.add_argument("--pretrained", type=str, default="")
+    p.add_argument("--imagenet-root", type=str, required=True)
+    p.add_argument("--template", type=str, default="ensemble",
+                   choices=["ensemble", "std", "simple"])
+    p.add_argument("--output-normalize", action="store_true", default=False)
+    p.add_argument("--steps", type=int, default=10000)
+    p.add_argument("--warmup", type=int, default=700)
+    p.add_argument("--batch-size", type=int, default=128)
+    p.add_argument("--loss", type=str, default="l2")
+    p.add_argument("--loss-clean", type=str, default="l2")
+    p.add_argument("--clean-weight", type=float, default=0.0)
+    p.add_argument("--trades", action="store_true", default=False)
+    p.add_argument("--opt", type=str, default="adamw", choices=["adamw", "sgd"])
+    p.add_argument("--momentum-sgd", type=float, default=0.9)
+    p.add_argument("--lr", type=float, default=1e-5)
+    p.add_argument("--wd", type=float, default=1e-4)
+    p.add_argument("--attack", type=str, default="pgd",
+                   choices=["pgd", "apgd", "none"])
+    p.add_argument("--inner-loss", type=str, default="l2")
+    p.add_argument("--norm", type=str, default="linf")
+    p.add_argument("--eps", type=float, default=2.0, help="in /255 units")
+    p.add_argument("--iterations-adv", type=int, default=10)
+    p.add_argument("--stepsize-adv", type=float, default=1.0,
+                   help="in /255 units")
+    p.add_argument("--precision", type=str, default="bf16")
+    p.add_argument("--output-dir", type=str, default="./fare_out")
+    p.add_argument("--experiment-name", type=str, default="FARE")
+    p.add_argument("--log-freq", type=int, default=10)
+    p.add_argument("--eval-freq", type=int, default=50)
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    setup_logging()
+    model = create_model(args.model, args.pretrained or None,
+                         precision=args.precision, seed=args.seed)
+    cfg = model.cfg
+    tokenizer = get_tokenizer(args.model)
+    scorer = CandidateScorer(cfg)
+
+    # zero-shot classifier for CE losses / logging (reference caches it
+    # to /tmp, `adversarial_training_clip.py:160-177`)
+    classifier = None
+    if "ce" in (args.loss, args.inner_loss, args.loss_clean):
+        templates = (openai_imagenet_templates() if args.template == "ensemble"
+                     else simple_imagenet_templates())
+        classifier = build_zero_shot_classifier(
+            lambda t: scorer.encode_text(model.params["text"], t),
+            tokenizer, imagenet_classnames(), templates)
+
+    preprocess = image_transform(cfg.vision.image_size, do_normalize=False)
+    train_info = get_imagenet(args.imagenet_root, preprocess, "train",
+                              batch_size=args.batch_size, seed=args.seed)
+
+    def repeat_forever():
+        while True:
+            yield from ((imgs, targets) for imgs, targets
+                        in train_info.loader)
+
+    fcfg = FareConfig(
+        steps=args.steps, warmup=args.warmup, batch_size=args.batch_size,
+        lr=args.lr, wd=args.wd, opt=args.opt,
+        momentum_sgd=args.momentum_sgd, attack=args.attack, norm=args.norm,
+        eps=args.eps / 255.0, iterations_adv=args.iterations_adv,
+        stepsize_adv=args.stepsize_adv / 255.0, inner_loss=args.inner_loss,
+        loss=args.loss, loss_clean=args.loss_clean,
+        clean_weight=args.clean_weight, trades=args.trades,
+        output_normalize=args.output_normalize, log_freq=args.log_freq,
+        eval_freq=args.eval_freq)
+
+    out_dir = os.path.join(args.output_dir, args.experiment_name)
+    os.makedirs(out_dir, exist_ok=True)
+    ckpt_dir = os.path.join(out_dir, "checkpoints")
+
+    def checkpoint_fn(step, state):
+        ckpt.save_checkpoint(ckpt_dir, step,
+                             {"visual_params": state.text_params,
+                              "step": state.step})
+
+    out = train_fare(model.params, cfg, fcfg, repeat_forever(),
+                     classifier=classifier, seed=args.seed,
+                     checkpoint_fn=checkpoint_fn)
+    LOG.info("FARE done: %d steps, final loss %.5g", out["steps"],
+             out["final_loss"])
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,132 @@
+"""LEAF training epoch loop.
+
+Re-expression of the reference's `train_one_epoch_text_only`
+(`/root/reference/utils_AT.py:262-426`).  Per batch:
+
+  1. frozen-tower anchor encode of the clean captions (device),
+  2. inner max: LEAF batch attack (or per-sentence Charmer with
+     `--use_charmer`) against the *trainable* tower, anchored to the
+     frozen features,
+  3. one jitted train step: TextFARE MSE + AdamW update,
+  4. logit_scale clamp, meters, attack-timing ledger.
+
+The attack wall-time CSV (`times_{use_charmer}.csv`) is the reference's
+own throughput benchmark hook (`utils_AT.py:298-311`) and is kept.
+"""
+from __future__ import annotations
+
+import logging
+import math
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from leaf_tpu.attacks.engine import CandidateScorer
+from leaf_tpu.attacks.text import attack_text_charmer_inference, attack_text_leaf
+from leaf_tpu.train.step import TrainState
+from leaf_tpu.utils.meters import AverageMeter
+from leaf_tpu.utils.results import TimingLedger
+
+LOG = logging.getLogger(__name__)
+
+
+def run_attack(scorer: CandidateScorer, text_params, tokenizer, texts,
+               anchors, args, vocab, constraint, rng):
+    """Training-time inner maximisation (`utils_AT.py:296-311`)."""
+    if args.use_charmer:
+        adv_texts = []
+        for j, t in enumerate(texts):
+            adv, _ = attack_text_charmer_inference(
+                scorer, text_params, tokenizer, t, anchors[j],
+                objective="l2", n=args.rho, k=args.k_adv, vocab=vocab,
+                constraint=constraint)
+            adv_texts.append(adv)
+        return adv_texts
+    _, adv_texts = attack_text_leaf(
+        scorer, text_params, tokenizer, list(texts), anchors,
+        objective="l2", n=args.rho, k=args.k_adv, vocab=vocab,
+        constraint=constraint, rng=rng)
+    return adv_texts
+
+
+def train_one_epoch_text_only(
+    state: TrainState,
+    frozen_text_params,
+    scorer: CandidateScorer,
+    anchor_encode,
+    train_step,
+    tokenizer,
+    vocab,
+    data: Dict,
+    epoch: int,
+    args,
+    constraint=None,
+    timing: Optional[TimingLedger] = None,
+    rng: Optional[np.random.Generator] = None,
+):
+    """Run one epoch; returns (state, log_data)."""
+    rng = rng or np.random.default_rng(args.seed + 1000 * epoch)
+    info = data["train"]
+    info.set_epoch(epoch)
+    num_batches_per_epoch = info.num_batches // args.accum_freq
+
+    losses_m = AverageMeter()
+    batch_time_m = AverageMeter()
+    data_time_m = AverageMeter()
+    samples_per_second = 0.0
+    end = time.time()
+
+    log_data: Dict[str, float] = {}
+    for i, (images, texts) in enumerate(info.loader):
+        del images  # text-only objective ignores images
+        i_accum = i // args.accum_freq
+        step = num_batches_per_epoch * epoch + i_accum
+        data_time_m.update(time.time() - end)
+
+        tokens = tokenizer(texts)
+        anchors = anchor_encode(frozen_text_params, tokens)
+
+        t0 = time.time()
+        adv_texts = run_attack(scorer, state.text_params, tokenizer, texts,
+                               anchors, args, vocab, constraint, rng)
+        attack_seconds = time.time() - t0
+        if timing is not None:
+            timing.append(attack_seconds)
+
+        adv_tokens = tokenizer(adv_texts)
+        state, metrics = train_step(state, adv_tokens, anchors)
+
+        batch_time_m.update(time.time() - end)
+        end = time.time()
+        batch_count = i_accum + 1
+
+        if ((i + 1) % args.accum_freq == 0
+                and (batch_count % args.log_every_n_steps == 0
+                     or batch_count == num_batches_per_epoch)):
+            loss_val = float(metrics["loss"])
+            losses_m.update(loss_val, len(texts))
+            samples_per_second = (args.accum_freq * args.batch_size
+                                  * jax.process_count() / batch_time_m.val)
+            pct = 100.0 * batch_count / max(num_batches_per_epoch, 1)
+            LOG.info(
+                "Train Epoch: %d [%d/%d (%.0f%%)] "
+                "Data (t): %.3f Batch (t): %.3f, %.1f/s "
+                "Attack (t): %.3f Loss: %.5g (%.5g)",
+                epoch, batch_count * args.batch_size * args.accum_freq,
+                info.num_samples, pct, data_time_m.avg, batch_time_m.avg,
+                samples_per_second, attack_seconds, loss_val, losses_m.avg)
+            log_data = {
+                "train/loss": losses_m.val,
+                "train/data_time": data_time_m.val,
+                "train/batch_time": batch_time_m.val,
+                "train/samples_per_second": samples_per_second,
+                "train/attack_seconds": attack_seconds,
+                "train/step": step,
+            }
+            batch_time_m.reset()
+            data_time_m.reset()
+
+    log_data.setdefault("train/loss", losses_m.avg if losses_m.count else 0.0)
+    return state, log_data

@@ -1,0 +1,132 @@
+"""CLI flag system for the LEAF trainer.
+
+Reproduces the reference's flag surface
+(`/root/reference/params_AT.py:36-606`): the open_clip training flags
+plus the LEAF attack/objective block, and the per-model-family default
+lr/beta/eps injection (`params_AT.py:599-606`).  Torch/GPU-specific
+flags (ddp backends, bnb, torchscript…) are intentionally absent; their
+TPU-native counterparts are mesh/precision flags.
+"""
+from __future__ import annotations
+
+import argparse
+from typing import List, Optional
+
+
+def parse_args(args: Optional[List[str]] = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser("leaf_tpu text adversarial finetuning")
+
+    # -- data ---------------------------------------------------------------
+    p.add_argument("--train-data", type=str, default=None,
+                   help="tar shard spec (brace notation) or csv path")
+    p.add_argument("--train-data-upsampling-factors", type=str, default=None)
+    p.add_argument("--val-data", type=str, default=None)
+    p.add_argument("--val-text-classification", type=str, default=None,
+                   help="enable AG-News/SST-2 zero-shot text eval")
+    p.add_argument("--train-num-samples", type=int, default=None)
+    p.add_argument("--val-num-samples", type=int, default=None)
+    p.add_argument("--dataset-type", default="auto",
+                   choices=["webdataset", "csv", "synthetic", "auto"])
+    p.add_argument("--dataset-resampled", default=False, action="store_true")
+    p.add_argument("--csv-separator", type=str, default="\t")
+    p.add_argument("--csv-img-key", type=str, default="filepath")
+    p.add_argument("--csv-caption-key", type=str, default="title")
+    p.add_argument("--imagenet-val", type=str, default=None)
+    p.add_argument("--imagenet-v2", type=str, default=None)
+    p.add_argument("--workers", type=int, default=4)
+
+    # -- run management -----------------------------------------------------
+    p.add_argument("--logs", type=str, default="./logs/")
+    p.add_argument("--log-local", action="store_true", default=False)
+    p.add_argument("--name", type=str, default=None)
+    p.add_argument("--resume", type=str, default=None,
+                   help="'latest' or a checkpoint path")
+    p.add_argument("--save-frequency", type=int, default=1)
+    p.add_argument("--save-most-recent", action="store_true", default=False)
+    p.add_argument("--delete-previous-checkpoint", action="store_true",
+                   default=False)
+    p.add_argument("--report-to", default="", type=str,
+                   help="comma-sep: wandb,tensorboard")
+    p.add_argument("--wandb-notes", default="", type=str)
+    p.add_argument("--wandb-project-name", type=str, default="open-clip")
+    p.add_argument("--log-every-n-steps", type=int, default=100)
+    p.add_argument("--debug", action="store_true", default=False)
+    p.add_argument("--seed", type=int, default=0)
+
+    # -- optimisation -------------------------------------------------------
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--epochs", type=int, default=32)
+    p.add_argument("--epochs-cooldown", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--beta1", type=float, default=None)
+    p.add_argument("--beta2", type=float, default=None)
+    p.add_argument("--eps", type=float, default=None)
+    p.add_argument("--wd", type=float, default=0.2)
+    p.add_argument("--warmup", type=int, default=10000)
+    p.add_argument("--skip-scheduler", action="store_true", default=False)
+    p.add_argument("--lr-scheduler", type=str, default="cosine",
+                   choices=["cosine", "const", "const-cooldown"])
+    p.add_argument("--lr-cooldown-end", type=float, default=0.0)
+    p.add_argument("--lr-cooldown-power", type=float, default=1.0)
+    p.add_argument("--grad-clip-norm", type=float, default=None)
+    p.add_argument("--accum-freq", type=int, default=1)
+    p.add_argument("--grad-checkpointing", action="store_true", default=False)
+    p.add_argument("--precision", default="fp32",
+                   choices=["fp32", "bf16", "amp"],
+                   help="'amp' maps to bf16 compute on TPU")
+
+    # -- model --------------------------------------------------------------
+    p.add_argument("--model", type=str, default="ViT-B-32")
+    p.add_argument("--pretrained", type=str, default="",
+                   help="local HF/OpenCLIP checkpoint path")
+    p.add_argument("--force-quick-gelu", action="store_true", default=False)
+    p.add_argument("--lock-image", action="store_true", default=True,
+                   help="LEAF always freezes the vision tower "
+                        "(train_AT_text_only.py:489-490)")
+    p.add_argument("--zeroshot-frequency", type=int, default=1)
+    p.add_argument("--val-frequency", type=int, default=1)
+
+    # -- LEAF attack block (params_AT.py:474-597) ---------------------------
+    p.add_argument("--eps_adv", type=float, default=2 / 255,
+                   help="image attack L∞ radius")
+    p.add_argument("--stepsize_adv", type=float, default=None)
+    p.add_argument("--n_steps_adv", type=int, default=10)
+    p.add_argument("--use_charmer", action="store_true", default=False,
+                   help="use per-sentence Charmer during training")
+    p.add_argument("--k_adv", type=int, default=1,
+                   help="Levenshtein budget for the training attack")
+    p.add_argument("--k_adv_test", type=int, default=1)
+    p.add_argument("--rho", type=int, default=20,
+                   help="positions/chars sampled per attack round")
+    p.add_argument("--n_charmer_test", type=int, default=20)
+    p.add_argument("--constrain", action="store_true", default=False,
+                   help="no-new-words attack constraint")
+    p.add_argument("--n_val_imagenet", type=int, default=1000)
+    p.add_argument("--n_val_text", type=int, default=200)
+    p.add_argument("--w_fare_text", type=float, default=1.0)
+    p.add_argument("--normalize_fare", action="store_true", default=False)
+    p.add_argument("--attack_objective", type=str, default="l2",
+                   choices=["l2", "negl2", "sim", "dissim"])
+    p.add_argument("--text_only", action="store_true", default=True)
+    p.add_argument("--custom_out_folder", type=str, default=None)
+
+    # -- TPU-native additions ----------------------------------------------
+    p.add_argument("--mesh-shape", type=str, default=None,
+                   help="comma-sep device mesh shape, e.g. '8' or '4,2'")
+    p.add_argument("--matmul-precision", type=str, default=None,
+                   choices=["default", "high", "highest"])
+
+    ns = p.parse_args(args)
+    apply_default_hparams(ns)
+    return ns
+
+
+def apply_default_hparams(ns: argparse.Namespace):
+    """Per-model defaults when unset (`params_AT.py:599-606`)."""
+    if "ViT" in ns.model or "coca" in ns.model.lower():
+        defaults = {"lr": 5.0e-4, "beta1": 0.9, "beta2": 0.98, "eps": 1.0e-6}
+    else:
+        defaults = {"lr": 5.0e-4, "beta1": 0.9, "beta2": 0.999, "eps": 1.0e-8}
+    for k, v in defaults.items():
+        if getattr(ns, k) is None:
+            setattr(ns, k, v)

@@ -1,0 +1,69 @@
+"""CSV ledgers: per-epoch results + per-step attack timing.
+
+Reproduces the reference's observability files: `results.csv` with the
+9 tracked metrics (`train_AT_text_only.py:498-513`) and
+`times_{attack}.csv` per-batch attack seconds (`utils_AT.py:298-311`) —
+the repo's own attack-throughput benchmark hook.
+"""
+from __future__ import annotations
+
+import csv
+import os
+from typing import Dict, List, Optional
+
+
+class ResultsLedger:
+    """Append-per-epoch CSV with a stable, inferred column set."""
+
+    def __init__(self, path: str, columns: Optional[List[str]] = None):
+        self.path = path
+        self.columns = columns
+        self.rows: List[Dict] = []
+        if os.path.exists(path):
+            self.load()
+
+    def load(self):
+        with open(self.path, newline="") as f:
+            reader = csv.DictReader(f)
+            self.columns = list(reader.fieldnames or [])
+            self.rows = [dict(r) for r in reader]
+
+    def append(self, row: Dict):
+        if self.columns is None:
+            self.columns = list(row.keys())
+        self.rows.append(row)
+        self.flush()
+
+    def flush(self):
+        tmp = self.path + ".tmp"
+        with open(tmp, "w", newline="") as f:
+            writer = csv.DictWriter(f, fieldnames=self.columns,
+                                    extrasaction="ignore")
+            writer.writeheader()
+            writer.writerows(self.rows)
+        os.replace(tmp, self.path)
+
+    def truncate_to_epoch(self, epoch: int, epoch_key: str = "epoch"):
+        """Drop rows past `epoch` on resume."""
+        self.rows = [r for r in self.rows
+                     if float(r.get(epoch_key, -1)) <= epoch]
+        if self.rows:
+            self.flush()
+
+
+class TimingLedger:
+    """Streaming one-column CSV of per-batch attack wall times."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.times: List[float] = []
+
+    def append(self, seconds: float):
+        self.times.append(seconds)
+        tmp = self.path + ".tmp"
+        with open(tmp, "w", newline="") as f:
+            writer = csv.writer(f)
+            writer.writerow(["0"])
+            for i, t in enumerate(self.times):
+                writer.writerow([t])
+        os.replace(tmp, self.path)

@@ -1,0 +1,131 @@
+"""Image attack (PGD/APGD) + FARE training tests on a tiny model."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from leaf_tpu.attacks.apgd import apgd, ce_loss_fn, dlr_targeted_loss_fn
+from leaf_tpu.attacks.image import (
+    attack_image,
+    attack_image_classification,
+    pgd,
+)
+from leaf_tpu.models import clip as lclip
+from leaf_tpu.models.config import get_model_config
+from leaf_tpu.train.fare import FareConfig, encode_vision, train_fare
+
+EPS = 8 / 255
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = get_model_config("ViT-tiny-test")
+    params = lclip.init_clip(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.uniform(0.2, 0.8, size=(2, 224, 224, 3)).astype(np.float32))
+    return cfg, params, images
+
+
+def test_attack_image_ball_and_drift(setup):
+    cfg, params, images = setup
+    anchors = encode_vision(params["visual"], cfg, images, False)
+    adv = attack_image(params, cfg, images, anchors, jax.random.PRNGKey(1),
+                       objective="l2", eps=EPS, n_steps=3)
+    delta = np.asarray(adv - images)
+    assert np.abs(delta).max() <= EPS + 1e-6
+    drift = np.square(np.asarray(
+        encode_vision(params["visual"], cfg, adv, False) - anchors)).sum()
+    assert drift > 0
+
+
+def test_attack_image_classification_lowers_accuracy_signal(setup):
+    cfg, params, images = setup
+    # random classifier [D, K]
+    classifier = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (cfg.embed_dim, 4)).astype(np.float32))
+    classifier = classifier / jnp.linalg.norm(classifier, axis=0)
+    labels = jnp.asarray([0, 1])
+    adv = attack_image_classification(
+        params, cfg, images, classifier, labels, jax.random.PRNGKey(2),
+        eps=EPS, n_steps=3)
+    assert np.abs(np.asarray(adv - images)).max() <= EPS + 1e-6
+
+    def ce(imgs):
+        feats = encode_vision(params["visual"], cfg, imgs, True)
+        logits = feats @ classifier
+        logp = jax.nn.log_softmax(logits)
+        return -float(jnp.take_along_axis(logp, labels[:, None], 1).mean())
+
+    assert ce(adv) >= ce(images) - 1e-5
+
+
+def test_fare_pgd_respects_constraints(setup):
+    cfg, params, images = setup
+    anchors = encode_vision(params["visual"], cfg, images, False)
+
+    def loss_fn(x):
+        emb = encode_vision(params["visual"], cfg, x, False)
+        return jnp.square(emb - anchors).sum()
+
+    adv = pgd(loss_fn, images, norm="linf", eps=EPS, iterations=3,
+              stepsize=EPS / 3)
+    delta = np.asarray(adv - images)
+    assert np.abs(delta).max() <= EPS + 1e-6
+    assert np.asarray(adv).min() >= 0 and np.asarray(adv).max() <= 1
+
+    adv2 = pgd(loss_fn, images, norm="l2", eps=1.0, iterations=3,
+               stepsize=0.3)
+    d2 = np.asarray(adv2 - images).reshape(2, -1)
+    assert (np.linalg.norm(d2, axis=1) <= 1.0 + 1e-4).all()
+
+
+def test_apgd_improves_loss_and_respects_ball(setup):
+    cfg, params, images = setup
+    anchors = encode_vision(params["visual"], cfg, images, False)
+
+    def loss_fn(x):
+        emb = encode_vision(params["visual"], cfg, x, False)
+        return jnp.square(emb - anchors).sum(-1)
+
+    adv = jax.jit(lambda im: apgd(loss_fn, im, norm="linf", eps=EPS,
+                                  n_iter=8))(images)
+    delta = np.asarray(adv - images)
+    assert np.abs(delta).max() <= EPS + 1e-6
+    assert np.asarray(adv).min() >= -1e-6 and np.asarray(adv).max() <= 1 + 1e-6
+    # APGD must find a strictly adversarial point
+    assert float(loss_fn(adv).sum()) > float(loss_fn(images).sum())
+
+
+def test_apgd_loss_functions():
+    logits = jnp.asarray([[2.0, 1.0, 0.5, 0.1, -1.0]])
+    y = jnp.asarray([0])
+    f = ce_loss_fn(lambda x: logits, y)
+    assert f(jnp.zeros((1, 2))).shape == (1,)
+    ft = dlr_targeted_loss_fn(lambda x: logits, y, jnp.asarray([1]))
+    val = float(ft(jnp.zeros((1, 2)))[0])
+    # -(z_y - z_t)/(z_1 - (z_3+z_4)/2) = -(2-1)/(2 - (0.5+0.1)/2)
+    np.testing.assert_allclose(val, -(2 - 1) / (2 - 0.3), rtol=1e-5)
+
+
+def test_fare_training_reduces_adv_drift(setup):
+    cfg, params, images = setup
+    fcfg = FareConfig(steps=3, warmup=1, lr=1e-4, eps=EPS,
+                      iterations_adv=2, stepsize_adv=EPS / 2, log_freq=1)
+
+    def data_iter():
+        while True:
+            yield np.asarray(images), None
+
+    out = train_fare(params, cfg, fcfg, data_iter(), seed=0)
+    assert out["steps"] == 3
+    assert np.isfinite(out["final_loss"])
+    # vision params moved, text untouched
+    moved = jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        out["params"]["visual"], params["visual"]))
+    assert max(moved) > 0
+    same = jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        out["params"]["text"], params["text"]))
+    assert max(same) == 0

@@ -1,0 +1,135 @@
+"""Eval-suite tests on a tiny random model (offline, synthetic data)."""
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from leaf_tpu.attacks.engine import CandidateScorer
+from leaf_tpu.data.textcls import TextClassificationData
+from leaf_tpu.evals.retrieval import (
+    eval_retrieval,
+    evaluate_scores,
+    pre_caption,
+)
+from leaf_tpu.evals.textfare import eval_textfare
+from leaf_tpu.evals.zero_shot import run_imagenet_eval, zero_shot_eval
+from leaf_tpu.evals.zero_shot_text import (
+    class_anchor_features,
+    eval_zero_shot_text,
+)
+from leaf_tpu.models import clip as lclip
+from leaf_tpu.models.config import get_model_config
+from leaf_tpu.models.zero_shot import (
+    build_zero_shot_classifier,
+    imagenet_classnames,
+    openai_imagenet_templates,
+)
+from leaf_tpu.tokenizer import get_tokenizer
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = get_model_config("ViT-tiny-test")
+    params = lclip.init_clip(jax.random.PRNGKey(0), cfg)
+    clean_params = lclip.init_clip(jax.random.PRNGKey(1), cfg)
+    scorer = CandidateScorer(cfg, bucket=128)
+    tok = get_tokenizer()
+    return cfg, params, clean_params, scorer, tok
+
+
+def test_zero_shot_metadata():
+    assert len(imagenet_classnames()) == 1000
+    templates = openai_imagenet_templates()
+    assert len(templates) == 80
+    assert templates[0].format("cat").count("cat") == 1
+
+
+def test_build_zero_shot_classifier(setup):
+    cfg, params, _, scorer, tok = setup
+    classifier = build_zero_shot_classifier(
+        lambda t: scorer.encode_text(params["text"], t), tok,
+        ["cat", "dog", "bird"], ["a photo of a {}.", "an image of a {}."],
+        num_classes_per_batch=2)
+    assert classifier.shape == (cfg.embed_dim, 3)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(classifier), axis=0),
+                               1.0, rtol=1e-5)
+
+
+def test_eval_textfare_all_attacks(setup, tmp_path):
+    cfg, params, clean_params, scorer, tok = setup
+    samples = [{"text": "stocks rally on strong earnings"},
+               {"text": "the match ended in a draw"}]
+    for attack in ("leaf", "charmer", "bruteforce"):
+        out = eval_textfare(scorer, params["text"], clean_params["text"], tok,
+                            samples, attack_name=attack, rho=4, k=1,
+                            out_csv=str(tmp_path / f"tf_{attack}.csv"))
+        assert out["n"] == 2
+        # attack must not reduce drift from the clean reference
+        assert out["textfare_adv"] >= 0
+        assert os.path.exists(tmp_path / f"tf_{attack}.csv")
+
+
+def test_eval_zero_shot_text(setup, tmp_path):
+    cfg, params, _, scorer, tok = setup
+    samples = [{"text": "stocks rally on earnings", "label": 2},
+               {"text": "the team won the cup", "label": 1}]
+    d = TextClassificationData.from_samples("agnews", samples)
+    feats = class_anchor_features(scorer, params, tok, d,
+                                  label_encoder="text")
+    out = eval_zero_shot_text(scorer, params, tok, d, feats, rho=4, k=1,
+                              out_csv=str(tmp_path / "zst.csv"))
+    assert out["n"] == 2
+    assert 0 <= out["acc_adv"] <= out["acc"] <= 1 or out["acc_adv"] <= 1
+
+
+def test_evaluate_scores_perfect_retrieval():
+    # identity scores: image i ↔ texts [2i, 2i+1]
+    n_img = 4
+    img2txt = {i: [2 * i, 2 * i + 1] for i in range(n_img)}
+    txt2img = {t: t // 2 for t in range(2 * n_img)}
+    scores = np.full((n_img, 2 * n_img), -1.0)
+    for i, ts in img2txt.items():
+        for t in ts:
+            scores[i, t] = 1.0
+    out = evaluate_scores(scores, img2txt, txt2img)
+    assert out["TextPrec@1"] == 1.0 and out["TextPrec@5"] == 1.0
+    assert out["ImagePrec@1"] == 1.0 and out["ImagePrec@5"] == 1.0
+
+
+def test_pre_caption():
+    assert pre_caption("A Big  CAT!! (on a mat).") == "a big cat on a mat"
+    long = " ".join(["word"] * 60)
+    assert len(pre_caption(long, max_words=50).split()) == 50
+
+
+def test_eval_retrieval_end_to_end(setup, tmp_path):
+    cfg, params, _, scorer, tok = setup
+    captions = ["a cat on a mat", "a dog in the park",
+                "a red car on the road", "a bird on a branch"]
+    # image embeds = caption embeds (perfect clean retrieval)
+    from leaf_tpu.evals.retrieval import embed_texts
+    image_embeds = embed_texts(scorer, params["text"], tok, captions)
+    img2txt = {i: [i] for i in range(4)}
+    txt2img = {i: i for i in range(4)}
+    out = eval_retrieval(scorer, params, tok, image_embeds, captions,
+                         img2txt, txt2img, target=0, rho=3, k=1,
+                         out_csv=str(tmp_path / "ret.csv"))
+    assert out["clean"]["TextPrec@1"] == 1.0
+    assert len(out["adv_captions"]) == 4
+    assert all(isinstance(c, str) for c in out["adv_captions"])
+
+
+def test_run_imagenet_eval_tiny(setup):
+    cfg, params, _, scorer, tok = setup
+    classifier = build_zero_shot_classifier(
+        lambda t: scorer.encode_text(params["text"], t), tok,
+        ["cat", "dog"], ["a photo of a {}."])
+    rng = np.random.default_rng(0)
+    batches = [(rng.uniform(0, 1, size=(2, 224, 224, 3)).astype(np.float32),
+                np.asarray([0, 1]))]
+    top1, top5, top1_adv = run_imagenet_eval(
+        params, cfg, classifier, batches, jax.random.PRNGKey(0),
+        n_steps=2)
+    assert 0 <= top1 <= 1 and 0 <= top1_adv <= 1
+    assert top5 == 1.0  # 2 classes → top5 always correct

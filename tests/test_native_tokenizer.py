@@ -1,0 +1,111 @@
+"""Parity tests: native C++ BPE tokenizer vs the pure-Python reference
+implementation, including attack-style mutated strings and a throughput
+sanity check."""
+import random
+import string
+import time
+
+import numpy as np
+import pytest
+
+from leaf_tpu.tokenizer.bpe import CLIPTokenizer, DEFAULT_BPE_PATH
+from leaf_tpu.tokenizer.native_binding import get_native
+
+native = get_native(DEFAULT_BPE_PATH)
+pytestmark = pytest.mark.skipif(native is None,
+                                reason="native tokenizer unavailable")
+
+TEXTS = [
+    "a photo of a cat.",
+    "A PHOTO OF A DOG!!!",
+    "the quick brown fox jumps over the lazy dog",
+    "Wall St. Bears Claw Back Into the Black (Reuters)",
+    "it 's a lovely film with lovely performances",
+    "numbers 1234567890 mixed42tokens",
+    "punctuation!@#$%^*()_+-=[]{}|;':\",./<>?",
+    "contractions don't can't we're i'll they've she'd i'm",
+    "",
+    "x",
+    "supercalifragilisticexpialidocious",
+    "   leading and trailing   whitespace   ",
+    "apostrophe edge 'x 'll' ''s",
+]
+
+
+@pytest.fixture(scope="module")
+def py_tok():
+    t = CLIPTokenizer()
+    t._native = None              # force pure-Python path
+    t._native_checked = True
+    return t
+
+
+@pytest.fixture(scope="module")
+def nat_tok():
+    t = CLIPTokenizer()
+    assert t._native is None      # lazy
+    return t
+
+
+def mutated_battery():
+    rng = random.Random(0)
+    vocab = string.ascii_letters + " " + string.digits + string.punctuation
+    vocab = vocab.replace("&", "")
+    out = []
+    for base in TEXTS:
+        for _ in range(10):
+            s = base
+            for _ in range(rng.randrange(1, 3)):
+                if not s:
+                    s = rng.choice(vocab)
+                    continue
+                i = rng.randrange(len(s))
+                op = rng.randrange(3)
+                if op == 0:
+                    s = s[:i] + rng.choice(vocab) + s[i:]
+                elif op == 1:
+                    s = s[:i] + rng.choice(vocab) + s[i + 1:]
+                else:
+                    s = s[:i] + s[i + 1:]
+            out.append(s)
+    return out
+
+
+def test_native_matches_python_battery(py_tok):
+    texts = TEXTS + mutated_battery()
+    ours = native.encode_batch(texts, 77)
+    ref = py_tok(texts)
+    for i, t in enumerate(texts):
+        assert ours[i].tolist() == ref[i].tolist(), f"mismatch on {t!r}"
+
+
+def test_tokenizer_dispatches_to_native(nat_tok, py_tok):
+    texts = ["hello world", "a photo of a cat"]
+    out = nat_tok(texts)
+    assert nat_tok._native is not None
+    np.testing.assert_array_equal(out, py_tok(texts))
+    # non-ascii falls back to Python and still works
+    out2 = nat_tok(["café au lait", "hello"])
+    assert out2.shape == (2, 77)
+    np.testing.assert_array_equal(out2, py_tok(["café au lait", "hello"]))
+
+
+def test_native_truncation():
+    long = "word " * 200
+    out = native.encode_batch([long], 77)
+    assert out[0, 0] == 49406
+    assert out[0, -1] == 49407
+    assert (out[0] != 0).all()
+
+
+def test_native_faster_than_python(py_tok):
+    texts = mutated_battery() * 20  # ~2600 strings, all distinct-ish
+    t0 = time.perf_counter()
+    native.encode_batch(texts, 77)
+    t_native = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    py_tok(texts)
+    t_py = time.perf_counter() - t0
+    # both benefit from caches warmed by earlier tests; native should
+    # still win clearly on the whole batch
+    assert t_native < t_py, (t_native, t_py)

@@ -69,6 +69,17 @@ def test_vocab_constants(tokenizer):
     assert tokenizer.vocab_size == 49408
     assert tokenizer.sot_token_id == 49406
     assert tokenizer.eot_token_id == 49407
+    # canonical base-vocab ordering: printables first
+    assert tokenizer.encoder["a"] == 64
+    assert tokenizer.encoder["a</w>"] == 320
+    assert tokenizer.encoder["!"] == 0
+
+
+def test_known_openai_golden(tokenizer):
+    """Non-circular golden: the canonical OpenAI CLIP tokenization of
+    'a photo of a cat.' (ids from the released vocab)."""
+    assert tokenizer.encode("a photo of a cat.") == [320, 1125, 539, 320,
+                                                    2368, 269]
 
 
 def test_parity_with_hf(tokenizer, hf_tokenizer):

@@ -1,0 +1,137 @@
+"""End-to-end training smoke tests (synthetic data, tiny model, CPU).
+
+Mirrors the reference's `tests/test_training_simple.py` strategy — run
+the full driver `main` with `--dataset-type synthetic` — but on an
+8-device virtual mesh instead of world_size=1.
+"""
+import glob
+import os
+
+import numpy as np
+import pytest
+
+import leaf_tpu.train.driver as driver
+from leaf_tpu.train.optim import make_optimizer, weight_decay_mask
+from leaf_tpu.train.schedules import (
+    const_lr,
+    const_lr_cooldown,
+    cosine_lr,
+)
+
+
+def test_schedules_match_reference_formulas():
+    s = cosine_lr(1.0, warmup_length=10, steps=110)
+    np.testing.assert_allclose(s(0), 0.1)
+    np.testing.assert_allclose(s(9), 1.0)
+    np.testing.assert_allclose(s(10), 1.0)
+    np.testing.assert_allclose(s(60), 0.5, atol=1e-6)
+    np.testing.assert_allclose(s(110), 0.0, atol=1e-6)
+
+    c = const_lr(2.0, warmup_length=4, steps=100)
+    np.testing.assert_allclose(c(0), 0.5)
+    np.testing.assert_allclose(c(50), 2.0)
+
+    cc = const_lr_cooldown(1.0, warmup_length=0, steps=100,
+                           cooldown_steps=50)
+    np.testing.assert_allclose(cc(49), 1.0)
+    np.testing.assert_allclose(cc(75), 0.5)
+    np.testing.assert_allclose(cc(100), 0.0, atol=1e-6)
+
+
+def test_weight_decay_mask():
+    import jax
+    from leaf_tpu.models import clip as lclip
+    from leaf_tpu.models.config import get_model_config
+    cfg = get_model_config("ViT-tiny-test")
+    params = lclip.init_clip(jax.random.PRNGKey(0), cfg)
+    mask = weight_decay_mask(params)
+    flat = {jax.tree_util.keystr(p): v
+            for p, v in jax.tree_util.tree_flatten_with_path(mask)[0]}
+    assert flat["['text']['token_embedding']"] is True
+    assert flat["['text']['positional_embedding']"] is True
+    assert flat["['text']['text_projection']"] is True
+    assert flat["['text']['blocks']['attn']['qkv_w']"] is True
+    assert flat["['text']['blocks']['attn']['qkv_b']"] is False
+    assert flat["['text']['blocks']['ln_1']['scale']"] is False
+    assert flat["['text']['blocks']['ln_1']['bias']"] is False
+    assert flat["['logit_scale']"] is False
+    assert flat["['visual']['class_embedding']"] is False
+    assert flat["['visual']['patch_embedding']"] is True
+
+
+def run_driver(tmp_path, extra):
+    args = [
+        "--model", "ViT-tiny-test",
+        "--dataset-type", "synthetic",
+        "--train-num-samples", "16",
+        "--batch-size", "4",
+        "--epochs", "1",
+        "--rho", "4",
+        "--warmup", "2",
+        "--lr", "1e-4",
+        "--zeroshot-frequency", "0",
+        "--log-every-n-steps", "1",
+        "--logs", str(tmp_path),
+        "--name", "smoke",
+    ] + extra
+    return driver.main(args)
+
+
+def test_train_synthetic_one_epoch(tmp_path):
+    out = run_driver(tmp_path, [])
+    assert int(out["state"].step) == 4  # 16/4 batches
+    rows = out["results"]
+    assert rows[0]["epoch"] == 0 and rows[-1]["epoch"] == 1
+    assert np.isfinite(float(rows[-1]["train_loss"]))
+    run_dir = os.path.join(tmp_path, "smoke")
+    assert os.path.exists(os.path.join(run_dir, "results.csv"))
+    assert os.path.exists(os.path.join(run_dir, "times_False.csv"))
+    assert os.path.isdir(os.path.join(run_dir, "checkpoints", "epoch_1"))
+
+
+def test_train_resume(tmp_path):
+    run_driver(tmp_path, [])
+    out = run_driver(tmp_path, ["--epochs", "2", "--resume", "latest"])
+    assert int(out["state"].step) == 8  # 4 steps epoch 0 + 4 resumed
+    epochs = [int(r["epoch"]) for r in out["results"]]
+    assert epochs == [0, 1, 2]
+
+
+def test_train_accum_freq(tmp_path):
+    out = run_driver(tmp_path, ["--accum-freq", "2", "--name", "accum"])
+    # 4 micro-batches → 2 optimizer steps, MultiSteps counts micro-steps
+    assert int(out["state"].step) == 4
+
+
+def test_train_charmer_mode(tmp_path):
+    out = run_driver(tmp_path, ["--use_charmer", "--rho", "3",
+                                "--name", "charmer",
+                                "--train-num-samples", "8"])
+    assert np.isfinite(float(out["results"][-1]["train_loss"]))
+
+
+def test_train_constrained(tmp_path):
+    out = run_driver(tmp_path, ["--constrain", "--name", "constrained",
+                                "--train-num-samples", "8"])
+    assert np.isfinite(float(out["results"][-1]["train_loss"]))
+
+
+def test_frozen_anchor_stays_fixed(tmp_path):
+    """Training must change only the trainable text tower; the frozen
+    anchor features of a fixed caption must not move."""
+    import jax
+    from leaf_tpu.attacks.engine import CandidateScorer
+    from leaf_tpu.models import clip as lclip, create_model
+    from leaf_tpu.tokenizer import get_tokenizer
+
+    out = run_driver(tmp_path, ["--name", "frozen-check"])
+    cfg = out["cfg"]
+    fresh = create_model("ViT-tiny-test", seed=0)
+    tok = get_tokenizer()
+    tokens = tok(["Dummy caption"])
+    before = np.asarray(lclip.encode_text(
+        fresh.params["text"], cfg.text, tokens))
+    after = np.asarray(lclip.encode_text(
+        out["params"]["text"], cfg.text, tokens))
+    # trainable tower moved
+    assert np.abs(after - before).max() > 1e-6
