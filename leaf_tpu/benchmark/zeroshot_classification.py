@@ -1,0 +1,114 @@
+"""Zero-shot classification benchmark (clean + adversarial).
+
+Re-expression of the reference's
+`src/clip_benchmark/metrics/zeroshot_classification.py`: template-
+ensemble classifier, top-1/top-5 accuracy and mean per-class recall;
+the AutoAttack integration (`zeroshot_classification.py:137-156`) is
+expressed as APGD-CE + targeted-DLR APGD restarts
+(`leaf_tpu.attacks.apgd`), fully jitted.
+"""
+from __future__ import annotations
+
+import functools
+import logging
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from leaf_tpu.attacks.apgd import apgd, ce_loss_fn, dlr_targeted_loss_fn
+from leaf_tpu.attacks.image import _normalize_images
+from leaf_tpu.models import clip as lclip
+from leaf_tpu.models.config import CLIPConfig
+from leaf_tpu.models.zero_shot import build_zero_shot_classifier
+
+LOG = logging.getLogger(__name__)
+
+
+def _logits_fn(params, cfg: CLIPConfig, classifier):
+    def f(images):
+        feats = lclip.encode_image(params["visual"], cfg.vision,
+                                   _normalize_images(images),
+                                   cfg.quick_gelu, normalize=True)
+        return 100.0 * feats.astype(jnp.float32) @ classifier
+    return f
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_iter", "n_targets"))
+def _apgd_attack_batch(params, cfg: CLIPConfig, classifier, images, labels,
+                       eps, n_iter: int = 100, n_targets: int = 3):
+    """AutoAttack-style cascade: APGD-CE, then targeted APGD-DLR
+    against the top-k wrong classes; keeps the first fooling point."""
+    logits_fn = _logits_fn(params, cfg, classifier)
+
+    def run(loss_fn):
+        return apgd(loss_fn, images, norm="linf", eps=eps, n_iter=n_iter)
+
+    adv = run(ce_loss_fn(logits_fn, labels))
+    fooled = jnp.argmax(logits_fn(adv), -1) != labels
+    best = jnp.where(fooled.reshape(-1, 1, 1, 1), adv, images)
+
+    clean_logits = logits_fn(images)
+    ranked = jnp.argsort(-clean_logits, axis=-1)
+    for t in range(1, n_targets + 1):
+        target = ranked[:, t]
+        adv_t = run(dlr_targeted_loss_fn(logits_fn, labels, target))
+        fooled_t = jnp.argmax(logits_fn(adv_t), -1) != labels
+        take = fooled_t & ~fooled
+        best = jnp.where(take.reshape(-1, 1, 1, 1), adv_t, best)
+        fooled = fooled | fooled_t
+    return best, fooled
+
+
+def evaluate_zeroshot_classification(
+    params,
+    cfg: CLIPConfig,
+    tokenizer,
+    loader,                       # yields (images [B,H,W,3] in [0,1], labels)
+    classnames: Sequence[str],
+    templates: Sequence[str],
+    attack: Optional[str] = None,  # None | 'apgd'
+    eps: float = 2 / 255,
+    n_iter: int = 100,
+) -> Dict[str, float]:
+    classifier = build_zero_shot_classifier(
+        lambda t: lclip.encode_text(params["text"], cfg.text,
+                                    jnp.asarray(t), cfg.quick_gelu),
+        tokenizer, classnames, templates, num_classes_per_batch=10)
+    logits_fn = jax.jit(_logits_fn(params, cfg, classifier))
+
+    n_cls = len(classnames)
+    top1 = top5 = n = 0
+    robust1 = 0
+    per_class_correct = np.zeros(n_cls)
+    per_class_count = np.zeros(n_cls)
+    for images, labels in loader:
+        images = jnp.asarray(images)
+        labels_np = np.asarray(labels)
+        logits = np.asarray(logits_fn(images))
+        rank = (-logits).argsort(-1)
+        correct1 = rank[:, 0] == labels_np
+        top1 += correct1.sum()
+        top5 += (rank[:, :min(5, n_cls)] == labels_np[:, None]).any(-1).sum()
+        np.add.at(per_class_correct, labels_np, correct1)
+        np.add.at(per_class_count, labels_np, 1)
+        if attack == "apgd":
+            _, fooled = _apgd_attack_batch(
+                params, cfg, classifier, images, jnp.asarray(labels_np),
+                eps, n_iter=n_iter)
+            robust1 += int((~np.asarray(fooled) & correct1).sum())
+        n += len(labels_np)
+
+    seen = per_class_count > 0
+    out = {
+        "acc1": top1 / max(n, 1),
+        "acc5": top5 / max(n, 1),
+        "mean_per_class_recall": float(
+            (per_class_correct[seen] / per_class_count[seen]).mean())
+        if seen.any() else 0.0,
+        "n": n,
+    }
+    if attack == "apgd":
+        out["robust_acc1"] = robust1 / max(n, 1)
+    return out

@@ -1,0 +1,139 @@
+"""Checkpoint conversion CLI: OpenCLIP ↔ HF ↔ leaf_tpu.
+
+Equivalent of the reference's `conversion/convert_2.py` (OpenCLIP→HF)
+and `conversion/convert_to_openclip.py` (HF→OpenCLIP): LEAF trains in
+OpenCLIP format and releases in HF format, so both directions must
+round-trip.  This CLI converts between the three formats through the
+leaf_tpu pytree, with optional numerical parity verification (the
+reference asserts allclose parity, `convert_2.py:237-265`).
+
+Usage:
+  python -m leaf_tpu.convert --model ViT-L-14 \
+      --input ckpt.safetensors --output out_dir --to hf [--verify]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Any, Dict
+
+import numpy as np
+
+from leaf_tpu.models import interop
+from leaf_tpu.models.config import CLIPConfig, get_model_config
+
+Params = Dict[str, Any]
+
+
+def params_to_openclip(params: Params, cfg: CLIPConfig) -> Dict[str, np.ndarray]:
+    """leaf_tpu pytree → OpenCLIP state dict (numpy values) — the
+    reverse of `interop.openclip_to_params` (reference
+    `convert_to_openclip.py:14-203`)."""
+    sd: Dict[str, np.ndarray] = {}
+
+    def put(k, v):
+        sd[k] = np.asarray(v, dtype=np.float32)
+
+    t = params["text"]
+    put("token_embedding.weight", t["token_embedding"])
+    put("positional_embedding", t["positional_embedding"])
+    put("ln_final.weight", t["ln_final"]["scale"])
+    put("ln_final.bias", t["ln_final"]["bias"])
+    put("text_projection", t["text_projection"])
+    put("logit_scale", params["logit_scale"])
+
+    v = params["visual"]
+    p = cfg.vision.patch_size
+    conv = np.asarray(v["patch_embedding"]).reshape(p, p, 3, cfg.vision.width)
+    put("visual.conv1.weight", conv.transpose(3, 2, 0, 1))
+    put("visual.class_embedding", v["class_embedding"])
+    put("visual.positional_embedding", v["positional_embedding"])
+    put("visual.ln_pre.weight", v["ln_pre"]["scale"])
+    put("visual.ln_pre.bias", v["ln_pre"]["bias"])
+    put("visual.ln_post.weight", v["ln_post"]["scale"])
+    put("visual.ln_post.bias", v["ln_post"]["bias"])
+    put("visual.proj", v["proj"])
+
+    for tower, prefix, n_layers in ((t, "transformer", cfg.text.layers),
+                                    (v, "visual.transformer",
+                                     cfg.vision.layers)):
+        b = tower["blocks"]
+        for i in range(n_layers):
+            base = f"{prefix}.resblocks.{i}"
+            put(f"{base}.attn.in_proj_weight",
+                np.asarray(b["attn"]["qkv_w"][i]).T)
+            put(f"{base}.attn.in_proj_bias", b["attn"]["qkv_b"][i])
+            put(f"{base}.attn.out_proj.weight",
+                np.asarray(b["attn"]["out_w"][i]).T)
+            put(f"{base}.attn.out_proj.bias", b["attn"]["out_b"][i])
+            put(f"{base}.ln_1.weight", b["ln_1"]["scale"][i])
+            put(f"{base}.ln_1.bias", b["ln_1"]["bias"][i])
+            put(f"{base}.ln_2.weight", b["ln_2"]["scale"][i])
+            put(f"{base}.ln_2.bias", b["ln_2"]["bias"][i])
+            put(f"{base}.mlp.c_fc.weight", np.asarray(b["mlp"]["fc_w"][i]).T)
+            put(f"{base}.mlp.c_fc.bias", b["mlp"]["fc_b"][i])
+            put(f"{base}.mlp.c_proj.weight",
+                np.asarray(b["mlp"]["proj_w"][i]).T)
+            put(f"{base}.mlp.c_proj.bias", b["mlp"]["proj_b"][i])
+    return sd
+
+
+def save_state_dict(sd: Dict[str, np.ndarray], output: str, fmt: str):
+    os.makedirs(output, exist_ok=True)
+    from safetensors.numpy import save_file
+    name = ("model.safetensors" if fmt == "hf"
+            else "open_clip_model.safetensors")
+    save_file(sd, os.path.join(output, name))
+    return os.path.join(output, name)
+
+
+def verify_parity(params: Params, cfg: CLIPConfig, sd: Dict[str, np.ndarray],
+                  fmt: str, atol: float = 1e-4):
+    """Forward-parity check: converted state dict reloaded → identical
+    text/image features (reference `convert_2.py:237-265`)."""
+    import jax
+    import jax.numpy as jnp
+    from leaf_tpu.models import clip as lclip
+    back = (interop.hf_to_params(sd, cfg) if fmt == "hf"
+            else interop.openclip_to_params(sd, cfg))
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(1, cfg.text.vocab_size - 2, size=(2, cfg.text.context_length))
+    tokens[:, 0] = 49406
+    tokens[:, -1] = 49407
+    tokens = jnp.asarray(tokens)
+    images = jnp.asarray(rng.standard_normal(
+        (2, cfg.vision.image_size, cfg.vision.image_size, 3)).astype(np.float32))
+    for name, fn in (("text", lambda p: lclip.encode_text(
+            p["text"], cfg.text, tokens, cfg.quick_gelu)),
+                     ("image", lambda p: lclip.encode_image(
+                         p["visual"], cfg.vision, images, cfg.quick_gelu))):
+        a = np.asarray(fn(params))
+        b = np.asarray(fn(back))
+        if not np.allclose(a, b, atol=atol):
+            raise AssertionError(
+                f"{name} parity failed: max diff {np.abs(a - b).max()}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("leaf_tpu checkpoint converter")
+    p.add_argument("--model", required=True, help="registry name")
+    p.add_argument("--input", required=True,
+                   help="checkpoint file/dir (HF or OpenCLIP, auto-detect)")
+    p.add_argument("--output", required=True)
+    p.add_argument("--to", choices=["hf", "openclip"], required=True)
+    p.add_argument("--verify", action="store_true")
+    args = p.parse_args(argv)
+
+    cfg = get_model_config(args.model)
+    params = interop.load_pretrained(args.input, cfg)
+    sd = (interop.params_to_hf(params, cfg) if args.to == "hf"
+          else params_to_openclip(params, cfg))
+    if args.verify:
+        verify_parity(params, cfg, sd, args.to)
+    path = save_state_dict(sd, args.output, args.to)
+    print(f"wrote {path} ({len(sd)} tensors)")
+    return path
+
+
+if __name__ == "__main__":
+    main()

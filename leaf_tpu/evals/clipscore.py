@@ -1,0 +1,83 @@
+"""CLIPScore computation + t2i result post-processing.
+
+Re-expression of `/root/reference/compute_clipscores.py`: CLIPScore
+(max(0, 100·cos) between CLIP embeddings — the torchmetrics definition
+the reference relies on) over (real image, generated image, caption)
+triplets, with NSFW-blanked (all-black) generated images filtered out.
+FID (cleanfid in the reference) requires an InceptionV3 checkpoint and
+is delegated to `fid_features`-based callers when those weights exist
+locally.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from leaf_tpu.attacks.image import _normalize_images
+from leaf_tpu.models import clip as lclip
+from leaf_tpu.models.config import CLIPConfig
+
+
+def clip_score(image_features, text_features) -> np.ndarray:
+    """Per-pair CLIPScore = max(0, 100·cos) ([N, D] × [N, D] → [N])."""
+    a = np.asarray(lclip.l2_normalize(jnp.asarray(image_features)))
+    b = np.asarray(lclip.l2_normalize(jnp.asarray(text_features)))
+    return np.maximum(0.0, 100.0 * (a * b).sum(-1))
+
+
+def is_black_image(image: np.ndarray, threshold: float = 1e-3) -> bool:
+    """NSFW-blanked detection: an (almost) all-black generated image
+    (`compute_clipscores.py` filters these before scoring)."""
+    return float(np.asarray(image, np.float32).mean()) < threshold
+
+
+def compute_clipscores(
+    params,
+    cfg: CLIPConfig,
+    tokenizer,
+    captions: Sequence[str],
+    gen_images: np.ndarray,       # [N, H, W, 3] in [0,1]
+    real_images: Optional[np.ndarray] = None,
+    batch_size: int = 64,
+) -> Dict[str, object]:
+    """CLIPScores for generated-vs-caption (and real-vs-caption /
+    gen-vs-real when real images are given), black images excluded."""
+    keep = [i for i in range(len(captions))
+            if not is_black_image(gen_images[i])]
+    n_black = len(captions) - len(keep)
+
+    def embed_images(images):
+        out = []
+        for i in range(0, len(images), batch_size):
+            chunk = jnp.asarray(images[i:i + batch_size])
+            out.append(np.asarray(lclip.encode_image(
+                params["visual"], cfg.vision, _normalize_images(chunk),
+                cfg.quick_gelu)))
+        return np.concatenate(out, 0)
+
+    def embed_texts(texts):
+        out = []
+        for i in range(0, len(texts), batch_size):
+            out.append(np.asarray(lclip.encode_text(
+                params["text"], cfg.text,
+                jnp.asarray(tokenizer(texts[i:i + batch_size])),
+                cfg.quick_gelu)))
+        return np.concatenate(out, 0)
+
+    kept_caps = [captions[i] for i in keep]
+    text_f = embed_texts(kept_caps)
+    gen_f = embed_images(gen_images[keep])
+    result: Dict[str, object] = {
+        "n": len(keep), "n_black_filtered": n_black,
+        "clipscore_gen_caption": float(clip_score(gen_f, text_f).mean())
+        if keep else 0.0,
+    }
+    if real_images is not None and keep:
+        real_f = embed_images(np.asarray(real_images)[keep])
+        result["clipscore_real_caption"] = float(
+            clip_score(real_f, text_f).mean())
+        result["clipscore_gen_real"] = float(
+            clip_score(gen_f, real_f).mean())
+    return result

@@ -1,0 +1,90 @@
+"""Text-to-image robustness eval (Stable Diffusion harness).
+
+Re-expression of `/root/reference/eval_text_to_image.py`: attack COCO
+captions with Charmer (optionally against BOTH SDXL text encoders —
+the dual-encoder objective, `eval_text_to_image.py:209-222`), generate
+images with an SD pipeline whose text encoder has been swapped for the
+robust LEAF encoder (`:172-178`), then score with CLIPScore
+(`leaf_tpu.evals.clipscore`).
+
+The diffusion pipeline itself requires the `diffusers` package and
+local SD weights; this module cleanly separates the three stages so the
+attack and scoring stages run without them:
+
+  1. `attack_captions(...)`      — no diffusion dependency
+  2. `generate_images(...)`      — requires diffusers + local weights
+  3. `compute_clipscores(...)`   — no diffusion dependency
+"""
+from __future__ import annotations
+
+import logging
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from leaf_tpu.attacks.engine import CandidateScorer
+from leaf_tpu.attacks.text import attack_text_charmer_inference
+from leaf_tpu.utils.results import ResultsLedger
+
+LOG = logging.getLogger(__name__)
+
+
+def attack_captions(
+    scorer: CandidateScorer,
+    text_params,
+    tokenizer,
+    captions: Sequence[str],
+    rho: int = 10,
+    k: int = 2,
+    objective: str = "l2",
+    text_params2=None,
+    out_csv: Optional[str] = None,
+) -> List[str]:
+    """Charmer-attack each caption anchored on its own embedding
+    (drift maximisation), optionally averaging a second encoder's loss
+    (SDXL dual-tower mode)."""
+    ledger = ResultsLedger(out_csv, columns=["caption", "caption_adv"]) \
+        if out_csv else None
+    out = []
+    for cap in captions:
+        anchor = scorer.encode_text(text_params, tokenizer([cap]))[0]
+        anchor2 = (scorer.encode_text(text_params2, tokenizer([cap]))[0]
+                   if text_params2 is not None else None)
+        adv, _ = attack_text_charmer_inference(
+            scorer, text_params, tokenizer, cap, anchor,
+            objective=objective, n=rho, k=k,
+            text_params2=text_params2, anchor_features2=anchor2)
+        out.append(adv)
+        if ledger is not None:
+            ledger.append({"caption": cap, "caption_adv": adv})
+    return out
+
+
+def generate_images(captions: Sequence[str], sd_model_path: str,
+                    robust_text_encoder_hf_dir: Optional[str] = None,
+                    num_inference_steps: int = 50, seed: int = 0,
+                    device: str = "cpu") -> np.ndarray:
+    """Generate images with a local SD pipeline, optionally swapping in
+    the robust text encoder (exported via `leaf_tpu.convert --to hf`).
+    Requires the `diffusers` package."""
+    try:
+        import torch
+        from diffusers import StableDiffusionPipeline
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError(
+            "text-to-image generation requires the `diffusers` package and "
+            "local SD weights; run stages 1/3 (attack_captions, "
+            "compute_clipscores) standalone instead") from e
+    pipe = StableDiffusionPipeline.from_pretrained(sd_model_path)
+    if robust_text_encoder_hf_dir:
+        from transformers import CLIPTextModel
+        pipe.text_encoder = CLIPTextModel.from_pretrained(
+            robust_text_encoder_hf_dir)
+    pipe = pipe.to(device)
+    gen = torch.Generator(device=device).manual_seed(seed)
+    images = []
+    for cap in captions:
+        out = pipe(cap, num_inference_steps=num_inference_steps,
+                   generator=gen, output_type="np")
+        images.append(out.images[0])
+    return np.stack(images)

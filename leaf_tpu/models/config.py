@@ -88,9 +88,10 @@ def _cfg(name, embed_dim, v_layers, v_width, v_patch, t_width, t_heads, t_layers
 # Registry mirrors /root/reference/src/open_clip/model_configs/{ViT-*.json}.
 _REGISTRY = {}
 for c in [
-    # test-size model (not in reference; for CI)
-    _cfg("ViT-tiny-test", 64, v_layers=2, v_width=64, v_patch=32,
-         t_width=64, t_heads=2, t_layers=2),
+    # test-size model (not in reference; for CI — small image size keeps
+    # CPU compiles fast)
+    _cfg("ViT-tiny-test", 64, v_layers=2, v_width=64, v_patch=16,
+         t_width=64, t_heads=2, t_layers=2, image_size=64),
     _cfg("ViT-S-32", 384, v_layers=12, v_width=384, v_patch=32,
          t_width=384, t_heads=6, t_layers=12),
     _cfg("ViT-B-32", 512, v_layers=12, v_width=768, v_patch=32,

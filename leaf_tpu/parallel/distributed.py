@@ -1,0 +1,82 @@
+"""Multi-host coordination helpers.
+
+TPU-native replacement for the reference's
+`src/open_clip_train/distributed.py`: instead of NCCL/Horovod process
+groups with env/SLURM rendezvous, one JAX process per host joined via
+`jax.distributed.initialize`, with `multihost_utils` for the host-side
+object broadcast the reference does with `broadcast_object`
+(`distributed.py:117-127`, used for resume-path sync at
+`train_AT_text_only.py:184-186`).
+"""
+from __future__ import annotations
+
+import logging
+import os
+import pickle
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+LOG = logging.getLogger(__name__)
+
+
+def init_distributed_device(coordinator_address: Optional[str] = None,
+                            num_processes: Optional[int] = None,
+                            process_id: Optional[int] = None) -> dict:
+    """Initialise multi-host JAX if requested via args or env
+    (JAX_COORDINATOR_ADDRESS / SLURM variables); single-process
+    otherwise.  Returns {'world_size', 'rank', 'local_devices'}."""
+    addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if addr:
+        if num_processes is None:
+            num_processes = int(os.environ.get(
+                "JAX_NUM_PROCESSES",
+                os.environ.get("SLURM_NTASKS", "1")))
+        if process_id is None:
+            process_id = int(os.environ.get(
+                "JAX_PROCESS_ID", os.environ.get("SLURM_PROCID", "0")))
+        jax.distributed.initialize(coordinator_address=addr,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+        LOG.info("joined %d-process cluster as rank %d", num_processes,
+                 process_id)
+    return {
+        "world_size": jax.process_count(),
+        "rank": jax.process_index(),
+        "local_devices": jax.local_devices(),
+    }
+
+
+def is_master() -> bool:
+    return jax.process_index() == 0
+
+
+def broadcast_object(obj: Any, root: int = 0) -> Any:
+    """Broadcast a picklable object from `root` to all hosts
+    (reference `broadcast_object`, `distributed.py:117-127`)."""
+    if jax.process_count() == 1:
+        return obj
+    from jax.experimental import multihost_utils
+    is_source = jax.process_index() == root
+    payload = pickle.dumps(obj) if is_source else b""
+    # length-prefix then bytes as uint8 arrays
+    n = multihost_utils.broadcast_one_to_all(
+        np.asarray(len(payload), np.int64), is_source=is_source)
+    buf = np.zeros(int(n), np.uint8)
+    if is_source:
+        buf[:] = np.frombuffer(payload, np.uint8)
+    buf = multihost_utils.broadcast_one_to_all(buf, is_source=is_source)
+    return pickle.loads(buf.tobytes())
+
+
+def all_gather_object(obj: Any) -> list:
+    """Gather a picklable object from every host (reference
+    `all_gather_object`, `distributed.py:130-137`)."""
+    if jax.process_count() == 1:
+        return [obj]
+    out = []
+    for r in range(jax.process_count()):
+        out.append(broadcast_object(obj if jax.process_index() == r else None,
+                                    root=r))
+    return out

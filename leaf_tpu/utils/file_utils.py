@@ -1,0 +1,74 @@
+"""Remote/local checkpoint sync (reference
+`src/open_clip_train/file_utils.py`).
+
+The reference syncs the run dir to S3 every `--remote-sync-frequency`
+seconds via aws-cli or fsspec from a background process.  Here the sync
+runs on a daemon thread (no pickling constraints) and uses fsspec for
+any protocol it supports, falling back to a local copy.
+"""
+from __future__ import annotations
+
+import logging
+import os
+import shutil
+import threading
+import time
+from typing import Optional
+
+LOG = logging.getLogger(__name__)
+
+
+def remote_sync(local_dir: str, remote_dir: str,
+                protocol: str = "fsspec") -> bool:
+    """One sync pass; returns success."""
+    try:
+        if protocol == "fsspec" and "://" in remote_dir:
+            import fsspec
+            fs, _, _ = fsspec.get_fs_token_paths(remote_dir)
+            fs.put(local_dir, remote_dir, recursive=True)
+        else:
+            os.makedirs(remote_dir, exist_ok=True)
+            for root, _, files in os.walk(local_dir):
+                rel = os.path.relpath(root, local_dir)
+                dst_root = os.path.join(remote_dir, rel)
+                os.makedirs(dst_root, exist_ok=True)
+                for f in files:
+                    src = os.path.join(root, f)
+                    dst = os.path.join(dst_root, f)
+                    if (not os.path.exists(dst)
+                            or os.path.getmtime(src) > os.path.getmtime(dst)):
+                        shutil.copy2(src, dst)
+        return True
+    except Exception as e:  # noqa: BLE001
+        LOG.warning("remote sync failed: %r", e)
+        return False
+
+
+class SyncThread:
+    """Background periodic sync (reference `start_sync_process`,
+    started at `train_AT_text_only.py:193-213`)."""
+
+    def __init__(self, local_dir: str, remote_dir: str,
+                 frequency_s: float = 300.0, protocol: str = "fsspec"):
+        self.local_dir = local_dir
+        self.remote_dir = remote_dir
+        self.frequency_s = frequency_s
+        self.protocol = protocol
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+
+    def start(self):
+        def loop():
+            while not self._stop.wait(self.frequency_s):
+                remote_sync(self.local_dir, self.remote_dir, self.protocol)
+
+        self._thread = threading.Thread(target=loop, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self, final_sync: bool = True):
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+        if final_sync:
+            remote_sync(self.local_dir, self.remote_dir, self.protocol)

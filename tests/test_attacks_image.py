@@ -23,7 +23,7 @@ def setup():
     params = lclip.init_clip(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(0)
     images = jnp.asarray(
-        rng.uniform(0.2, 0.8, size=(2, 224, 224, 3)).astype(np.float32))
+        rng.uniform(0.2, 0.8, size=(2, 64, 64, 3)).astype(np.float32))
     return cfg, params, images
 
 

@@ -126,7 +126,7 @@ def test_run_imagenet_eval_tiny(setup):
         lambda t: scorer.encode_text(params["text"], t), tok,
         ["cat", "dog"], ["a photo of a {}."])
     rng = np.random.default_rng(0)
-    batches = [(rng.uniform(0, 1, size=(2, 224, 224, 3)).astype(np.float32),
+    batches = [(rng.uniform(0, 1, size=(2, 64, 64, 3)).astype(np.float32),
                 np.asarray([0, 1]))]
     top1, top5, top1_adv = run_imagenet_eval(
         params, cfg, classifier, batches, jax.random.PRNGKey(0),

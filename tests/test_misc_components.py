@@ -1,0 +1,154 @@
+"""Tests: conversion CLI round-trips, PEZ inversion, CLIPScore,
+profiler, contrastive trainer."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from leaf_tpu.convert import params_to_openclip, verify_parity
+from leaf_tpu.evals.clipscore import (
+    clip_score,
+    compute_clipscores,
+    is_black_image,
+)
+from leaf_tpu.evals.pez import nn_project, optimize_prompt
+from leaf_tpu.models import clip as lclip, interop
+from leaf_tpu.models.config import get_model_config
+from leaf_tpu.tokenizer import get_tokenizer
+from leaf_tpu.train.contrastive import (
+    evaluate_contrastive,
+    get_clip_metrics,
+    make_contrastive_train_step,
+)
+from leaf_tpu.train.optim import make_optimizer
+from leaf_tpu.train.schedules import cosine_lr
+from leaf_tpu.train.step import TrainState
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = get_model_config("ViT-tiny-test")
+    params = lclip.init_clip(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def test_openclip_roundtrip(tiny):
+    cfg, params = tiny
+    sd = params_to_openclip(params, cfg)
+    back = interop.openclip_to_params(sd, cfg)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_verify_parity_passes_both_formats(tiny):
+    cfg, params = tiny
+    verify_parity(params, cfg, params_to_openclip(params, cfg), "openclip")
+    verify_parity(params, cfg, interop.params_to_hf(params, cfg), "hf")
+
+
+def test_pez_nn_project(tiny):
+    cfg, params = tiny
+    table = params["text"]["token_embedding"]
+    # querying rows of the table must return those rows
+    ids = jnp.asarray([[5, 17, 300]])
+    proj, idx = nn_project(table[ids], table)
+    assert idx.tolist() == [[5, 17, 300]]
+    np.testing.assert_allclose(np.asarray(proj), np.asarray(table[ids]))
+
+
+def test_pez_optimize_prompt_improves_sim(tiny):
+    cfg, params = tiny
+    tok = get_tokenizer()
+    # target = embedding of a real caption
+    target = lclip.encode_text(params["text"], cfg.text,
+                               jnp.asarray(tok(["a photo of a cat"])),
+                               cfg.quick_gelu)
+    out = optimize_prompt(params["text"], cfg, target, prompt_len=4,
+                          iters=10, lr=0.3, seed=0)
+    assert len(out["ids"]) == 4
+    assert out["sim"] >= out["per_step_sims"][0] - 1e-6
+    decoded = tok.decode(out["ids"])
+    assert isinstance(decoded, str) and decoded
+
+
+def test_clipscore(tiny):
+    a = np.asarray([[1.0, 0.0], [0.0, 1.0]])
+    assert clip_score(a, a).tolist() == [100.0, 100.0]
+    b = np.asarray([[-1.0, 0.0], [0.0, 1.0]])
+    assert clip_score(a, b).tolist() == [0.0, 100.0]  # clamped at 0
+    assert is_black_image(np.zeros((8, 8, 3)))
+    assert not is_black_image(np.full((8, 8, 3), 0.5))
+
+
+def test_compute_clipscores_filters_black(tiny):
+    cfg, params = tiny
+    tok = get_tokenizer()
+    rng = np.random.default_rng(0)
+    gen = rng.uniform(0, 1, size=(3, 64, 64, 3)).astype(np.float32)
+    gen[1] = 0.0  # NSFW-blanked
+    out = compute_clipscores(params, cfg, tok,
+                             ["a cat", "a dog", "a bird"], gen,
+                             real_images=gen.copy())
+    assert out["n"] == 2 and out["n_black_filtered"] == 1
+    assert "clipscore_gen_caption" in out
+    assert out["clipscore_gen_real"] == pytest.approx(100.0, abs=1e-3)
+
+
+def test_profiler(tiny):
+    from leaf_tpu.utils.profiler import profile_model
+    row = profile_model("ViT-tiny-test")
+    assert row["mparams"] > 3  # token embedding dominates
+    assert row["gflops_text"] > 0
+    assert row["gflops_image"] > 0
+
+
+def test_get_clip_metrics_perfect():
+    f = np.eye(4, 8, dtype=np.float32)
+    m = get_clip_metrics(f, f, 100.0)
+    assert m["image_to_text_R@1"] == 1.0
+    assert m["text_to_image_mean_rank"] == 1.0
+
+
+def test_contrastive_train_step_and_eval(tiny):
+    cfg, params = tiny
+    tok = get_tokenizer()
+    tx = make_optimizer(cosine_lr(1e-4, 1, 10), weight_decay=1e-4)
+    state = TrainState.create(jax.tree.map(jnp.copy, params), tx)
+    step = make_contrastive_train_step(cfg, tx)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(-1, 1, (4, 64, 64, 3))
+                         .astype(np.float32))
+    tokens = jnp.asarray(tok(["a cat", "a dog", "a car", "a bird"]))
+    state, metrics = step(state, images, tokens)
+    l0 = float(metrics["loss"])
+    assert np.isfinite(l0)
+    state, metrics = step(state, images, tokens)
+    assert float(metrics["logit_scale"]) <= 100.0 + 1e-3
+
+    loader = [(np.asarray(images), ["a cat", "a dog", "a car", "a bird"])]
+    m = evaluate_contrastive(state.text_params, cfg, loader, tok)
+    assert "clip_val_loss" in m and m["num_samples"] == 4
+
+
+def test_contrastive_train_step_sharded(tiny):
+    cfg, params = tiny
+    from leaf_tpu.parallel import create_mesh
+    tok = get_tokenizer()
+    mesh = create_mesh()
+    tx = make_optimizer(cosine_lr(1e-4, 1, 10), weight_decay=1e-4)
+    state = TrainState.create(jax.tree.map(jnp.copy, params), tx)
+    step_sharded = make_contrastive_train_step(cfg, tx, mesh=mesh)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(-1, 1, (8, 64, 64, 3))
+                         .astype(np.float32))
+    texts = [f"sentence {i}" for i in range(8)]
+    tokens = jnp.asarray(tok(texts))
+    state2, metrics = step_sharded(state, images, tokens)
+    # sharded local-loss step must equal the single-device step
+    state_ref = TrainState.create(jax.tree.map(jnp.copy, params), tx)
+    step_ref = make_contrastive_train_step(cfg, tx)
+    _, metrics_ref = step_ref(state_ref, images, tokens)
+    np.testing.assert_allclose(float(metrics["loss"]),
+                               float(metrics_ref["loss"]), rtol=1e-4)
