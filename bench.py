@@ -30,6 +30,9 @@ BASELINE_SAMPLES_PER_SEC = 208.0  # estimated A100 reference (see docstring)
 
 
 def main():
+    from leaf_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     import jax
     import jax.numpy as jnp
 

@@ -29,6 +29,29 @@ def _normalize_np(a):
     return lclip.l2_normalize(jnp.asarray(a))
 
 
+def _native_of(tokenizer):
+    """Native fused edit+tokenize handle, if the tokenizer has one."""
+    native = getattr(tokenizer, "_native", None)
+    if native is None and hasattr(tokenizer, "_native_checked"):
+        tokenizer([""])  # trigger lazy native init
+        native = tokenizer._native
+    return native
+
+
+def _edit_tokens_fast(tokenizer, sentences, zs: np.ndarray, cps: np.ndarray):
+    """[B] sentences + [B, rho] (slot, codepoint) edits → [B, rho, C]
+    tokens via the C++ fused path, or None when unavailable."""
+    native = _native_of(tokenizer)
+    if native is None:
+        return None
+    if not all(s.isascii() and "&" not in s for s in sentences):
+        return None
+    ctx = getattr(tokenizer, "context_length", 77)
+    B, rho = zs.shape
+    return native.encode_edits(list(sentences), zs, cps, ctx).reshape(
+        B, rho, ctx)
+
+
 def attack_text_leaf(
     scorer: CandidateScorer,
     text_params,
@@ -58,37 +81,66 @@ def attack_text_leaf(
     if objective in ("sim", "dissim"):
         anchor_features = _normalize_np(anchor_features)
 
+    # Fast path (unconstrained): the C++ tokenizer applies each
+    # (slot, char) edit and tokenizes in one pass, so candidate strings
+    # are never materialised — only the B winners are reconstructed.
+    fast_ok = constraint is None
+
     best_feats = None
     for _ in range(k):
         # ---- phase 1: find the most vulnerable position per sentence
-        positions = [edits.sample_positions(len(S), n, rng=rng)
-                     for S in sentences]
-        probe_rows = [
-            [edits.apply_edit(S, int(z), 0, edits.SPACE_VOCAB, alternative=-1)
-             for z in positions[i]]
-            for i, S in enumerate(sentences)
-        ]
-        if constraint is not None:
-            probe_rows = constraint.filter_batched(sentences, probe_rows)
-        flat = [s for row in probe_rows for s in row]
-        tokens = tokenizer(flat).reshape(B, n, -1)
+        positions = np.stack([edits.sample_positions(len(S), n, rng=rng)
+                              for S in sentences])
+        tokens = None
+        if fast_ok:
+            space = np.full((B, n), ord(" "), np.int32)
+            tokens = _edit_tokens_fast(tokenizer, sentences, positions, space)
+        if tokens is None:
+            probe_rows = [
+                [edits.apply_edit(S, int(z), 0, edits.SPACE_VOCAB,
+                                  alternative=-1)
+                 for z in positions[i]]
+                for i, S in enumerate(sentences)
+            ]
+            if constraint is not None:
+                probe_rows = constraint.filter_batched(sentences, probe_rows)
+            flat = [s for row in probe_rows for s in row]
+            tokens = tokenizer(flat).reshape(B, n, -1)
         best_idx, _, _ = scorer.score_rows(
             text_params, tokens, anchor_features, objective)
         best_pos = [int(positions[i][best_idx[i]]) for i in range(B)]
 
         # ---- phase 2: try random characters at the winning position
-        cand_rows = [
-            edits.generate_random_sentences_at_z(
-                S, best_pos[i], vocab, n, alternative=-1, rng=rng)
-            for i, S in enumerate(sentences)
-        ]
-        if constraint is not None:
-            cand_rows = constraint.filter_batched(sentences, cand_rows)
-        flat = [s for row in cand_rows for s in row]
-        tokens = tokenizer(flat).reshape(B, n, -1)
+        us = np.stack([rng.choice(len(vocab), size=n,
+                                  replace=(n > len(vocab)))
+                       for _ in range(B)])
+        vocab_arr = np.asarray(vocab, np.int32)
+        tokens = None
+        if fast_ok:
+            zs = np.repeat(np.asarray(best_pos, np.int32)[:, None], n, axis=1)
+            tokens = _edit_tokens_fast(tokenizer, sentences, zs,
+                                       vocab_arr[us])
+        if tokens is None:
+            cand_rows = [
+                [edits.apply_edit(S, best_pos[i], int(u), vocab,
+                                  alternative=-1) for u in us[i]]
+                for i, S in enumerate(sentences)
+            ]
+            if constraint is not None:
+                cand_rows = constraint.filter_batched(sentences, cand_rows)
+            flat = [s for row in cand_rows for s in row]
+            tokens = tokenizer(flat).reshape(B, n, -1)
+        else:
+            cand_rows = None
         best_idx, best_feats, _ = scorer.score_rows(
             text_params, tokens, anchor_features, objective)
-        sentences = [cand_rows[i][best_idx[i]] for i in range(B)]
+        if cand_rows is None:
+            sentences = [edits.apply_edit(S, best_pos[i],
+                                          int(us[i][best_idx[i]]), vocab,
+                                          alternative=-1)
+                         for i, S in enumerate(sentences)]
+        else:
+            sentences = [cand_rows[i][best_idx[i]] for i in range(B)]
 
     return np.asarray(best_feats), sentences
 

@@ -261,4 +261,63 @@ void bpe_encode_batch(void* h, const char** texts, int n,
   }
 }
 
+// Fused Levenshtein-edit + tokenize for the LEAF attack hot loop.
+//
+// Applies the interleaved-slot single edit (k=1) of
+// leaf_tpu/attacks/edits.py::apply_edit to `sentence` for each
+// (z, codepoint) pair and tokenizes the result directly — no Python
+// string churn.  codepoint == -1 means delete; a self-substitution with
+// alternative == -1 also deletes (the attacks' convention).  ASCII
+// sentences only (the wrapper guards).
+//
+//   zs, cps: [n_sent * rho]; out: [n_sent * rho, ctx] int32.
+void bpe_encode_edits(void* h, const char** sentences, int n_sent,
+                      const int32_t* zs, const int32_t* cps, int rho,
+                      int alternative, int ctx, int32_t* out) {
+  auto* t = static_cast<Tokenizer*>(h);
+  std::string edited;
+  std::vector<int> ids;
+  for (int i = 0; i < n_sent; ++i) {
+    const std::string S(sentences[i]);
+    const int L = static_cast<int>(S.size());
+    for (int j = 0; j < rho; ++j) {
+      const int z = zs[i * rho + j];
+      const int cp = cps[i * rho + j];
+      edited.clear();
+      // slot layout: [_ c0 _ c1 ... _ c(L-1) _], slot z; even = insert
+      // slot, odd = character position (k=1)
+      const bool is_char_pos = (z % 2) == 1;
+      const int char_idx = is_char_pos ? (z - 1) / 2 : z / 2;
+      for (int c = 0; c < L; ++c) {
+        if (!is_char_pos && c == char_idx && cp != -1) {
+          edited.push_back(static_cast<char>(cp));  // insertion before c
+        }
+        if (is_char_pos && c == char_idx) {
+          if (cp == -1) continue;                   // deletion
+          const char ch = static_cast<char>(cp);
+          if (S[c] == ch && alternative == -1) continue;  // self-sub → del
+          if (S[c] == ch && alternative >= 0) {
+            edited.push_back(static_cast<char>(alternative));
+          } else {
+            edited.push_back(ch);
+          }
+          continue;
+        }
+        edited.push_back(S[c]);
+      }
+      if (!is_char_pos && char_idx == L && cp != -1) {
+        edited.push_back(static_cast<char>(cp));    // trailing insert slot
+      }
+      ids.clear();
+      t->Encode(edited.c_str(), &ids);
+      int32_t* dst = out + (static_cast<size_t>(i) * rho + j) * ctx;
+      std::memset(dst, 0, sizeof(int32_t) * ctx);
+      const int body = std::min<int>(static_cast<int>(ids.size()), ctx - 2);
+      dst[0] = kSot;
+      for (int b = 0; b < body; ++b) dst[1 + b] = ids[b];
+      dst[1 + body] = kEot;
+    }
+  }
+}
+
 }  // extern "C"

@@ -79,6 +79,11 @@ class NativeBPE:
         lib.bpe_encode_one.argtypes = [
             ctypes.c_void_p, ctypes.c_char_p,
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int]
+        lib.bpe_encode_edits.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32)]
         merges = _ensure_merges(bpe_gz_path)
         h = lib.bpe_create(merges.encode())
         if not h:
@@ -93,6 +98,24 @@ class NativeBPE:
         arr = (ctypes.c_char_p * n)(*[t.encode("utf-8") for t in texts])
         self._lib.bpe_encode_batch(
             self._h, arr, n, context_length,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        return out
+
+    def encode_edits(self, sentences: Sequence[str], zs: np.ndarray,
+                     cps: np.ndarray, context_length: int,
+                     alternative: int = -1) -> np.ndarray:
+        """Fused k=1 edit + tokenize: sentences [B], zs/cps [B, rho] →
+        tokens [B*rho, ctx] (see bpe_tokenizer.cpp::bpe_encode_edits)."""
+        B, rho = zs.shape
+        out = np.zeros((B * rho, context_length), dtype=np.int32)
+        arr = (ctypes.c_char_p * B)(*[s.encode("utf-8") for s in sentences])
+        zs32 = np.ascontiguousarray(zs, dtype=np.int32)
+        cps32 = np.ascontiguousarray(cps, dtype=np.int32)
+        self._lib.bpe_encode_edits(
+            self._h, arr, B,
+            zs32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            cps32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            rho, alternative, context_length,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
         return out
 

@@ -66,6 +66,8 @@ def main(args=None) -> Dict:
     if args is None or isinstance(args, list):
         args = parse_args(args)
     setup_logging(level=logging.DEBUG if args.debug else logging.INFO)
+    from leaf_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     if args.matmul_precision:
         jax.config.update("jax_default_matmul_precision",
                           args.matmul_precision)

@@ -109,3 +109,42 @@ def test_native_faster_than_python(py_tok):
     # both benefit from caches warmed by earlier tests; native should
     # still win clearly on the whole batch
     assert t_native < t_py, (t_native, t_py)
+
+
+def test_encode_edits_matches_python(py_tok):
+    from leaf_tpu.attacks import edits
+    rng = np.random.default_rng(0)
+    sentences = ["a photo of a cat", "wall street stocks fall!", "x", "hi"]
+    vocab = np.asarray(edits.DEFAULT_VOCAB, np.int32)
+    B, rho = len(sentences), 12
+    zs = np.stack([
+        np.asarray(edits.sample_positions(len(s), rho, rng=rng))
+        for s in sentences]).astype(np.int32)
+    us = rng.integers(0, len(vocab), size=(B, rho))
+    cps = vocab[us]
+    out = native.encode_edits(sentences, zs, cps, 77).reshape(B, rho, 77)
+    for i, s in enumerate(sentences):
+        for j in range(rho):
+            expect = edits.apply_edit(s, int(zs[i, j]), int(us[i, j]),
+                                      edits.DEFAULT_VOCAB, alternative=-1)
+            ref = py_tok([expect])[0]
+            assert out[i, j].tolist() == ref.tolist(), (
+                s, int(zs[i, j]), int(us[i, j]), expect)
+
+
+def test_encode_edits_space_probes(py_tok):
+    from leaf_tpu.attacks import edits
+    rng = np.random.default_rng(1)
+    sentences = ["hello world", "a  b", "trailing "]
+    B, rho = len(sentences), 8
+    zs = np.stack([
+        np.asarray(edits.sample_positions(len(s), rho, rng=rng))
+        for s in sentences]).astype(np.int32)
+    cps = np.full((B, rho), ord(" "), np.int32)
+    out = native.encode_edits(sentences, zs, cps, 77).reshape(B, rho, 77)
+    for i, s in enumerate(sentences):
+        for j in range(rho):
+            expect = edits.apply_edit(s, int(zs[i, j]), 0, edits.SPACE_VOCAB,
+                                      alternative=-1)
+            ref = py_tok([expect])[0]
+            assert out[i, j].tolist() == ref.tolist(), (s, int(zs[i, j]))
