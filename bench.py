@@ -37,7 +37,7 @@ def main():
     import jax.numpy as jnp
 
     from leaf_tpu.attacks import attack_text_leaf
-    from leaf_tpu.attacks.engine import CandidateScorer
+    from leaf_tpu.attacks.engine import CandidateScorer, bucket_tokens
     from leaf_tpu.models import create_model
     from leaf_tpu.tokenizer import get_tokenizer
     from leaf_tpu.train.optim import make_optimizer
@@ -65,12 +65,12 @@ def main():
     texts = [" ".join(rng.choice(words, size=10)) for _ in range(BATCH)]
 
     def one_step(step_rng):
-        tokens = tokenizer(texts)
+        tokens = bucket_tokens(tokenizer(texts))
         anchors = anchor_encode(frozen_text, tokens)
         _, adv_texts = attack_text_leaf(
             scorer, state.text_params, tokenizer, texts, anchors,
             objective="l2", n=RHO, k=1, rng=step_rng)
-        adv_tokens = tokenizer(adv_texts)
+        adv_tokens = bucket_tokens(tokenizer(adv_texts))
         new_state, metrics = train_step(state, adv_tokens, anchors)
         jax.block_until_ready(metrics["loss"])
         return new_state, metrics

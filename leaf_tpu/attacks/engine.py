@@ -34,6 +34,24 @@ from leaf_tpu.models.config import CLIPConfig
 
 OBJECTIVES = ("l2", "negl2", "sim", "dissim")
 
+# Context-length buckets for scoring.  With a causal mask and
+# argmax-EOT pooling, tokens after the EOT position cannot influence
+# the pooled feature, so slicing the [., 77] buffer down to the
+# smallest bucket ≥ max(EOT)+1 is *exact* — same features, a fraction
+# of the FLOPs.  (The reference always pads to 77; typical captions
+# are ~15 tokens, a >4× saving.)
+CONTEXT_BUCKETS = (16, 32, 48, 64, 77)
+
+
+def bucket_tokens(tokens, buckets=CONTEXT_BUCKETS):
+    """Slice a [..., C] token buffer to the smallest safe bucket."""
+    arr = np.asarray(tokens)
+    need = int(arr.argmax(-1).max()) + 1  # EOT is the max id per row
+    for b in buckets:
+        if need <= b <= arr.shape[-1]:
+            return arr[..., :b]
+    return arr
+
 
 def objective_loss(feats: jnp.ndarray, anchors: jnp.ndarray,
                    objective: str) -> jnp.ndarray:
@@ -71,6 +89,13 @@ class CandidateScorer:
         self.cfg = cfg
         self.dtype = dtype
         self.bucket = bucket
+        # context bucketing is exact only under causal masking with
+        # argmax-EOT pooling (see CONTEXT_BUCKETS)
+        self._can_bucket = (not cfg.text.no_causal_mask
+                            and cfg.text.pool_type == "argmax")
+
+    def _bucket(self, tokens):
+        return bucket_tokens(tokens) if self._can_bucket else np.asarray(tokens)
 
     # -- raw text encode ---------------------------------------------------
 
@@ -86,7 +111,7 @@ class CandidateScorer:
         return encode
 
     def encode_text(self, text_params, tokens, normalize: bool = False):
-        tokens = jnp.asarray(tokens)
+        tokens = jnp.asarray(self._bucket(tokens))
         return self._encode(text_params, tokens, normalize)
 
     # -- batch-parallel scoring (LEAF training attack) ---------------------
@@ -121,7 +146,7 @@ class CandidateScorer:
 
         If `objective` normalises features, anchors must already be
         normalised (the attacks do this once up front)."""
-        tokens = jnp.asarray(tokens)
+        tokens = jnp.asarray(self._bucket(tokens))
         B, N, _ = tokens.shape
         if mask is None:
             mask = jnp.ones((B, N), dtype=bool)
@@ -151,7 +176,7 @@ class CandidateScorer:
         reference `utils_attacks.py:492-516`) via (text_params2, anchor2).
         """
         n = tokens.shape[0]
-        padded, mask = self._pad(tokens)
+        padded, mask = self._pad(self._bucket(tokens))
         loss = self._score_flat(text_params, jnp.asarray(padded),
                                 jnp.asarray(anchor), objective)
         if text_params2 is not None:
@@ -199,7 +224,7 @@ class CandidateScorer:
         """tokens [N, C], class_feats [K, D] (normalised) → (margin loss
         [N], predictions [N]) with -inf loss on padding."""
         n = tokens.shape[0]
-        padded, mask = self._pad(tokens)
+        padded, mask = self._pad(self._bucket(tokens))
         loss, preds = self._score_cls(text_params, jnp.asarray(padded),
                                       jnp.asarray(class_feats), label)
         return np.asarray(loss)[:n], np.asarray(preds)[:n]

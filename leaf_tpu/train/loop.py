@@ -23,7 +23,7 @@ from typing import Dict, Optional
 import jax
 import numpy as np
 
-from leaf_tpu.attacks.engine import CandidateScorer
+from leaf_tpu.attacks.engine import CandidateScorer, bucket_tokens
 from leaf_tpu.attacks.text import attack_text_charmer_inference, attack_text_leaf
 from leaf_tpu.train.step import TrainState
 from leaf_tpu.utils.meters import AverageMeter
@@ -85,7 +85,7 @@ def train_one_epoch_text_only(
         step = num_batches_per_epoch * epoch + i_accum
         data_time_m.update(time.time() - end)
 
-        tokens = tokenizer(texts)
+        tokens = bucket_tokens(tokenizer(texts))
         anchors = anchor_encode(frozen_text_params, tokens)
 
         t0 = time.time()
@@ -95,7 +95,7 @@ def train_one_epoch_text_only(
         if timing is not None:
             timing.append(attack_seconds)
 
-        adv_tokens = tokenizer(adv_texts)
+        adv_tokens = bucket_tokens(tokenizer(adv_texts))
         state, metrics = train_step(state, adv_tokens, anchors)
 
         batch_time_m.update(time.time() - end)

@@ -1,0 +1,3 @@
+import torch.nn as nn
+class FrozenBatchNorm2d(nn.Module):
+    pass

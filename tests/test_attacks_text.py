@@ -199,3 +199,26 @@ def test_objectives_sign_conventions(setup):
     np.testing.assert_allclose(sim, -dissim, rtol=1e-5)
     # self-similarity of normalized features is 1
     np.testing.assert_allclose(sim[0], 1.0, atol=1e-5)
+
+
+def test_context_bucketing_exactness(setup):
+    """Bucketed scoring must produce IDENTICAL losses to full 77-pad:
+    under causal masking, post-EOT tokens cannot reach the EOT pool."""
+    cfg, params, scorer, tok = setup
+    from leaf_tpu.attacks.engine import bucket_tokens
+    texts = ["short one", "a slightly longer caption here", "x"]
+    tokens = tok(texts)
+    b = bucket_tokens(tokens)
+    assert b.shape[1] < 77
+    anchor = anchors_for(scorer, params, ["anchor"], tok)[0]
+    # score via full-width encode (bypassing the scorer's bucketing)
+    import jax.numpy as jnp
+    from leaf_tpu.models import clip as lclip
+    full = np.asarray(lclip.encode_text(params["text"], cfg.text,
+                                        jnp.asarray(tokens)))
+    sliced = np.asarray(lclip.encode_text(params["text"], cfg.text,
+                                          jnp.asarray(b)))
+    np.testing.assert_allclose(full, sliced, atol=2e-5, rtol=1e-5)
+    loss = scorer.score_flat(params["text"], tokens, anchor, "l2")
+    ref = ((full - np.asarray(anchor)) ** 2).sum(-1)
+    np.testing.assert_allclose(loss, ref, rtol=1e-4)
