@@ -1,0 +1,114 @@
+"""Standalone ImageNet robust evaluation CLI.
+
+Re-expression of `/root/reference/src/robust_vlm/eval/eval_imagenet.py`:
+zero-shot ImageNet classifier (template ensemble), clean accuracy on an
+n-sample subset, then AutoAttack-style robust accuracy (APGD-CE +
+targeted APGD-DLR cascade — `eval_imagenet.py:153-156,243-259`), with
+results.json and optional adversarial-example dump.
+
+  python -m leaf_tpu.evals.imagenet_robust --model ViT-L-14 \
+      --pretrained ckpt --imagenet-root /data/imagenet/val \
+      --n-samples 1000 --eps 2 --output-dir ./imagenet_eval
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+
+import numpy as np
+
+from leaf_tpu.utils.logging_utils import setup_logging
+
+LOG = logging.getLogger(__name__)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("leaf_tpu ImageNet robust eval")
+    p.add_argument("--model", type=str, required=True)
+    p.add_argument("--pretrained", type=str, default="")
+    p.add_argument("--imagenet-root", type=str, required=True)
+    p.add_argument("--n-samples", type=int, default=1000)
+    p.add_argument("--batch-size", type=int, default=50)
+    p.add_argument("--eps", type=float, default=2.0, help="/255 units")
+    p.add_argument("--attack-iters", type=int, default=100)
+    p.add_argument("--n-targets", type=int, default=3)
+    p.add_argument("--precision", type=str, default="fp32")
+    p.add_argument("--output-dir", type=str, default="./imagenet_eval")
+    p.add_argument("--save-adv", action="store_true", default=False)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+    setup_logging()
+
+    import jax.numpy as jnp
+
+    from leaf_tpu.benchmark.zeroshot_classification import (
+        _apgd_attack_batch,
+        _logits_fn,
+    )
+    from leaf_tpu.data.imagenet import get_imagenet
+    from leaf_tpu.models import create_model, get_tokenizer
+    from leaf_tpu.models.preprocess import image_transform
+    from leaf_tpu.models.zero_shot import (
+        build_zero_shot_classifier,
+        imagenet_classnames,
+        openai_imagenet_templates,
+    )
+    from leaf_tpu.attacks.engine import CandidateScorer
+
+    model = create_model(args.model, args.pretrained or None,
+                         precision=args.precision, seed=args.seed)
+    cfg = model.cfg
+    tokenizer = get_tokenizer(args.model)
+    scorer = CandidateScorer(cfg)
+    preprocess = image_transform(cfg.vision.image_size, do_normalize=False)
+
+    LOG.info("building zero-shot classifier")
+    classifier = build_zero_shot_classifier(
+        lambda t: scorer.encode_text(model.params["text"], t), tokenizer,
+        imagenet_classnames(), openai_imagenet_templates(),
+        num_classes_per_batch=10)
+
+    data = get_imagenet(args.imagenet_root, preprocess, "val",
+                        batch_size=args.batch_size, n_val=args.n_samples,
+                        seed=args.seed)
+    import jax
+    logits_fn = jax.jit(_logits_fn(model.params, cfg, classifier))
+
+    n = clean1 = robust1 = 0
+    adv_batches = []
+    for images, labels in data.loader:
+        images_j = jnp.asarray(images)
+        logits = np.asarray(logits_fn(images_j))
+        correct = logits.argmax(-1) == labels
+        clean1 += int(correct.sum())
+        adv, fooled = _apgd_attack_batch(
+            model.params, cfg, classifier, images_j, jnp.asarray(labels),
+            args.eps / 255.0, n_iter=args.attack_iters,
+            n_targets=args.n_targets)
+        robust1 += int((~np.asarray(fooled) & correct).sum())
+        if args.save_adv:
+            adv_batches.append(np.asarray(adv))
+        n += len(labels)
+        LOG.info("progress %d/%d: clean %.4f robust %.4f", n,
+                 args.n_samples, clean1 / n, robust1 / n)
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    results = {
+        "model": args.model, "pretrained": args.pretrained,
+        "n_samples": n, "eps": args.eps,
+        "clean_acc1": clean1 / max(n, 1),
+        "robust_acc1": robust1 / max(n, 1),
+    }
+    with open(os.path.join(args.output_dir, "results.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    if args.save_adv and adv_batches:
+        np.save(os.path.join(args.output_dir, "x_adv.npy"),
+                np.concatenate(adv_batches))
+    LOG.info("results: %s", results)
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,376 @@
+"""CoCa (Contrastive Captioner) model family.
+
+Re-expression of the reference's CoCa
+(`/root/reference/src/open_clip/coca_model.py` +
+`transformer.py:187-208` AttentionalPooler, `:812-920`
+MultimodalTransformer):
+
+  * vision tower + 256-query attentional pooler → (contrastive latent =
+    pooled token 0, image embs = tokens 1..n);
+  * text tower with a CLS embedding appended at the END of the
+    sequence, pooled at the CLS position with ln_final after pooling
+    (reference `transformer.py:795-801`), per-sample additive mask =
+    causal + pad mask (`build_cls_mask`, `transformer.py:767-774`);
+  * multimodal decoder: per layer a causal self-attention block then a
+    cross-attention block over the image embs, final LN + projection to
+    the vocabulary.
+
+Parity vs the reference torch implementation is pinned by
+`tests/test_reference_parity.py::test_coca_forward_parity`.
+Greedy/top-k generation is `generate()` — one jitted `lax.scan`.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from leaf_tpu.models import layers
+from leaf_tpu.models.clip import causal_mask, l2_normalize, patchify
+from leaf_tpu.models.config import TextConfig, VisionConfig
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class MultimodalConfig:
+    context_length: int = 76
+    width: int = 512
+    heads: int = 8
+    layers: int = 12
+    mlp_ratio: float = 4.0
+    vocab_size: int = 49408
+    ln_eps: float = 1e-5
+
+
+@dataclasses.dataclass(frozen=True)
+class CoCaConfig:
+    name: str
+    embed_dim: int
+    text: TextConfig
+    vision: VisionConfig
+    multimodal: MultimodalConfig
+    n_queries: int = 256
+    attn_pooler_heads: int = 8
+    quick_gelu: bool = False
+    init_logit_scale: float = 2.6592
+    pad_id: int = 0
+
+
+# -- registry ----------------------------------------------------------------
+
+def coca_vit_b_32() -> CoCaConfig:
+    """reference `model_configs/coca_ViT-B-32.json`"""
+    return CoCaConfig(
+        name="coca_ViT-B-32", embed_dim=512,
+        text=TextConfig(context_length=76, width=512, heads=8, layers=12,
+                        output_dim=512),
+        vision=VisionConfig(image_size=224, patch_size=32, width=768,
+                            layers=12, output_dim=512),
+        multimodal=MultimodalConfig(context_length=76, width=512, heads=8,
+                                    layers=12))
+
+
+def coca_vit_l_14() -> CoCaConfig:
+    """reference `model_configs/coca_ViT-L-14.json`"""
+    return CoCaConfig(
+        name="coca_ViT-L-14", embed_dim=768,
+        text=TextConfig(context_length=76, width=768, heads=12, layers=12,
+                        output_dim=768),
+        vision=VisionConfig(image_size=224, patch_size=14, width=1024,
+                            layers=24, output_dim=768),
+        multimodal=MultimodalConfig(context_length=76, width=768, heads=12,
+                                    layers=12))
+
+
+COCA_CONFIGS = {"coca_ViT-B-32": coca_vit_b_32, "coca_ViT-L-14": coca_vit_l_14}
+
+
+def get_coca_config(name: str) -> CoCaConfig:
+    if name not in COCA_CONFIGS:
+        raise KeyError(f"unknown CoCa model {name!r}; "
+                       f"available: {sorted(COCA_CONFIGS)}")
+    return COCA_CONFIGS[name]()
+
+
+def create_coca_model(name: str, pretrained: Optional[str] = None,
+                      seed: int = 0):
+    """(params, cfg) for a CoCa model; `pretrained` is an OpenCLIP
+    checkpoint path."""
+    cfg = get_coca_config(name)
+    if pretrained:
+        from leaf_tpu.models.coca_interop import coca_openclip_to_params
+        from leaf_tpu.models.interop import load_state_dict_file
+        params = coca_openclip_to_params(load_state_dict_file(pretrained), cfg)
+        params = jax.tree.map(jnp.asarray, params)
+    else:
+        params = init_coca(jax.random.PRNGKey(seed), cfg)
+    return params, cfg
+
+
+# -- initialisation ----------------------------------------------------------
+
+def _init_attn_pooler(key, d_model: int, context_dim: int,
+                      n_queries: int) -> Params:
+    k = jax.random.split(key, 5)
+    s = d_model ** -0.5
+    return {
+        "query": jax.random.normal(k[0], (n_queries, d_model), jnp.float32),
+        "ln_q": layers.init_layer_norm(d_model),
+        "ln_k": layers.init_layer_norm(context_dim),
+        "q_w": s * jax.random.normal(k[1], (d_model, d_model), jnp.float32),
+        "k_w": s * jax.random.normal(k[2], (context_dim, d_model), jnp.float32),
+        "v_w": s * jax.random.normal(k[3], (context_dim, d_model), jnp.float32),
+        "qkv_b": jnp.zeros((3 * d_model,), jnp.float32),
+        "out_w": s * jax.random.normal(k[4], (d_model, d_model), jnp.float32),
+        "out_b": jnp.zeros((d_model,), jnp.float32),
+    }
+
+
+def init_coca(key, cfg: CoCaConfig) -> Params:
+    from leaf_tpu.models.clip import init_text_tower, init_vision_tower
+    kt, kv, kp, km, kc = jax.random.split(key, 5)
+    text = init_text_tower(kt, cfg.text)
+    # CLS embedding + one extra positional slot (num_pos = ctx + 1)
+    text["cls_emb"] = 0.01 * jax.random.normal(
+        kc, (cfg.text.width,), jnp.float32)
+    text["positional_embedding"] = 0.01 * jax.random.normal(
+        kt, (cfg.text.context_length + 1, cfg.text.width), jnp.float32)
+
+    vision = init_vision_tower(kv, cfg.vision)
+    # with attentional pooling, ln_post/proj act on embed_dim
+    vision["ln_post"] = layers.init_layer_norm(cfg.embed_dim)
+    vision["proj"] = (cfg.embed_dim ** -0.5) * jax.random.normal(
+        kv, (cfg.embed_dim, cfg.embed_dim), jnp.float32)
+    vision["attn_pool"] = _init_attn_pooler(kp, cfg.embed_dim,
+                                            cfg.vision.width, cfg.n_queries)
+
+    m = cfg.multimodal
+    mlp_w = int(m.width * m.mlp_ratio)
+    k1, k2, k3 = jax.random.split(km, 3)
+    decoder = {
+        "blocks": layers.init_block_stack(k1, m.layers, m.width, mlp_w),
+        "cross_blocks": layers.init_block_stack(k2, m.layers, m.width, mlp_w),
+        "ln_final": layers.init_layer_norm(m.width),
+        "text_projection": (m.width ** -0.5) * jax.random.normal(
+            k3, (m.width, m.vocab_size), jnp.float32),
+    }
+    # cross blocks need a kv layer norm
+    decoder["cross_blocks"]["ln_1_kv"] = {
+        "scale": jnp.ones((m.layers, m.width), jnp.float32),
+        "bias": jnp.zeros((m.layers, m.width), jnp.float32),
+    }
+    return {"text": text, "visual": vision, "text_decoder": decoder,
+            "logit_scale": jnp.asarray(cfg.init_logit_scale, jnp.float32)}
+
+
+# -- forward pieces ----------------------------------------------------------
+
+def attentional_pool(p: Params, x: jnp.ndarray, n_heads: int) -> jnp.ndarray:
+    """[B, N, context_dim] → [B, n_queries, d_model]
+    (reference `transformer.py:187-208`)."""
+    dtype = x.dtype
+    B = x.shape[0]
+    keys = layers.layer_norm(p["ln_k"], x)
+    q_in = layers.layer_norm(p["ln_q"], p["query"].astype(dtype)[None])
+    d_model = p["q_w"].shape[1]
+    b_q, b_k, b_v = jnp.split(p["qkv_b"].astype(dtype), 3)
+    q = q_in @ p["q_w"].astype(dtype) + b_q
+    k = keys @ p["k_w"].astype(dtype) + b_k
+    v = keys @ p["v_w"].astype(dtype) + b_v
+    head_dim = d_model // n_heads
+
+    def heads(t, n):
+        return t.reshape(t.shape[0], n, n_heads, head_dim).transpose(0, 2, 1, 3)
+
+    q = jnp.broadcast_to(heads(q, q.shape[1]), (B, n_heads, q_in.shape[1],
+                                                head_dim))
+    k, v = heads(k, k.shape[1]), heads(v, v.shape[1])
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * head_dim ** -0.5
+    probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    out = out.transpose(0, 2, 1, 3).reshape(B, -1, d_model)
+    return out @ p["out_w"].astype(dtype) + p["out_b"].astype(dtype)
+
+
+def encode_image_coca(params: Params, cfg: CoCaConfig, images: jnp.ndarray,
+                      normalize: bool = True, dtype=jnp.float32
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """→ (image latent [B, D], image embs [B, n_queries-1, D])
+    (reference `transformer.py:630-636` attn-pool branch +
+    `coca_model.py:169-172`)."""
+    p = params["visual"]
+    vc = cfg.vision
+    x = patchify(images.astype(dtype), vc.patch_size)
+    x = x @ p["patch_embedding"].astype(dtype)
+    cls = jnp.broadcast_to(p["class_embedding"].astype(dtype),
+                           (x.shape[0], 1, vc.width))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + p["positional_embedding"].astype(dtype)
+    x = layers.layer_norm(p["ln_pre"], x, vc.ln_eps)
+    act = layers.quick_gelu if cfg.quick_gelu else layers.gelu
+    x = layers.transformer_stack(p["blocks"], x, None, vc.heads, act,
+                                 vc.ln_eps)
+    x = attentional_pool(p["attn_pool"], x, cfg.attn_pooler_heads)
+    x = layers.layer_norm(p["ln_post"], x, vc.ln_eps)
+    pooled, tokens = x[:, 0], x[:, 1:]
+    pooled = pooled @ p["proj"].astype(dtype)
+    if normalize:
+        pooled = l2_normalize(pooled)
+    return pooled, tokens
+
+
+def _cls_mask(tokens: jnp.ndarray, pad_id: int) -> jnp.ndarray:
+    """Per-sample additive mask [B, S+1, S+1] (reference
+    `build_cls_mask`, `transformer.py:767-774`): column 0 is always
+    attendable; column j>0 is masked where tokens[:, j-1] == pad."""
+    B, S = tokens.shape
+    col_ok = jnp.concatenate(
+        [jnp.ones((B, 1), bool), tokens != pad_id], axis=1)  # [B, S+1]
+    add = jnp.where(col_ok[:, None, :], 0.0, -jnp.inf).astype(jnp.float32)
+    return jnp.broadcast_to(add, (B, S + 1, S + 1))
+
+
+def encode_text_coca(params: Params, cfg: CoCaConfig, tokens: jnp.ndarray,
+                     normalize: bool = True, dtype=jnp.float32
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """→ (text latent [B, D], token embs [B, S, width])
+    (reference `transformer.py:776-809` with embed_cls=True: CLS
+    appended at the END, pooled='last', ln_final after pooling)."""
+    p = params["text"]
+    tc = cfg.text
+    B, S = tokens.shape
+    x = p["token_embedding"].astype(dtype)[tokens]
+    cls = jnp.broadcast_to(p["cls_emb"].astype(dtype), (B, 1, tc.width))
+    x = jnp.concatenate([x, cls], axis=1)
+    x = x + p["positional_embedding"][:S + 1].astype(dtype)
+    mask = causal_mask(S + 1)[None] + _cls_mask(tokens, cfg.pad_id)
+    act = layers.quick_gelu if cfg.quick_gelu else layers.gelu
+    x = layers.transformer_stack(p["blocks"], x, mask, tc.heads, act,
+                                 tc.ln_eps)
+    pooled, token_embs = x[:, -1], x[:, :-1]
+    pooled = layers.layer_norm(p["ln_final"], pooled, tc.ln_eps)
+    pooled = pooled @ p["text_projection"].astype(dtype)
+    if normalize:
+        pooled = l2_normalize(pooled)
+    return pooled, token_embs
+
+
+def decode(params: Params, cfg: CoCaConfig, image_embs: jnp.ndarray,
+           token_embs: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """Multimodal decoder → vocab logits [B, S, V]
+    (reference `transformer.py:884-911`)."""
+    p = params["text_decoder"]
+    m = cfg.multimodal
+    S = token_embs.shape[1]
+    mask = causal_mask(m.context_length)[:S, :S]
+    act = layers.quick_gelu if cfg.quick_gelu else layers.gelu
+    x = token_embs.astype(dtype)
+    image_embs = image_embs.astype(dtype)
+
+    cross = dict(p["cross_blocks"])
+    ln_1_kv = cross.pop("ln_1_kv")
+
+    def body(h, layer_p):
+        self_p, cross_p, kv_ln = layer_p
+        h = layers.residual_block(self_p, h, mask, m.heads, act, m.ln_eps)
+        # cross-attention block (reference ResidualAttentionBlock with
+        # is_cross_attention=True): q from ln_1(h), kv from ln_1_kv(img)
+        q_in = layers.layer_norm(cross_p["ln_1"], h, m.ln_eps)
+        kv_in = layers.layer_norm(kv_ln, image_embs, m.ln_eps)
+        h = h + _cross_attention(cross_p["attn"], q_in, kv_in, m.heads)
+        h = h + layers.mlp(cross_p["mlp"],
+                           layers.layer_norm(cross_p["ln_2"], h, m.ln_eps),
+                           act)
+        return h, None
+
+    x, _ = jax.lax.scan(body, x, (p["blocks"], cross, ln_1_kv))
+    x = layers.layer_norm(p["ln_final"], x, m.ln_eps)
+    return x @ p["text_projection"].astype(dtype)
+
+
+def _cross_attention(p: Params, q_in, kv_in, n_heads: int):
+    """Cross-attention with fused qkv weights: q block applied to the
+    queries, k/v blocks to the keys/values (torch MultiheadAttention
+    packed layout)."""
+    dtype = q_in.dtype
+    D = q_in.shape[-1]
+    w = p["qkv_w"].astype(dtype)
+    b = p["qkv_b"].astype(dtype)
+    q = q_in @ w[:, :D] + b[:D]
+    k = kv_in @ w[:, D:2 * D] + b[D:2 * D]
+    v = kv_in @ w[:, 2 * D:] + b[2 * D:]
+    head_dim = D // n_heads
+    B = q.shape[0]
+
+    def heads(t):
+        return t.reshape(B, t.shape[1], n_heads, head_dim).transpose(0, 2, 1, 3)
+
+    qh, kh, vh = heads(q), heads(k), heads(v)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+                        preferred_element_type=jnp.float32) * head_dim ** -0.5
+    probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, vh)
+    out = out.transpose(0, 2, 1, 3).reshape(B, -1, D)
+    return out @ p["out_w"].astype(dtype) + p["out_b"].astype(dtype)
+
+
+def forward(params: Params, cfg: CoCaConfig, images, tokens,
+            dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
+    """Training forward (reference `coca_model.py:167-201`): labels are
+    tokens[:, 1:], decoder sees token embs[:, :-1] (teacher forcing)."""
+    image_latent, image_embs = encode_image_coca(params, cfg, images,
+                                                 dtype=dtype)
+    text_latent, token_embs = encode_text_coca(params, cfg, tokens,
+                                               dtype=dtype)
+    labels = tokens[:, 1:]
+    logits = decode(params, cfg, image_embs, token_embs[:, :-1], dtype)
+    return {
+        "image_features": image_latent,
+        "text_features": text_latent,
+        "logits": logits,
+        "labels": labels,
+        "logit_scale": jnp.exp(params["logit_scale"]),
+    }
+
+
+def generate(params: Params, cfg: CoCaConfig, images, key,
+             seq_len: int = 30, top_k: int = 1, temperature: float = 1.0,
+             sot_token_id: int = 49406, eos_token_id: int = 49407,
+             pad_id: int = 0, dtype=jnp.float32) -> jnp.ndarray:
+    """Autoregressive caption sampling (top-k; top_k=1 is greedy) as a
+    single jitted scan (the reference's HF-style loop,
+    `coca_model.py:204-300`)."""
+    B = images.shape[0]
+    _, image_embs = encode_image_coca(params, cfg, images, dtype=dtype)
+
+    def step(carry, _):
+        tokens, pos, done, key = carry
+        text_latent, token_embs = encode_text_coca(
+            params, cfg, tokens, dtype=dtype)
+        logits = decode(params, cfg, image_embs, token_embs, dtype)
+        cur = jnp.take_along_axis(
+            logits, (pos - 1)[None, None, None].repeat(B, 0), axis=1)[:, 0]
+        cur = cur / temperature
+        if top_k > 1:
+            kth = jnp.sort(cur, axis=-1)[:, -top_k][:, None]
+            cur = jnp.where(cur < kth, -jnp.inf, cur)
+            key, sub = jax.random.split(key)
+            nxt = jax.random.categorical(sub, cur, axis=-1)
+        else:
+            nxt = jnp.argmax(cur, axis=-1)
+        nxt = jnp.where(done, pad_id, nxt)
+        done = done | (nxt == eos_token_id)
+        tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, pos))
+        return (tokens, pos + 1, done, key), None
+
+    tokens0 = jnp.full((B, cfg.multimodal.context_length), pad_id, jnp.int32)
+    tokens0 = tokens0.at[:, 0].set(sot_token_id)
+    (tokens, _, _, _), _ = jax.lax.scan(
+        step, (tokens0, jnp.asarray(1), jnp.zeros((B,), bool), key),
+        None, length=min(seq_len, cfg.multimodal.context_length - 1))
+    return tokens

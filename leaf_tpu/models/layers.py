@@ -108,7 +108,10 @@ def attention(p: Params, x: jnp.ndarray, mask: Optional[jnp.ndarray],
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                         preferred_element_type=jnp.float32) * scale
     if mask is not None:
-        logits = logits + mask.astype(jnp.float32)
+        m = mask.astype(jnp.float32)
+        if m.ndim == 3:          # per-sample additive mask [B, S, S]
+            m = m[:, None]
+        logits = logits + m
     probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
     out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
     out = out.transpose(0, 2, 1, 3).reshape(B, S, D)

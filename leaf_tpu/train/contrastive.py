@@ -84,6 +84,80 @@ def make_contrastive_train_step(cfg: CLIPConfig,
     return jax.jit(step_fn, donate_argnums=(0,))
 
 
+def make_accum_contrastive_train_step(cfg: CLIPConfig,
+                                      tx: optax.GradientTransformation,
+                                      accum_freq: int,
+                                      dtype=jnp.float32):
+    """Gradient accumulation with the contrastive feature-cache trick
+    (reference `open_clip_train/train.py:78-136`).
+
+    Plain accumulation would contrast each microbatch only against
+    itself; instead: (1) a no-grad pass caches features of ALL
+    microbatches, (2) each microbatch is re-run with grad and spliced
+    into the cached global feature matrix, so every microbatch sees the
+    full effective batch as negatives.  One jitted step:
+    step(state, images [k, b, H, W, 3], tokens [k, b, C]).
+    """
+
+    def step_fn(state: TrainState, images, tokens):
+        params = state.text_params
+        k, b = images.shape[0], images.shape[1]
+
+        def fwd(p, im, tk):
+            out = lclip.forward(p, cfg, im, tk, dtype)
+            return (out["image_features"].astype(jnp.float32),
+                    out["text_features"].astype(jnp.float32),
+                    out["logit_scale"].astype(jnp.float32))
+
+        # pass 1: cached features, no grad
+        def cache_one(_, chunk):
+            im, tk = chunk
+            img_f, txt_f, _ = fwd(params, im, tk)
+            return None, (img_f, txt_f)
+
+        _, (all_img, all_txt) = jax.lax.scan(cache_one, None,
+                                             (images, tokens))
+        all_img = jax.lax.stop_gradient(all_img.reshape(k * b, -1))
+        all_txt = jax.lax.stop_gradient(all_txt.reshape(k * b, -1))
+
+        def chunk_loss(p, im, tk, j):
+            img_f, txt_f, scale = fwd(p, im, tk)
+            img = jax.lax.dynamic_update_slice(all_img, img_f, (j * b, 0))
+            txt = jax.lax.dynamic_update_slice(all_txt, txt_f, (j * b, 0))
+            logits = scale * img @ txt.T
+            labels = jnp.arange(k * b)
+            logp_i = jax.nn.log_softmax(logits, -1)
+            logp_t = jax.nn.log_softmax(logits.T, -1)
+            return -(jnp.take_along_axis(logp_i, labels[:, None], 1).mean()
+                     + jnp.take_along_axis(logp_t, labels[:, None], 1).mean()
+                     ) / 2
+
+        # pass 2: accumulate grads per microbatch
+        def accum_one(carry, chunk):
+            grads_acc, loss_acc, j = carry
+            im, tk = chunk
+            loss, grads = jax.value_and_grad(chunk_loss)(params, im, tk, j)
+            grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+            return (grads_acc, loss_acc + loss, j + 1), None
+
+        zero = jax.tree.map(jnp.zeros_like, params)
+        (grads, loss_sum, _), _ = jax.lax.scan(
+            accum_one, (zero, jnp.zeros(()), jnp.zeros((), jnp.int32)),
+            (images, tokens))
+        grads = jax.tree.map(lambda g: g / accum_freq, grads)
+
+        updates, opt_state = tx.update(grads, state.opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        new_params = dict(new_params)
+        new_params["logit_scale"] = jnp.clip(new_params["logit_scale"], 0.0,
+                                             math.log(100.0))
+        return (TrainState(text_params=new_params, opt_state=opt_state,
+                           step=state.step + 1),
+                {"loss": loss_sum / accum_freq})
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
 def get_clip_metrics(image_features, text_features, logit_scale
                      ) -> Dict[str, float]:
     """Retrieval metrics: mean rank, median rank, R@1/5/10 both ways

@@ -21,6 +21,12 @@ import pytest  # noqa: E402
 # parity tests need true fp32 accumulation.
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache: first-compiles dominate test wall time
+# in this environment; reruns hit the disk cache.
+from leaf_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 
 @pytest.fixture(scope="session")
 def tokenizer():

@@ -152,3 +152,32 @@ def test_contrastive_train_step_sharded(tiny):
     _, metrics_ref = step_ref(state_ref, images, tokens)
     np.testing.assert_allclose(float(metrics["loss"]),
                                float(metrics_ref["loss"]), rtol=1e-4)
+
+
+def test_accum_contrastive_feature_cache(tiny):
+    """k microbatches with the feature-cache trick ≈ one full-batch
+    step (identical loss and near-identical update)."""
+    from leaf_tpu.train.contrastive import (
+        make_accum_contrastive_train_step,
+    )
+    from leaf_tpu.tokenizer import get_tokenizer
+    cfg, params = tiny
+    tok = get_tokenizer()
+    tx = make_optimizer(cosine_lr(1e-4, 1, 10), weight_decay=0.0)
+    rng = np.random.default_rng(0)
+    images = rng.uniform(-1, 1, (8, 64, 64, 3)).astype(np.float32)
+    texts = [f"caption number {i}" for i in range(8)]
+    tokens = np.asarray(tok(texts))
+
+    state_a = TrainState.create(jax.tree.map(jnp.copy, params), tx)
+    full_step = make_contrastive_train_step(cfg, tx)
+    _, m_full = full_step(state_a, jnp.asarray(images), jnp.asarray(tokens))
+
+    state_b = TrainState.create(jax.tree.map(jnp.copy, params), tx)
+    accum_step = make_accum_contrastive_train_step(cfg, tx, accum_freq=2)
+    _, m_accum = accum_step(state_b,
+                            jnp.asarray(images.reshape(2, 4, 64, 64, 3)),
+                            jnp.asarray(tokens.reshape(2, 4, -1)))
+    # the feature-cache trick reproduces the full-batch loss
+    np.testing.assert_allclose(float(m_accum["loss"]),
+                               float(m_full["loss"]), rtol=1e-4)

@@ -125,3 +125,43 @@ def test_edit_machinery_parity_vs_reference():
         our_all = edits.generate_all_sentences(s, edits.SPACE_VOCAB,
                                                alternative=-1)
         assert our_all == ref_all
+
+
+def test_coca_forward_parity(ref_open_clip, torch):
+    """Random-init reference CoCa → our pytree → matching contrastive
+    latents and caption logits."""
+    import jax.numpy as jnp
+    from leaf_tpu.models import coca as lcoca
+    from leaf_tpu.models.coca_interop import coca_openclip_to_params
+
+    torch.manual_seed(0)
+    ref = ref_open_clip.create_model("coca_ViT-B-32", pretrained=None).eval()
+    cfg = lcoca.coca_vit_b_32()
+    params = coca_openclip_to_params(ref.state_dict(), cfg)
+
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(1, 49406, size=(2, 76))
+    tokens[:, 0] = 49406
+    for i, e in enumerate([10, 40]):
+        tokens[i, e] = 49407
+        tokens[i, e + 1:] = 0
+    images = rng.standard_normal((2, 224, 224, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        out = ref(torch.from_numpy(images.transpose(0, 3, 1, 2)),
+                  torch.from_numpy(tokens))
+
+    import jax
+    ours = jax.jit(lambda p, im, t: lcoca.forward(p, cfg, im, t))(
+        params, jnp.asarray(images), jnp.asarray(tokens))
+
+    np.testing.assert_allclose(np.asarray(ours["image_features"]),
+                               out["image_features"].numpy(),
+                               atol=5e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(ours["text_features"]),
+                               out["text_features"].numpy(),
+                               atol=5e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(ours["labels"]),
+                               out["labels"].numpy())
+    np.testing.assert_allclose(np.asarray(ours["logits"]),
+                               out["logits"].numpy(), atol=2e-3, rtol=1e-2)
