@@ -36,27 +36,21 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from leaf_tpu.attacks import attack_text_leaf
-    from leaf_tpu.attacks.engine import CandidateScorer, bucket_tokens
     from leaf_tpu.models import create_model
     from leaf_tpu.tokenizer import get_tokenizer
+    from leaf_tpu.train.fused import FusedLeafStep
     from leaf_tpu.train.optim import make_optimizer
     from leaf_tpu.train.schedules import cosine_lr
-    from leaf_tpu.train.step import (
-        TrainState,
-        make_anchor_encode,
-        make_train_step,
-    )
+    from leaf_tpu.train.step import TrainState
 
     model = create_model(MODEL, precision="bf16")
     cfg = model.cfg
-    scorer = CandidateScorer(cfg, dtype=jnp.bfloat16)
     tokenizer = get_tokenizer()
     tx = make_optimizer(cosine_lr(1e-5, 10, 1000), weight_decay=1e-4)
-    state = TrainState.create(model.params["text"], tx)
-    train_step = make_train_step(cfg, tx, dtype=jnp.bfloat16, donate=True)
-    anchor_encode = make_anchor_encode(cfg, dtype=jnp.bfloat16)
+    state = TrainState.create(jax.tree.map(jnp.copy, model.params["text"]),
+                              tx)
     frozen_text = jax.tree.map(jnp.copy, model.params["text"])
+    fused = FusedLeafStep(cfg, tx, tokenizer, rho=RHO, dtype=jnp.bfloat16)
 
     words = ("the quick brown fox jumps over lazy dog stock market rally "
              "world cup final tech giant unveils new chip government "
@@ -65,15 +59,9 @@ def main():
     texts = [" ".join(rng.choice(words, size=10)) for _ in range(BATCH)]
 
     def one_step(step_rng):
-        tokens = bucket_tokens(tokenizer(texts))
-        anchors = anchor_encode(frozen_text, tokens)
-        _, adv_texts = attack_text_leaf(
-            scorer, state.text_params, tokenizer, texts, anchors,
-            objective="l2", n=RHO, k=1, rng=step_rng)
-        adv_tokens = bucket_tokens(tokenizer(adv_texts))
-        new_state, metrics = train_step(state, adv_tokens, anchors)
-        jax.block_until_ready(metrics["loss"])
-        return new_state, metrics
+        new_state, info = fused(state, frozen_text, texts, step_rng)
+        jax.block_until_ready(info["metrics"]["loss"])
+        return new_state, info["metrics"]
 
     # warmup / compile
     state, _ = one_step(np.random.default_rng(1))

@@ -131,6 +131,14 @@ def main(args=None) -> Dict:
                                  dtype=dtype, remat=args.grad_checkpointing)
     anchor_encode = make_anchor_encode(cfg, normalize=args.normalize_fare,
                                        dtype=dtype)
+    fused_step = None
+    if args.k_adv == 1 and not args.use_charmer and constraint is None:
+        from leaf_tpu.train.fused import FusedLeafStep
+        fused_step = FusedLeafStep(cfg, tx, tokenizer, rho=args.rho,
+                                   vocab=vocab,
+                                   normalize=args.normalize_fare,
+                                   dtype=dtype,
+                                   remat=args.grad_checkpointing)
 
     results = ResultsLedger(os.path.join(out_dir, "results.csv"),
                             columns=RESULT_COLUMNS)
@@ -204,7 +212,8 @@ def main(args=None) -> Dict:
             state, frozen_text_params, scorer, anchor_encode, train_step,
             tokenizer, vocab, data, epoch, args, constraint=constraint,
             timing=timing, rng=np.random.default_rng(args.seed + 1000 * epoch
-                                                     + jax.process_index()))
+                                                     + jax.process_index()),
+            fused_step=fused_step)
         completed = epoch + 1
         metrics = run_eval(completed)
         LOG.info("epoch %d eval: %s", completed, metrics)

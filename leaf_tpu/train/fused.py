@@ -1,0 +1,166 @@
+"""Fused attack+train step for the k=1 LEAF configuration.
+
+The released LEAF models all train with k_adv=1 (BASELINE.md).  For
+that case the per-step device round-trips collapse from four to two:
+
+  dispatch A (one jit): frozen-tower anchor encode + phase-1 probe
+    scoring → best probe index per sentence  (the only hard host sync —
+    the host must place phase-2 edits at the winning slots);
+  dispatch B (one jit): phase-2 candidate scoring → on-device winner
+    selection (`take_along_axis` on the candidate token buffer) →
+    TextFARE loss + grad + AdamW update.
+
+The adversarial *strings* never need to return to host — the winning
+tokens feed the train step directly on device.  Selection semantics are
+identical to `attack_text_leaf` (same probe/candidate generation, same
+argmax); `tests/test_fused_step.py` pins equivalence against the
+unfused path.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from leaf_tpu.attacks import edits
+from leaf_tpu.attacks.engine import bucket_tokens, objective_loss
+from leaf_tpu.models import clip as lclip
+from leaf_tpu.models.config import CLIPConfig
+from leaf_tpu.train.step import TrainState
+
+
+def make_fused_phase1(cfg: CLIPConfig, normalize: bool = False,
+                      dtype=jnp.float32):
+    """(frozen_text, train_text, clean_tokens [B,C], probe_tokens
+    [B,N,C]) → (anchors [B,D], best_probe [B])."""
+
+    @jax.jit
+    def phase1(frozen_text, train_text, clean_tokens, probe_tokens):
+        anchors = lclip.encode_text(frozen_text, cfg.text, clean_tokens,
+                                    cfg.quick_gelu, normalize, dtype)
+        B, N, C = probe_tokens.shape
+        feats = lclip.encode_text(train_text, cfg.text,
+                                  probe_tokens.reshape(B * N, C),
+                                  cfg.quick_gelu, False, dtype)
+        loss = objective_loss(
+            feats.reshape(B, N, -1).astype(jnp.float32),
+            anchors.astype(jnp.float32), "l2")
+        return anchors, jnp.argmax(loss, axis=-1)
+
+    return phase1
+
+
+def make_fused_phase2_step(cfg: CLIPConfig, tx: optax.GradientTransformation,
+                           normalize: bool = False, dtype=jnp.float32,
+                           remat: bool = False, donate: bool = True):
+    """(state, cand_tokens [B,N,C], anchors [B,D]) →
+    (state', best_idx [B], metrics)."""
+
+    def step_fn(state: TrainState, cand_tokens, anchors):
+        B, N, C = cand_tokens.shape
+        feats = lclip.encode_text(state.text_params, cfg.text,
+                                  cand_tokens.reshape(B * N, C),
+                                  cfg.quick_gelu, normalize, dtype)
+        cand_loss = objective_loss(
+            feats.reshape(B, N, -1).astype(jnp.float32),
+            anchors.astype(jnp.float32), "l2")
+        best = jnp.argmax(cand_loss, axis=-1)
+        adv_tokens = jnp.take_along_axis(
+            cand_tokens, best[:, None, None], axis=1)[:, 0]
+
+        def loss_fn(text_params):
+            adv_feats = lclip.encode_text(text_params, cfg.text, adv_tokens,
+                                          cfg.quick_gelu, normalize, dtype,
+                                          remat=remat)
+            diff = anchors.astype(jnp.float32) - adv_feats.astype(jnp.float32)
+            return jnp.square(diff).sum(-1).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.text_params)
+        updates, opt_state = tx.update(grads, state.opt_state,
+                                       state.text_params)
+        params = optax.apply_updates(state.text_params, updates)
+        new_state = TrainState(text_params=params, opt_state=opt_state,
+                               step=state.step + 1)
+        return new_state, best, {"loss": loss,
+                                 "grad_norm": optax.global_norm(grads)}
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+class FusedLeafStep:
+    """Orchestrates the 2-dispatch fused step; falls back on callers for
+    k>1 / charmer / constrained configurations."""
+
+    def __init__(self, cfg: CLIPConfig, tx, tokenizer, rho: int,
+                 vocab=edits.DEFAULT_VOCAB, normalize: bool = False,
+                 dtype=jnp.float32, remat: bool = False):
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.rho = rho
+        self.vocab = np.asarray(vocab, np.int32)
+        self.vocab_list = list(vocab)
+        self.phase1 = make_fused_phase1(cfg, normalize, dtype)
+        self.phase2 = make_fused_phase2_step(cfg, tx, normalize, dtype, remat)
+
+    def _probe_tokens(self, texts, positions):
+        from leaf_tpu.attacks.text import _edit_tokens_fast
+        space = np.full(positions.shape, ord(" "), np.int32)
+        toks = _edit_tokens_fast(self.tokenizer, texts, positions, space)
+        if toks is None:
+            rows = [[edits.apply_edit(S, int(z), 0, edits.SPACE_VOCAB,
+                                      alternative=-1) for z in positions[i]]
+                    for i, S in enumerate(texts)]
+            toks = self.tokenizer([s for r in rows for s in r]).reshape(
+                len(texts), self.rho, -1)
+        return toks
+
+    def _cand_tokens(self, texts, best_pos, us):
+        from leaf_tpu.attacks.text import _edit_tokens_fast
+        zs = np.repeat(np.asarray(best_pos, np.int32)[:, None], self.rho,
+                       axis=1)
+        toks = _edit_tokens_fast(self.tokenizer, texts, zs, self.vocab[us])
+        if toks is None:
+            rows = [[edits.apply_edit(S, best_pos[i], int(u), self.vocab_list,
+                                      alternative=-1) for u in us[i]]
+                    for i, S in enumerate(texts)]
+            toks = self.tokenizer([s for r in rows for s in r]).reshape(
+                len(texts), self.rho, -1)
+        return toks
+
+    def __call__(self, state: TrainState, frozen_text, texts,
+                 rng: np.random.Generator
+                 ) -> Tuple[TrainState, dict]:
+        B = len(texts)
+        n = self.rho
+        clean_tokens = bucket_tokens(self.tokenizer(texts))
+
+        positions = np.stack([edits.sample_positions(len(S), n, rng=rng)
+                              for S in texts])
+        probe_tokens = bucket_tokens(self._probe_tokens(texts, positions))
+        anchors, best_probe = self.phase1(
+            frozen_text, state.text_params, jnp.asarray(clean_tokens),
+            jnp.asarray(probe_tokens))
+        best_probe = np.asarray(best_probe)          # the one hard sync
+        best_pos = [int(positions[i][best_probe[i]]) for i in range(B)]
+
+        us = np.stack([rng.choice(len(self.vocab_list), size=n,
+                                  replace=(n > len(self.vocab_list)))
+                       for _ in range(B)])
+        cand_tokens = bucket_tokens(self._cand_tokens(texts, best_pos, us))
+        state, best, metrics = self.phase2(state, jnp.asarray(cand_tokens),
+                                           anchors)
+        info = {"best_pos": best_pos, "best_char_idx": best, "us": us,
+                "metrics": metrics}
+        return state, info
+
+    def adv_sentences(self, texts, info):
+        """Reconstruct the winning adversarial strings (logging only)."""
+        best = np.asarray(info["best_char_idx"])
+        return [edits.apply_edit(S, info["best_pos"][i],
+                                 int(info["us"][i][best[i]]),
+                                 self.vocab_list, alternative=-1)
+                for i, S in enumerate(texts)]

@@ -65,8 +65,14 @@ def train_one_epoch_text_only(
     constraint=None,
     timing: Optional[TimingLedger] = None,
     rng: Optional[np.random.Generator] = None,
+    fused_step=None,
 ):
-    """Run one epoch; returns (state, log_data)."""
+    """Run one epoch; returns (state, log_data).
+
+    With `fused_step` (a `train.fused.FusedLeafStep`, eligible when
+    k_adv=1 / no charmer / no constraint), each batch runs as two
+    device dispatches instead of four — selection and update semantics
+    are identical (tests/test_fused_step.py)."""
     rng = rng or np.random.default_rng(args.seed + 1000 * epoch)
     info = data["train"]
     info.set_epoch(epoch)
@@ -85,18 +91,28 @@ def train_one_epoch_text_only(
         step = num_batches_per_epoch * epoch + i_accum
         data_time_m.update(time.time() - end)
 
-        tokens = bucket_tokens(tokenizer(texts))
-        anchors = anchor_encode(frozen_text_params, tokens)
+        if fused_step is not None:
+            t0 = time.time()
+            state, info = fused_step(state, frozen_text_params, list(texts),
+                                     rng)
+            metrics = info["metrics"]
+            attack_seconds = time.time() - t0
+            if timing is not None:
+                timing.append(attack_seconds)
+        else:
+            tokens = bucket_tokens(tokenizer(texts))
+            anchors = anchor_encode(frozen_text_params, tokens)
 
-        t0 = time.time()
-        adv_texts = run_attack(scorer, state.text_params, tokenizer, texts,
-                               anchors, args, vocab, constraint, rng)
-        attack_seconds = time.time() - t0
-        if timing is not None:
-            timing.append(attack_seconds)
+            t0 = time.time()
+            adv_texts = run_attack(scorer, state.text_params, tokenizer,
+                                   texts, anchors, args, vocab, constraint,
+                                   rng)
+            attack_seconds = time.time() - t0
+            if timing is not None:
+                timing.append(attack_seconds)
 
-        adv_tokens = bucket_tokens(tokenizer(adv_texts))
-        state, metrics = train_step(state, adv_tokens, anchors)
+            adv_tokens = bucket_tokens(tokenizer(adv_texts))
+            state, metrics = train_step(state, adv_tokens, anchors)
 
         batch_time_m.update(time.time() - end)
         end = time.time()

@@ -17,6 +17,11 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 import pytest  # noqa: E402
 
+# The axon TPU plugin (sitecustomize) force-sets jax_platforms="axon,cpu"
+# at interpreter start, overriding the env var — re-force CPU so tests
+# run on the virtual 8-device host mesh, not through the TPU tunnel.
+jax.config.update("jax_platforms", "cpu")
+
 # JAX's default matmul precision is bf16-grade (the TPU MXU fast path);
 # parity tests need true fp32 accumulation.
 jax.config.update("jax_default_matmul_precision", "highest")

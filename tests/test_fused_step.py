@@ -1,0 +1,76 @@
+"""Fused (2-dispatch) LEAF step ≡ unfused attack + train step."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from leaf_tpu.attacks import attack_text_leaf
+from leaf_tpu.attacks.engine import CandidateScorer, bucket_tokens
+from leaf_tpu.models import clip as lclip
+from leaf_tpu.models.config import get_model_config
+from leaf_tpu.tokenizer import get_tokenizer
+from leaf_tpu.train.fused import FusedLeafStep
+from leaf_tpu.train.optim import make_optimizer
+from leaf_tpu.train.schedules import cosine_lr
+from leaf_tpu.train.step import TrainState, make_anchor_encode, make_train_step
+
+TEXTS = ["a photo of a cat", "stocks rally on earnings",
+         "the match ended in a draw", "hello world"]
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = get_model_config("ViT-tiny-test")
+    params = lclip.init_clip(jax.random.PRNGKey(0), cfg)
+    tok = get_tokenizer()
+    tx = make_optimizer(cosine_lr(1e-3, 1, 100), weight_decay=1e-4)
+    return cfg, params, tok, tx
+
+
+def test_fused_equals_unfused(setup):
+    cfg, params, tok, tx = setup
+    rho = 6
+    frozen = jax.tree.map(jnp.copy, params["text"])
+
+    # --- unfused reference path
+    scorer = CandidateScorer(cfg)
+    anchor_encode = make_anchor_encode(cfg)
+    train_step = make_train_step(cfg, tx, donate=False)
+    state_a = TrainState.create(jax.tree.map(jnp.copy, params["text"]), tx)
+    rng_a = np.random.default_rng(7)
+    clean = bucket_tokens(tok(TEXTS))
+    anchors = anchor_encode(frozen, clean)
+    _, adv_texts = attack_text_leaf(scorer, state_a.text_params, tok,
+                                    list(TEXTS), anchors, objective="l2",
+                                    n=rho, k=1, rng=rng_a)
+    adv_tokens = bucket_tokens(tok(adv_texts))
+    state_a, metrics_a = train_step(state_a, adv_tokens, anchors)
+
+    # --- fused path, same rng stream
+    state_b = TrainState.create(jax.tree.map(jnp.copy, params["text"]), tx)
+    fused = FusedLeafStep(cfg, tx, tok, rho=rho)
+    rng_b = np.random.default_rng(7)
+    state_b, info = fused(state_b, frozen, list(TEXTS), rng_b)
+
+    # identical adversarial sentences
+    assert fused.adv_sentences(list(TEXTS), info) == adv_texts
+    # identical loss and parameters after the update
+    np.testing.assert_allclose(float(info["metrics"]["loss"]),
+                               float(metrics_a["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(state_a.text_params),
+                    jax.tree.leaves(state_b.text_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_fused_step_trains(setup):
+    cfg, params, tok, tx = setup
+    frozen = jax.tree.map(jnp.copy, params["text"])
+    fused = FusedLeafStep(cfg, tx, tok, rho=4)
+    state = TrainState.create(jax.tree.map(jnp.copy, params["text"]), tx)
+    rng = np.random.default_rng(0)
+    losses = []
+    for _ in range(3):
+        state, info = fused(state, frozen, TEXTS, rng)
+        losses.append(float(info["metrics"]["loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    assert int(state.step) == 3
