@@ -1,0 +1,3 @@
+from leaf_tpu.ops.flash_attention import flash_attention
+
+__all__ = ["flash_attention"]

@@ -165,3 +165,37 @@ def test_coca_forward_parity(ref_open_clip, torch):
                                out["labels"].numpy())
     np.testing.assert_allclose(np.asarray(ours["logits"]),
                                out["logits"].numpy(), atol=2e-3, rtol=1e-2)
+
+
+def test_rn50_forward_parity(ref_open_clip, torch):
+    """Random-init reference RN50 vision tower → our pytree → identical
+    image features (BN inference mode)."""
+    import jax
+    import jax.numpy as jnp
+    from leaf_tpu.models.resnet import (
+        ResNetVisionConfig,
+        encode_image_resnet,
+        resnet_openclip_to_params,
+    )
+
+    torch.manual_seed(0)
+    ref = ref_open_clip.create_model("RN50", pretrained=None).eval()
+    # randomise BN running stats so the test exercises them
+    with torch.no_grad():
+        for m in ref.visual.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.05)
+                m.running_var.uniform_(0.5, 1.5)
+    cfg = ResNetVisionConfig(layers=(3, 4, 6, 3), width=64, image_size=224,
+                             heads=32, output_dim=1024)
+    params = resnet_openclip_to_params(ref.state_dict(), "visual.", cfg)
+
+    rng = np.random.default_rng(0)
+    images = rng.standard_normal((2, 224, 224, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref.encode_image(
+            torch.from_numpy(images.transpose(0, 3, 1, 2))).numpy()
+    ours = np.asarray(jax.jit(
+        lambda p, im: encode_image_resnet(p, cfg, im))(
+            params, jnp.asarray(images)))
+    np.testing.assert_allclose(ours, ref_out, atol=5e-4, rtol=1e-3)
