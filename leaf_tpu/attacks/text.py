@@ -220,6 +220,79 @@ def attack_text_charmer_inference(
     return sentence, dist + 1
 
 
+def attack_text_charmer_batched(
+    scorer: CandidateScorer,
+    text_params,
+    tokenizer,
+    sentences: Sequence[str],
+    anchor_features,
+    objective: str = "l2",
+    n: int = 10,
+    k: int = 1,
+    vocab: Sequence[int] = edits.DEFAULT_VOCAB,
+    constraint: Optional[WordConstraint] = None,
+) -> List[str]:
+    """Charmer over a BATCH of sentences — a TPU-native throughput
+    extension: the reference attack is strictly per-sentence
+    (`utils_attacks.py:455` "THIS ATTACK CAN ONLY ATTACK 1 SENTENCE AT
+    A TIME"), leaving the device idle between sentences during eval.
+    Each sentence's search here is *identical* to the sequential
+    attack (independent searches, padded to a common candidate count
+    and masked); they just share device batches.
+
+    Returns the adversarial sentences (distance bookkeeping as in the
+    sequential variant is per-round uniform: all sentences run k
+    rounds)."""
+    sentences = list(sentences)
+    B = len(sentences)
+    if objective in ("sim", "dissim"):
+        anchor_features = _normalize_np(anchor_features)
+    anchors = np.asarray(anchor_features)
+
+    for _ in range(k):
+        # ---- phase 1: ALL space substitutions, padded across sentences
+        probe_rows = [edits.generate_all_sentences(S, edits.SPACE_VOCAB,
+                                                   alternative=-1)
+                      for S in sentences]
+        if constraint is not None:
+            probe_rows = constraint.filter_batched(sentences, probe_rows)
+        n_max = max(len(r) for r in probe_rows)
+        mask = np.zeros((B, n_max), bool)
+        flat = []
+        for i, row in enumerate(probe_rows):
+            mask[i, :len(row)] = True
+            flat.extend(row + [sentences[i]] * (n_max - len(row)))
+        tokens = tokenizer(flat).reshape(B, n_max, -1)
+        _, _, loss = scorer.score_rows(text_params, tokens, anchors,
+                                       objective, mask=mask)
+        loss = np.asarray(loss)
+        top = np.argsort(-loss, axis=1)[:, :n]  # [B, n] slot indices
+
+        # ---- phase 2: full vocabulary at the top-n positions
+        cand_rows = [
+            edits.generate_all_sentences(S, vocab,
+                                         subset_z=top[i][:min(
+                                             n, len(probe_rows[i]))].tolist(),
+                                         alternative=-1)
+            for i, S in enumerate(sentences)
+        ]
+        if constraint is not None:
+            cand_rows = [c if c else [s] for c, s in
+                         zip(constraint.filter_batched(sentences, cand_rows),
+                             sentences)]
+        n_max = max(len(r) for r in cand_rows)
+        mask = np.zeros((B, n_max), bool)
+        flat = []
+        for i, row in enumerate(cand_rows):
+            mask[i, :len(row)] = True
+            flat.extend(row + [sentences[i]] * (n_max - len(row)))
+        tokens = tokenizer(flat).reshape(B, n_max, -1)
+        best_idx, _, _ = scorer.score_rows(text_params, tokens, anchors,
+                                           objective, mask=mask)
+        sentences = [cand_rows[i][best_idx[i]] for i in range(B)]
+    return sentences
+
+
 def attack_text_charmer_classification(
     scorer: CandidateScorer,
     text_params,

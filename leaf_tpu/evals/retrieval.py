@@ -15,7 +15,10 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 from leaf_tpu.attacks.engine import CandidateScorer
-from leaf_tpu.attacks.text import attack_text_charmer_inference
+from leaf_tpu.attacks.text import (
+    attack_text_charmer_batched,
+    attack_text_charmer_inference,
+)
 from leaf_tpu.utils.meters import AverageMeter
 from leaf_tpu.utils.results import ResultsLedger
 
@@ -81,30 +84,39 @@ def eval_retrieval(
     rho: int = 10,
     k: int = 1,
     out_csv: Optional[str] = None,
+    attack_batch: int = 32,
 ) -> Dict[str, Dict[str, float]]:
     """Clean + adversarial retrieval metrics
-    (reference `eval_retrieval.py:36-97`)."""
+    (reference `eval_retrieval.py:36-97`).
+
+    Captions are attacked `attack_batch` at a time with the batched
+    Charmer (identical per-caption search, shared device batches —
+    the reference loops one caption at a time)."""
     text_params = params["text"]
     clean_embeds = embed_texts(scorer, text_params, tokenizer, captions)
     clean = evaluate_scores(image_embeds @ clean_embeds.T, img2txt, txt2img)
 
-    if target is not None:
-        anchor = scorer.encode_text(
-            text_params, tokenizer([RETRIEVAL_TARGETS[target]]))[0]
     ledger = ResultsLedger(out_csv, columns=[
         "sentence", "sentence_adv", "distance"]) if out_csv else None
 
-    adv_captions = []
-    for sent in captions:
-        a = anchor if target is not None else scorer.encode_text(
-            text_params, tokenizer([sent]))[0]
-        adv, dist = attack_text_charmer_inference(
-            scorer, text_params, tokenizer, sent, a, objective=objective,
-            n=rho, k=k)
-        adv_captions.append(adv)
+    adv_captions: List[str] = []
+    for start in range(0, len(captions), attack_batch):
+        chunk = list(captions[start:start + attack_batch])
+        if target is not None:
+            a = scorer.encode_text(
+                text_params, tokenizer([RETRIEVAL_TARGETS[target]]))
+            anchors = np.repeat(np.asarray(a), len(chunk), axis=0)
+        else:
+            anchors = np.asarray(scorer.encode_text(
+                text_params, tokenizer(chunk)))
+        advs = attack_text_charmer_batched(
+            scorer, text_params, tokenizer, chunk, anchors,
+            objective=objective, n=rho, k=k)
+        adv_captions.extend(advs)
         if ledger is not None:
-            ledger.append({"sentence": sent, "sentence_adv": adv,
-                           "distance": dist})
+            for sent, adv in zip(chunk, advs):
+                ledger.append({"sentence": sent, "sentence_adv": adv,
+                               "distance": k})
 
     adv_embeds = embed_texts(scorer, text_params, tokenizer, adv_captions)
     adv = evaluate_scores(image_embeds @ adv_embeds.T, img2txt, txt2img)

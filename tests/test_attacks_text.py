@@ -222,3 +222,18 @@ def test_context_bucketing_exactness(setup):
     loss = scorer.score_flat(params["text"], tokens, anchor, "l2")
     ref = ((full - np.asarray(anchor)) ** 2).sum(-1)
     np.testing.assert_allclose(loss, ref, rtol=1e-4)
+
+
+def test_charmer_batched_matches_sequential(setup):
+    from leaf_tpu.attacks.text import attack_text_charmer_batched
+    cfg, params, scorer, tok = setup
+    sentences = ["a photo of a cat", "hello world", "stocks fall!"]
+    anchors = anchors_for(scorer, params, sentences, tok)
+    seq_out = []
+    for i, s in enumerate(sentences):
+        adv, _ = attack_text_charmer_inference(
+            scorer, params["text"], tok, s, anchors[i], n=4, k=1)
+        seq_out.append(adv)
+    batched = attack_text_charmer_batched(
+        scorer, params["text"], tok, sentences, anchors, n=4, k=1)
+    assert batched == seq_out
