@@ -32,9 +32,8 @@ def _normalize_images(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _encode(params, cfg: CLIPConfig, images, normalize, dtype):
-    return lclip.encode_image(params["visual"], cfg.vision,
-                              _normalize_images(images), cfg.quick_gelu,
-                              normalize, dtype)
+    return lclip.encode_image_model(params, cfg, _normalize_images(images),
+                                    normalize=normalize, dtype=dtype)
 
 
 @functools.partial(jax.jit,

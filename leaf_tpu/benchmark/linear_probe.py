@@ -24,9 +24,8 @@ from leaf_tpu.models.config import CLIPConfig
 def extract_features(params, cfg: CLIPConfig, loader) -> Tuple[np.ndarray,
                                                                np.ndarray]:
     feats, labels = [], []
-    enc = jax.jit(lambda im: lclip.encode_image(
-        params["visual"], cfg.vision, _normalize_images(im),
-        cfg.quick_gelu))
+    enc = jax.jit(lambda im: lclip.encode_image_model(
+        params, cfg, _normalize_images(im)))
     for images, lab in loader:
         feats.append(np.asarray(enc(jnp.asarray(images))))
         labels.append(np.asarray(lab))

@@ -28,9 +28,9 @@ LOG = logging.getLogger(__name__)
 
 def _logits_fn(params, cfg: CLIPConfig, classifier):
     def f(images):
-        feats = lclip.encode_image(params["visual"], cfg.vision,
-                                   _normalize_images(images),
-                                   cfg.quick_gelu, normalize=True)
+        feats = lclip.encode_image_model(params, cfg,
+                                         _normalize_images(images),
+                                         normalize=True)
         return 100.0 * feats.astype(jnp.float32) @ classifier
     return f
 

@@ -39,9 +39,8 @@ def evaluate_zeroshot_retrieval(
     img_feats = []
     for images in image_loader:
         chunk = jnp.asarray(images)
-        img_feats.append(np.asarray(lclip.encode_image(
-            params["visual"], cfg.vision, _normalize_images(chunk),
-            cfg.quick_gelu, normalize=True)))
+        img_feats.append(np.asarray(lclip.encode_image_model(
+            params, cfg, _normalize_images(chunk), normalize=True)))
     image_embs = np.concatenate(img_feats, 0)
 
     txt_feats = []

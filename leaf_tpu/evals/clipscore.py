@@ -52,9 +52,8 @@ def compute_clipscores(
         out = []
         for i in range(0, len(images), batch_size):
             chunk = jnp.asarray(images[i:i + batch_size])
-            out.append(np.asarray(lclip.encode_image(
-                params["visual"], cfg.vision, _normalize_images(chunk),
-                cfg.quick_gelu)))
+            out.append(np.asarray(lclip.encode_image_model(
+                params, cfg, _normalize_images(chunk))))
         return np.concatenate(out, 0)
 
     def embed_texts(texts):

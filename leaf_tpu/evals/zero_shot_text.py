@@ -34,9 +34,8 @@ def class_anchor_features(scorer: CandidateScorer, params, tokenizer,
                                   normalize=True)
     from leaf_tpu.attacks.image import _normalize_images
     images = jnp.asarray(textcls.anchor_images(preprocess))
-    return lclip.encode_image(params["visual"], cfg.vision,
-                              _normalize_images(images), cfg.quick_gelu,
-                              normalize=True)
+    return lclip.encode_image_model(params, cfg, _normalize_images(images),
+                                    normalize=True)
 
 
 def eval_zero_shot_text(

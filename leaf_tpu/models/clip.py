@@ -110,14 +110,43 @@ def init_vision_tower(key, cfg: VisionConfig, quick_gelu: bool = False) -> Param
 
 def init_clip(key, cfg: CLIPConfig) -> Params:
     kt, kv = jax.random.split(key)
+    if cfg.resnet is not None:
+        from leaf_tpu.models.resnet import ResNetVisionConfig, init_resnet
+        rcfg = ResNetVisionConfig(
+            layers=cfg.resnet.layers, width=cfg.resnet.width,
+            image_size=cfg.resnet.image_size, heads=cfg.resnet.heads,
+            output_dim=cfg.resnet.output_dim)
+        visual = init_resnet(kv, rcfg)
+    else:
+        visual = init_vision_tower(kv, cfg.vision, cfg.quick_gelu)
     p = {
         "text": init_text_tower(kt, cfg.text, cfg.quick_gelu),
-        "visual": init_vision_tower(kv, cfg.vision, cfg.quick_gelu),
+        "visual": visual,
         "logit_scale": jnp.asarray(cfg.init_logit_scale, jnp.float32),
     }
     if cfg.init_logit_bias is not None:
         p["logit_bias"] = jnp.asarray(cfg.init_logit_bias, jnp.float32)
     return p
+
+
+def encode_image_model(params: Params, cfg: CLIPConfig, images: jnp.ndarray,
+                       normalize: bool = False, dtype=jnp.float32,
+                       remat: bool = False) -> jnp.ndarray:
+    """Vision dispatch over the full-model config: ViT or ModifiedResNet
+    (`params` is the FULL model pytree)."""
+    if cfg.resnet is not None:
+        from leaf_tpu.models.resnet import (
+            ResNetVisionConfig,
+            encode_image_resnet,
+        )
+        rcfg = ResNetVisionConfig(
+            layers=cfg.resnet.layers, width=cfg.resnet.width,
+            image_size=cfg.resnet.image_size, heads=cfg.resnet.heads,
+            output_dim=cfg.resnet.output_dim)
+        return encode_image_resnet(params["visual"], rcfg, images,
+                                   normalize=normalize, dtype=dtype)
+    return encode_image(params["visual"], cfg.vision, images,
+                        cfg.quick_gelu, normalize, dtype, remat)
 
 
 # ---------------------------------------------------------------------------
@@ -186,9 +215,26 @@ def patchify(images: jnp.ndarray, patch_size: int) -> jnp.ndarray:
     return x.reshape(B, gh * gw, p * p * C)
 
 
+def patch_dropout(x: jnp.ndarray, rate: float, key) -> jnp.ndarray:
+    """Training-time patch dropout (reference `transformer.py:50-87`):
+    keep the class token + a per-sample random subset of
+    ceil((1-rate)·N) patch tokens.  Identity when rate == 0."""
+    if rate <= 0:
+        return x
+    B, S, D = x.shape
+    num_patches = S - 1
+    num_keep = max(1, int(num_patches * (1 - rate)))
+    scores = jax.random.uniform(key, (B, num_patches))
+    keep = jnp.argsort(scores, axis=-1)[:, :num_keep] + 1  # skip cls
+    patches = jnp.take_along_axis(x, keep[:, :, None], axis=1)
+    return jnp.concatenate([x[:, :1], patches], axis=1)
+
+
 def encode_image(params: Params, cfg: VisionConfig, images: jnp.ndarray,
                  quick_gelu: bool = False, normalize: bool = False,
-                 dtype=jnp.float32, remat: bool = False) -> jnp.ndarray:
+                 dtype=jnp.float32, remat: bool = False,
+                 patch_dropout_rate: float = 0.0,
+                 dropout_key=None) -> jnp.ndarray:
     """NHWC images [B, H, W, 3] → image features [B, output_dim]
     (reference `transformer.py:559-612` VisionTransformer.forward)."""
     x = patchify(images.astype(dtype), cfg.patch_size)
@@ -197,6 +243,8 @@ def encode_image(params: Params, cfg: VisionConfig, images: jnp.ndarray,
                            (x.shape[0], 1, cfg.width))
     x = jnp.concatenate([cls, x], axis=1)
     x = x + params["positional_embedding"].astype(dtype)
+    if patch_dropout_rate > 0 and dropout_key is not None:
+        x = patch_dropout(x, patch_dropout_rate, dropout_key)
     x = layers.layer_norm(params["ln_pre"], x, cfg.ln_eps)
     x = layers.transformer_stack(
         params["blocks"], x, None, cfg.heads, _act(quick_gelu), cfg.ln_eps,
@@ -232,9 +280,8 @@ def forward(params: Params, cfg: CLIPConfig,
     (`model.py:295-315`)."""
     out = {"logit_scale": jnp.exp(params["logit_scale"])}
     if images is not None:
-        out["image_features"] = encode_image(
-            params["visual"], cfg.vision, images, cfg.quick_gelu,
-            normalize=True, dtype=dtype)
+        out["image_features"] = encode_image_model(
+            params, cfg, images, normalize=True, dtype=dtype)
     if tokens is not None:
         out["text_features"] = encode_text(
             params["text"], cfg.text, tokens, cfg.quick_gelu,

@@ -60,6 +60,20 @@ class VisionConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class ResNetVisionSpec:
+    """ModifiedResNet tower spec (reference `model_configs/RN50*.json`:
+    vision layers given as a 4-tuple, patch_size null)."""
+    layers: Tuple[int, ...] = (3, 4, 6, 3)
+    width: int = 64
+    image_size: int = 224
+    output_dim: int = 1024
+
+    @property
+    def heads(self) -> int:
+        return self.width * 32 // 64
+
+
+@dataclasses.dataclass(frozen=True)
 class CLIPConfig:
     name: str
     embed_dim: int
@@ -68,6 +82,7 @@ class CLIPConfig:
     quick_gelu: bool = False       # OpenAI-pretrained towers use QuickGELU
     init_logit_scale: float = 2.6592  # ln(1/0.07), reference model.py:229
     init_logit_bias: Optional[float] = None
+    resnet: Optional[ResNetVisionSpec] = None  # set → ResNet vision tower
 
 
 def _cfg(name, embed_dim, v_layers, v_width, v_patch, t_width, t_heads, t_layers,
@@ -112,6 +127,28 @@ for c in [
          v_mlp_ratio=4.9231),
 ]:
     _REGISTRY[c.name] = c
+
+# ResNet-family models (reference RN50/RN101 configs; OpenAI RN models
+# use QuickGELU)
+for name, layers, width, embed, t_width, t_heads, t_layers in [
+    ("RN50", (3, 4, 6, 3), 64, 1024, 512, 8, 12),
+    ("RN101", (3, 4, 23, 3), 64, 512, 512, 8, 12),
+    ("RN50x4", (4, 6, 10, 6), 80, 640, 640, 10, 12),
+]:
+    _REGISTRY[name] = CLIPConfig(
+        name=name, embed_dim=embed,
+        text=TextConfig(width=t_width, heads=t_heads, layers=t_layers,
+                        output_dim=embed),
+        vision=VisionConfig(image_size=224 if width == 64 else 288,
+                            patch_size=32, width=width * 16,
+                            layers=sum(layers), output_dim=embed),
+        resnet=ResNetVisionSpec(layers=layers, width=width,
+                                image_size=224 if width == 64 else 288,
+                                output_dim=embed),
+    )
+    # OpenAI-pretrained RN checkpoints use QuickGELU
+    _REGISTRY[name + "-quickgelu"] = dataclasses.replace(
+        _REGISTRY[name], name=name + "-quickgelu", quick_gelu=True)
 
 # OpenAI-pretrained variants use QuickGELU activation
 # (reference: `src/open_clip/factory.py` quick_gelu handling, conversion/convert_2.py:129-147)

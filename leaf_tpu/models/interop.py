@@ -149,9 +149,35 @@ def _openclip_block_stack(sd: Mapping[str, Any], prefix: str, layers: int) -> Pa
 
 
 def openclip_to_params(sd: Mapping[str, Any], cfg: CLIPConfig) -> Params:
-    """OpenCLIP `CLIP.state_dict()` → leaf_tpu pytree."""
+    """OpenCLIP `CLIP.state_dict()` → leaf_tpu pytree (ViT or
+    ModifiedResNet vision tower, auto-detected by key schema)."""
     sd = {k[len("module."):] if k.startswith("module.") else k: v
           for k, v in sd.items()}
+    if "visual.attnpool.positional_embedding" in sd:
+        from leaf_tpu.models.resnet import (
+            ResNetVisionConfig,
+            resnet_openclip_to_params,
+        )
+        assert cfg.resnet is not None, \
+            f"checkpoint is a ResNet CLIP but config {cfg.name} is ViT"
+        rcfg = ResNetVisionConfig(
+            layers=cfg.resnet.layers, width=cfg.resnet.width,
+            image_size=cfg.resnet.image_size, heads=cfg.resnet.heads,
+            output_dim=cfg.resnet.output_dim)
+        visual = resnet_openclip_to_params(sd, "visual.", rcfg)
+        return {
+            "text": {
+                "token_embedding": _np(sd["token_embedding.weight"]),
+                "positional_embedding": _np(sd["positional_embedding"]),
+                "blocks": _openclip_block_stack(sd, "transformer",
+                                                cfg.text.layers),
+                "ln_final": {"scale": _np(sd["ln_final.weight"]),
+                             "bias": _np(sd["ln_final.bias"])},
+                "text_projection": _np(sd["text_projection"]),
+            },
+            "visual": visual,
+            "logit_scale": _np(sd["logit_scale"]).reshape(()),
+        }
     conv = _np(sd["visual.conv1.weight"])
     patch_w = conv.transpose(2, 3, 1, 0).reshape(-1, conv.shape[0])
     p = {

@@ -93,9 +93,9 @@ def train_one_epoch_text_only(
 
         if fused_step is not None:
             t0 = time.time()
-            state, info = fused_step(state, frozen_text_params, list(texts),
-                                     rng)
-            metrics = info["metrics"]
+            state, step_info = fused_step(state, frozen_text_params,
+                                          list(texts), rng)
+            metrics = step_info["metrics"]
             attack_seconds = time.time() - t0
             if timing is not None:
                 timing.append(attack_seconds)

@@ -181,3 +181,40 @@ def test_accum_contrastive_feature_cache(tiny):
     # the feature-cache trick reproduces the full-batch loss
     np.testing.assert_allclose(float(m_accum["loss"]),
                                float(m_full["loss"]), rtol=1e-4)
+
+
+def test_export_roundtrip(tiny, tmp_path):
+    """AOT export → deserialize → identical outputs without model code."""
+    from leaf_tpu.models.export import export_model, load_exported
+    cfg, params = tiny
+    text_path, image_path = export_model(params, cfg, str(tmp_path),
+                                         batch_size=2)
+    assert os.path.getsize(text_path) > 1000
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(1, 999, size=(2, cfg.text.context_length))
+    tokens[:, 0] = 998
+    tokens[:, 5] = 999
+    tokens = tokens.astype(np.int32)
+    exported = load_exported(text_path)
+    out = np.asarray(exported.call(jnp.asarray(tokens)))
+    from leaf_tpu.models import clip as lclip
+    ref = np.asarray(jax.jit(lambda t: lclip.encode_text(
+        params["text"], cfg.text, t))(jnp.asarray(tokens)))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_patch_dropout():
+    from leaf_tpu.models.clip import patch_dropout
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 17, 8)).astype(np.float32))
+    out = patch_dropout(x, 0.5, jax.random.PRNGKey(0))
+    assert out.shape == (2, 9, 8)  # cls + ceil? int(16*0.5)=8 patches
+    # cls token always kept
+    np.testing.assert_array_equal(np.asarray(out[:, 0]), np.asarray(x[:, 0]))
+    # rate 0 → identity
+    np.testing.assert_array_equal(np.asarray(patch_dropout(x, 0.0, None)),
+                                  np.asarray(x))
+    # every kept row comes from the original patches
+    orig = set(map(tuple, np.asarray(x[0]).round(5)))
+    for row in np.asarray(out[0]).round(5):
+        assert tuple(row) in orig

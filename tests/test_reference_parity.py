@@ -199,3 +199,39 @@ def test_rn50_forward_parity(ref_open_clip, torch):
         lambda p, im: encode_image_resnet(p, cfg, im))(
             params, jnp.asarray(images)))
     np.testing.assert_allclose(ours, ref_out, atol=5e-4, rtol=1e-3)
+
+
+def test_rn50_full_model_via_factory(ref_open_clip, torch):
+    """Full RN50 CLIP through create_model-style conversion: get_logits
+    parity vs the reference model."""
+    import jax
+    import jax.numpy as jnp
+    from leaf_tpu.models import clip as lclip, interop
+    from leaf_tpu.models.config import get_model_config
+
+    torch.manual_seed(1)
+    ref = ref_open_clip.create_model("RN50", pretrained=None).eval()
+    cfg = get_model_config("RN50")
+    params = interop.openclip_to_params(ref.state_dict(), cfg)
+
+    rng = np.random.default_rng(1)
+    tokens = rng.integers(1, 49406, size=(2, 77))
+    tokens[:, 0] = 49406
+    tokens[:, 20] = 49407
+    tokens[:, 21:] = 0
+    images = rng.standard_normal((2, 224, 224, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_i = ref.encode_image(
+            torch.from_numpy(images.transpose(0, 3, 1, 2))).numpy()
+        ref_t = ref.encode_text(torch.from_numpy(tokens)).numpy()
+
+    ours_i = np.asarray(jax.jit(
+        lambda p, im: lclip.encode_image_model(p, cfg, im))(
+            params, jnp.asarray(images)))
+    ours_t = np.asarray(jax.jit(
+        lambda p, t: lclip.encode_text(p["text"], cfg.text, t,
+                                       cfg.quick_gelu))(
+            params, jnp.asarray(tokens)))
+    np.testing.assert_allclose(ours_i, ref_i, atol=5e-4, rtol=1e-3)
+    np.testing.assert_allclose(ours_t, ref_t, atol=5e-4, rtol=1e-3)
