@@ -218,6 +218,42 @@ class CandidateScorer:
 
         return score
 
+    @functools.cached_property
+    def _score_cls_rows(self):
+        cfg = self.cfg
+
+        @jax.jit
+        def score(text_params, tokens, class_feats, labels, mask):
+            B, N, C = tokens.shape
+            feats = lclip.encode_text(text_params, cfg.text,
+                                      tokens.reshape(B * N, C),
+                                      cfg.quick_gelu, True, self.dtype)
+            logits = (feats.astype(jnp.float32)
+                      @ class_feats.T.astype(jnp.float32)).reshape(B, N, -1)
+            loss = margin_loss(logits, labels[:, None].repeat(N, 1))
+            loss = jnp.where(mask, loss, -jnp.inf)
+            preds = jnp.argmax(logits, axis=-1)
+            return loss, preds
+
+        return score
+
+    def score_classification_rows(self, text_params, tokens: np.ndarray,
+                                  class_feats, labels,
+                                  mask: Optional[np.ndarray] = None
+                                  ) -> Tuple[np.ndarray, np.ndarray]:
+        """tokens [B, N, C], labels [B] → (margin loss [B, N] with -inf
+        on masked slots, predictions [B, N])."""
+        tokens = jnp.asarray(self._bucket(tokens))
+        B, N, _ = tokens.shape
+        if mask is None:
+            mask = jnp.ones((B, N), bool)
+        else:
+            mask = jnp.asarray(mask)
+        loss, preds = self._score_cls_rows(
+            text_params, tokens, jnp.asarray(class_feats),
+            jnp.asarray(labels), mask)
+        return np.asarray(loss), np.asarray(preds)
+
     def score_classification(self, text_params, tokens: np.ndarray,
                              class_feats, label: int
                              ) -> Tuple[np.ndarray, np.ndarray]:

@@ -327,6 +327,70 @@ def attack_text_charmer_classification(
     return sentence, dist + 1
 
 
+def attack_text_charmer_classification_batched(
+    scorer: CandidateScorer,
+    text_params,
+    tokenizer,
+    sentences: Sequence[str],
+    class_features,
+    labels: Sequence[int],
+    n: int = 10,
+    k: int = 1,
+    vocab: Sequence[int] = edits.DEFAULT_VOCAB,
+) -> List[str]:
+    """Batched Charmer classification attack: per-sentence searches are
+    identical to `attack_text_charmer_classification` (including the
+    early exit — a sentence whose prediction has flipped is frozen for
+    the remaining rounds), but probes/candidates share device batches.
+    """
+    sentences = list(sentences)
+    B = len(sentences)
+    class_features = _normalize_np(class_features)
+    labels = np.asarray(labels)
+    done = np.zeros(B, bool)
+
+    def pad_rows(rows):
+        n_max = max(len(r) for r in rows)
+        mask = np.zeros((B, n_max), bool)
+        flat = []
+        for i, row in enumerate(rows):
+            mask[i, :len(row)] = True
+            flat.extend(row + [sentences[i]] * (n_max - len(row)))
+        return tokenizer(flat).reshape(B, n_max, -1), mask
+
+    for _ in range(k):
+        if done.all():
+            break
+        # ---- phase 1: margin loss over ALL space probes, padded
+        probe_rows = [edits.generate_all_sentences(S, edits.SPACE_VOCAB,
+                                                   alternative=-1)
+                      for S in sentences]
+        tokens, mask = pad_rows(probe_rows)
+        loss, _ = scorer.score_classification_rows(
+            text_params, tokens, class_features, labels, mask)
+        top = np.argsort(-loss, axis=1)
+
+        # ---- phase 2: full vocabulary at the top-n positions
+        cand_rows = [
+            edits.generate_all_sentences(
+                S, vocab,
+                subset_z=top[i][:min(n, len(probe_rows[i]))].tolist(),
+                alternative=-1)
+            for i, S in enumerate(sentences)
+        ]
+        tokens, mask = pad_rows(cand_rows)
+        loss, preds = scorer.score_classification_rows(
+            text_params, tokens, class_features, labels, mask)
+        best = np.argmax(loss, axis=1)
+        for i in range(B):
+            if done[i]:
+                continue          # frozen after an earlier flip
+            sentences[i] = cand_rows[i][best[i]]
+            if preds[i, best[i]] != labels[i]:
+                done[i] = True
+    return sentences
+
+
 def attack_text_charmer_constrained_ret(
     scorer: CandidateScorer,
     text_params,

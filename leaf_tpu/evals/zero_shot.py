@@ -74,27 +74,36 @@ def run_imagenet_eval(params, cfg: CLIPConfig, classifier, loader, key,
 
 def run_text_classification(scorer: CandidateScorer, params, tokenizer,
                             image_features, textcls, n_charmer: int = 20,
-                            k: int = 1, n_val: Optional[int] = None):
-    """(clean_acc, adv_acc) — per-sentence Charmer classification attack
-    against image-anchored class embeddings."""
+                            k: int = 1, n_val: Optional[int] = None,
+                            attack_batch: int = 16):
+    """(clean_acc, adv_acc) — Charmer classification attack against
+    image-anchored class embeddings, `attack_batch` sentences at a time
+    (identical per-sentence search to the reference's sequential loop,
+    `utils_AT.py:131-156`)."""
+    from leaf_tpu.attacks.text import (
+        attack_text_charmer_classification_batched,
+    )
+    samples = textcls.samples[:n_val] if n_val is not None \
+        else textcls.samples
     acc = acc_adv = n = 0
     template = textcls.template
-    for i, d in enumerate(textcls.samples):
-        if n_val is not None and i >= n_val:
-            break
-        sentence, label = d["text"], d["label"]
-        adv_sentence, _ = attack_text_charmer_classification(
-            scorer, params["text"], tokenizer, sentence, image_features,
-            label, n=n_charmer, k=k, vocab=textcls.vocab)
-        tokens = tokenizer([template.format(sentence),
-                            template.format(adv_sentence)])
+    for start in range(0, len(samples), attack_batch):
+        chunk = samples[start:start + attack_batch]
+        sentences = [d["text"] for d in chunk]
+        labels = [d["label"] for d in chunk]
+        adv_sentences = attack_text_charmer_classification_batched(
+            scorer, params["text"], tokenizer, sentences, image_features,
+            labels, n=n_charmer, k=k, vocab=textcls.vocab)
+        tokens = tokenizer([template.format(s) for s in sentences]
+                           + [template.format(s) for s in adv_sentences])
         feats = scorer.encode_text(params["text"], tokens, normalize=True)
         probs = np.asarray(feats.astype(jnp.float32)
                            @ jnp.asarray(image_features).T.astype(jnp.float32))
         preds = probs.argmax(-1)
-        acc += int(preds[0] == label)
-        acc_adv += int(preds[1] == label)
-        n += 1
+        B = len(chunk)
+        acc += int((preds[:B] == labels).sum())
+        acc_adv += int((preds[B:] == labels).sum())
+        n += B
     if n == 0:
         return 0.0, 0.0
     return acc / n, acc_adv / n

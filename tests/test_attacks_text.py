@@ -237,3 +237,24 @@ def test_charmer_batched_matches_sequential(setup):
     batched = attack_text_charmer_batched(
         scorer, params["text"], tok, sentences, anchors, n=4, k=1)
     assert batched == seq_out
+
+
+def test_charmer_classification_batched_matches_sequential(setup):
+    from leaf_tpu.attacks.text import (
+        attack_text_charmer_classification_batched,
+    )
+    cfg, params, scorer, tok = setup
+    class_feats = anchors_for(scorer, params,
+                              ["a photo of a dog", "a photo of a car",
+                               "a photo of a tree"], tok, normalize=True)
+    sentences = ["a photo of a dog", "the car is red", "tall green tree"]
+    labels = [0, 1, 2]
+    seq = []
+    for s, lab in zip(sentences, labels):
+        adv, _ = attack_text_charmer_classification(
+            scorer, params["text"], tok, s, class_feats, lab, n=4, k=2)
+        seq.append(adv)
+    batched = attack_text_charmer_classification_batched(
+        scorer, params["text"], tok, sentences, class_feats, labels,
+        n=4, k=2)
+    assert batched == seq

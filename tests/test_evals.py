@@ -133,3 +133,17 @@ def test_run_imagenet_eval_tiny(setup):
         n_steps=2)
     assert 0 <= top1 <= 1 and 0 <= top1_adv <= 1
     assert top5 == 1.0  # 2 classes → top5 always correct
+
+
+def test_run_text_classification_batched(setup):
+    from leaf_tpu.evals.zero_shot import run_text_classification
+    cfg, params, _, scorer, tok = setup
+    samples = [{"text": "stocks rally on earnings", "label": 2},
+               {"text": "the team won the cup", "label": 1},
+               {"text": "new chip unveiled today", "label": 3}]
+    d = TextClassificationData.from_samples("agnews", samples)
+    anchors = class_anchor_features(scorer, params, tok, d,
+                                    label_encoder="text")
+    acc, acc_adv = run_text_classification(
+        scorer, params, tok, anchors, d, n_charmer=4, k=1, attack_batch=2)
+    assert 0.0 <= acc <= 1.0 and 0.0 <= acc_adv <= 1.0
