@@ -46,16 +46,27 @@ def attack_captions(
     ledger = ResultsLedger(out_csv, columns=["caption", "caption_adv"]) \
         if out_csv else None
     out = []
-    for cap in captions:
-        anchor = scorer.encode_text(text_params, tokenizer([cap]))[0]
-        anchor2 = (scorer.encode_text(text_params2, tokenizer([cap]))[0]
-                   if text_params2 is not None else None)
-        adv, _ = attack_text_charmer_inference(
-            scorer, text_params, tokenizer, cap, anchor,
-            objective=objective, n=rho, k=k,
-            text_params2=text_params2, anchor_features2=anchor2)
-        out.append(adv)
-        if ledger is not None:
+    if text_params2 is None:
+        # single-encoder mode: batched charmer (identical search)
+        from leaf_tpu.attacks.text import attack_text_charmer_batched
+        for start in range(0, len(captions), 32):
+            chunk = list(captions[start:start + 32])
+            anchors = scorer.encode_text(text_params, tokenizer(chunk))
+            out.extend(attack_text_charmer_batched(
+                scorer, text_params, tokenizer, chunk, anchors,
+                objective=objective, n=rho, k=k))
+    else:
+        # dual-encoder (SDXL) mode: per caption, averaging both losses
+        for cap in captions:
+            anchor = scorer.encode_text(text_params, tokenizer([cap]))[0]
+            anchor2 = scorer.encode_text(text_params2, tokenizer([cap]))[0]
+            adv, _ = attack_text_charmer_inference(
+                scorer, text_params, tokenizer, cap, anchor,
+                objective=objective, n=rho, k=k,
+                text_params2=text_params2, anchor_features2=anchor2)
+            out.append(adv)
+    if ledger is not None:
+        for cap, adv in zip(captions, out):
             ledger.append({"caption": cap, "caption_adv": adv})
     return out
 

@@ -17,7 +17,7 @@ from leaf_tpu.attacks import edits
 from leaf_tpu.attacks.engine import CandidateScorer
 from leaf_tpu.attacks.text import (
     attack_text_bruteforce,
-    attack_text_charmer_inference,
+    attack_text_charmer_batched,
     attack_text_leaf,
 )
 from leaf_tpu.utils.results import ResultsLedger
@@ -39,55 +39,64 @@ def eval_textfare(
     n_test: Optional[int] = None,
     out_csv: Optional[str] = None,
     seed: int = 0,
+    attack_batch: int = 32,
 ) -> Dict[str, float]:
-    """Returns mean clean/adv TextFARE losses; optionally streams CSV."""
+    """Returns mean clean/adv TextFARE losses; optionally streams CSV.
+
+    Sentences are attacked `attack_batch` at a time — the leaf attack
+    is batch-parallel by design; charmer uses the batched variant
+    (identical per-sentence search); bruteforce remains per-sentence
+    (its candidate count is exhaustive and length-dependent)."""
     vocab = vocab or edits.DEFAULT_VOCAB
     ledger = ResultsLedger(out_csv, columns=[
         "sentence", "adv_sentence", "textfare_clean", "textfare_adv",
     ]) if out_csv else None
     rng = np.random.default_rng(seed)
 
+    all_samples = samples[:n_test] if n_test is not None else samples
+    texts = [d["text"] if isinstance(d, dict) else d for d in all_samples]
+
     clean_losses: List[float] = []
     adv_losses: List[float] = []
-    for i, d in enumerate(samples):
-        if n_test is not None and i >= n_test:
-            break
-        sentence = d["text"] if isinstance(d, dict) else d
-        tokens = tokenizer([sentence])
-        ref_feats = np.asarray(
-            scorer.encode_text(clean_text_params, tokens))[0]
-        own_feats = scorer.encode_text(eval_text_params, tokens)[0]
+    for start in range(0, len(texts), attack_batch):
+        chunk = texts[start:start + attack_batch]
+        tokens = tokenizer(chunk)
+        ref_feats = np.asarray(scorer.encode_text(clean_text_params, tokens))
+        own_feats = scorer.encode_text(eval_text_params, tokens)
 
         if attack_name == "leaf":
-            _, adv = attack_text_leaf(
-                scorer, eval_text_params, tokenizer, [sentence],
-                own_feats[None], objective="l2", n=rho, k=k, vocab=vocab,
+            _, adv_chunk = attack_text_leaf(
+                scorer, eval_text_params, tokenizer, chunk, own_feats,
+                objective="l2", n=rho, k=k, vocab=vocab,
                 constraint=constraint, rng=rng)
-            adv_sentence = adv[0]
         elif attack_name == "charmer":
-            adv_sentence, _ = attack_text_charmer_inference(
-                scorer, eval_text_params, tokenizer, sentence, own_feats,
+            adv_chunk = attack_text_charmer_batched(
+                scorer, eval_text_params, tokenizer, chunk, own_feats,
                 objective="l2", n=rho, k=k, vocab=vocab,
                 constraint=constraint)
         elif attack_name == "bruteforce":
-            adv_sentence, _ = attack_text_bruteforce(
-                scorer, eval_text_params, tokenizer, sentence, own_feats,
-                objective="l2", vocab=vocab, constraint=constraint)
+            adv_chunk = []
+            for sentence, anchor in zip(chunk, np.asarray(own_feats)):
+                adv_s, _ = attack_text_bruteforce(
+                    scorer, eval_text_params, tokenizer, sentence, anchor,
+                    objective="l2", vocab=vocab, constraint=constraint)
+                adv_chunk.append(adv_s)
         else:
             raise ValueError(f"unknown attack {attack_name!r}")
 
         adv_feats = np.asarray(scorer.encode_text(
-            eval_text_params, tokenizer([adv_sentence])))[0]
+            eval_text_params, tokenizer(adv_chunk)))
         own_np = np.asarray(own_feats)
-        loss_clean = float(np.square(ref_feats - own_np).sum())
-        loss_adv = float(np.square(ref_feats - adv_feats).sum())
-        clean_losses.append(loss_clean)
-        adv_losses.append(loss_adv)
-        if ledger is not None:
-            ledger.append({"sentence": sentence, "adv_sentence": adv_sentence,
-                           "textfare_clean": loss_clean,
-                           "textfare_adv": loss_adv})
-        LOG.debug("%s clean=%.4f adv=%.4f", attack_name, loss_clean, loss_adv)
+        for j, sentence in enumerate(chunk):
+            loss_clean = float(np.square(ref_feats[j] - own_np[j]).sum())
+            loss_adv = float(np.square(ref_feats[j] - adv_feats[j]).sum())
+            clean_losses.append(loss_clean)
+            adv_losses.append(loss_adv)
+            if ledger is not None:
+                ledger.append({"sentence": sentence,
+                               "adv_sentence": adv_chunk[j],
+                               "textfare_clean": loss_clean,
+                               "textfare_adv": loss_adv})
 
     return {
         "textfare_clean": float(np.mean(clean_losses)) if clean_losses else 0.0,

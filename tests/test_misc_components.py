@@ -218,3 +218,17 @@ def test_patch_dropout():
     orig = set(map(tuple, np.asarray(x[0]).round(5)))
     for row in np.asarray(out[0]).round(5):
         assert tuple(row) in orig
+
+
+def test_attack_captions_batched(tiny):
+    from leaf_tpu.attacks.engine import CandidateScorer
+    from leaf_tpu.evals.text_to_image import attack_captions
+    from leaf_tpu.tokenizer import get_tokenizer
+    cfg, params = tiny
+    scorer = CandidateScorer(cfg, bucket=128)
+    tok = get_tokenizer()
+    caps = ["a cat on a mat", "a dog in a park"]
+    advs = attack_captions(scorer, params["text"], tok, caps, rho=3, k=1)
+    assert len(advs) == 2 and all(isinstance(a, str) for a in advs)
+    from tests.test_edits import lev
+    assert all(lev(c, a) <= 1 for c, a in zip(caps, advs))
