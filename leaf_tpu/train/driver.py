@@ -84,9 +84,12 @@ def main(args=None) -> Dict:
 
     # model + frozen anchor tower -----------------------------------------
     precision = "bf16" if args.precision in ("bf16", "amp") else "fp32"
+    pretrained = None
+    if args.pretrained:
+        from leaf_tpu.models.pretrained import resolve_pretrained
+        pretrained = resolve_pretrained(args.model, args.pretrained)
     model, preprocess_train, preprocess_val = create_model_and_transforms(
-        args.model, args.pretrained or None, precision=precision,
-        seed=args.seed)
+        args.model, pretrained, precision=precision, seed=args.seed)
     cfg = model.cfg
     params = replicate(model.params, mesh)
     # real buffer copy: the train step donates its text params, so the
@@ -184,9 +187,25 @@ def main(args=None) -> Dict:
         return p
 
     def run_eval(epoch: int) -> Dict[str, float]:
-        return zero_shot_eval(eval_params(), cfg, data, tokenizer,
-                              preprocess_nonorm, epoch, args, scorer=scorer,
-                              key=jax.random.PRNGKey(args.seed + epoch))
+        metrics = zero_shot_eval(eval_params(), cfg, data, tokenizer,
+                                 preprocess_nonorm, epoch, args,
+                                 scorer=scorer,
+                                 key=jax.random.PRNGKey(args.seed + epoch))
+        # optional contrastive val loss + recall metrics
+        # (`utils_AT.py:441-505`)
+        if "val" in data and (epoch % max(args.val_frequency, 1) == 0
+                              or epoch == args.epochs):
+            from leaf_tpu.train.contrastive import evaluate_contrastive
+
+            def norm_loader():
+                from leaf_tpu.attacks.image import _normalize_images
+                for images, texts in data["val"].loader:
+                    yield np.asarray(_normalize_images(
+                        jnp.asarray(images))), texts
+
+            metrics.update(evaluate_contrastive(
+                eval_params(), cfg, norm_loader(), tokenizer, dtype=dtype))
+        return metrics
 
     def record(epoch: int, train_loss: float, metrics: Dict[str, float]):
         row = {"epoch": epoch, "train_loss": train_loss}

