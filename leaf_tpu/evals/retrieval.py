@@ -121,3 +121,66 @@ def eval_retrieval(
     adv_embeds = embed_texts(scorer, text_params, tokenizer, adv_captions)
     adv = evaluate_scores(image_embeds @ adv_embeds.T, img2txt, txt2img)
     return {"clean": clean, "adv": adv, "adv_captions": adv_captions}
+
+
+def main(argv=None):
+    """Standalone COCO retrieval eval CLI
+    (reference `eval_retrieval.py` __main__)."""
+    import argparse
+    import json as _json
+
+    import jax.numpy as jnp
+
+    from leaf_tpu.attacks.image import _normalize_images
+    from leaf_tpu.data.coco import get_coco_retrieval
+    from leaf_tpu.models import clip as lclip, create_model, get_tokenizer
+    from leaf_tpu.models.preprocess import image_transform
+    from leaf_tpu.utils.logging_utils import setup_logging
+
+    p = argparse.ArgumentParser("leaf_tpu COCO retrieval eval")
+    p.add_argument("--model", required=True)
+    p.add_argument("--pretrained", default="")
+    p.add_argument("--coco-root", required=True)
+    p.add_argument("--annotation", required=True,
+                   help="karpathy-split json (e.g. coco_karpathy_test.json)")
+    p.add_argument("--num-samples", type=int, default=1000)
+    p.add_argument("--target", type=int, default=None,
+                   help="index into the fixed harmful target captions")
+    p.add_argument("--objective", default="l2")
+    p.add_argument("--rho", type=int, default=10)
+    p.add_argument("--k", type=int, default=1)
+    p.add_argument("--precision", default="fp32")
+    p.add_argument("--output", default="retrieval_results.json")
+    args = p.parse_args(argv)
+    setup_logging()
+
+    model = create_model(args.model, args.pretrained or None,
+                         precision=args.precision)
+    cfg = model.cfg
+    tokenizer = get_tokenizer(args.model)
+    from leaf_tpu.attacks.engine import CandidateScorer
+    scorer = CandidateScorer(cfg)
+    preprocess = image_transform(cfg.vision.image_size, do_normalize=False)
+    ds = get_coco_retrieval(args.coco_root, args.annotation, preprocess,
+                            num_samples=args.num_samples)
+    embeds = []
+    for batch in ds.image_batches():
+        embeds.append(np.asarray(lclip.encode_image_model(
+            model.params, cfg, _normalize_images(jnp.asarray(batch)),
+            normalize=True)))
+    image_embeds = np.concatenate(embeds, 0)
+    out = eval_retrieval(scorer, model.params, tokenizer, image_embeds,
+                         ds.text, ds.img2txt, ds.txt2img,
+                         target=args.target, objective=args.objective,
+                         rho=args.rho, k=args.k,
+                         out_csv=args.output.replace(".json",
+                                                     "_perturbations.csv"))
+    result = {"clean": out["clean"], "adv": out["adv"]}
+    with open(args.output, "w") as f:
+        _json.dump(result, f, indent=2)
+    LOG.info("results: %s", result)
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -171,3 +171,28 @@ def test_image_folder(tmp_path):
     ds2 = ImageFolderDataset(str(tmp_path), pre, batch_size=4,
                              subsample_per_class=2)
     assert len(ds2) == 4
+
+
+def test_coco_retrieval_dataset(tmp_path):
+    import json
+    from PIL import Image
+    from leaf_tpu.data.coco import CocoRetrievalDataset
+    (tmp_path / "imgs").mkdir()
+    ann = []
+    for i in range(3):
+        name = f"imgs/{i}.jpg"
+        Image.fromarray(np.full((8, 8, 3), i * 20, np.uint8)).save(
+            tmp_path / name)
+        ann.append({"image": name,
+                    "caption": [f"A Photo of thing {i}!",
+                                f"another view of thing {i}."]})
+    with open(tmp_path / "karpathy.json", "w") as f:
+        json.dump(ann, f)
+    pre = lambda img: np.asarray(img.convert("RGB"), np.float32) / 255.0
+    ds = CocoRetrievalDataset(str(tmp_path), str(tmp_path / "karpathy.json"),
+                              pre, batch_size=2)
+    assert len(ds) == 3 and len(ds.text) == 6
+    assert ds.text[0] == "a photo of thing 0"      # pre_caption applied
+    assert ds.img2txt[1] == [2, 3] and ds.txt2img[3] == 1
+    batches = list(ds.image_batches())
+    assert sum(b.shape[0] for b in batches) == 3
