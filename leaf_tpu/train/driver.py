@@ -240,6 +240,7 @@ def main(args=None) -> Dict:
         if completed % args.save_frequency == 0 or completed == args.epochs:
             save(completed)
 
+    ckpt.wait_for_checkpoints()
     return {"results": results.rows, "state": state,
             "params": eval_params(), "cfg": cfg, "out_dir": out_dir}
 
