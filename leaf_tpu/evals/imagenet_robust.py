@@ -34,6 +34,10 @@ def main(argv=None):
     p.add_argument("--eps", type=float, default=2.0, help="/255 units")
     p.add_argument("--attack-iters", type=int, default=100)
     p.add_argument("--n-targets", type=int, default=3)
+    p.add_argument("--square", action="store_true", default=False,
+                   help="append the black-box Square attack for samples "
+                        "APGD did not fool (full AutoAttack cascade)")
+    p.add_argument("--square-iters", type=int, default=1000)
     p.add_argument("--precision", type=str, default="fp32")
     p.add_argument("--output-dir", type=str, default="./imagenet_eval")
     p.add_argument("--save-adv", action="store_true", default=False)
@@ -87,7 +91,20 @@ def main(argv=None):
             model.params, cfg, classifier, images_j, jnp.asarray(labels),
             args.eps / 255.0, n_iter=args.attack_iters,
             n_targets=args.n_targets)
-        robust1 += int((~np.asarray(fooled) & correct).sum())
+        fooled = np.asarray(fooled)
+        if args.square and (~fooled).any():
+            from leaf_tpu.attacks.square import (
+                make_margin_loss_fn,
+                square_attack,
+            )
+            mfn = make_margin_loss_fn(logits_fn, labels)
+            adv_sq = square_attack(mfn, np.asarray(images),
+                                   eps=args.eps / 255.0,
+                                   n_iters=args.square_iters,
+                                   seed=args.seed)
+            _, fooled_sq = mfn(jnp.asarray(adv_sq))
+            fooled = fooled | np.asarray(fooled_sq)
+        robust1 += int((~fooled & correct).sum())
         if args.save_adv:
             adv_batches.append(np.asarray(adv))
         n += len(labels)

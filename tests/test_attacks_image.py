@@ -129,3 +129,26 @@ def test_fare_training_reduces_adv_drift(setup):
         lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
         out["params"]["text"], params["text"]))
     assert max(same) == 0
+
+
+def test_square_attack(setup):
+    from leaf_tpu.attacks.square import make_margin_loss_fn, square_attack
+    cfg, params, images = setup
+    classifier = jnp.asarray(np.random.default_rng(5).standard_normal(
+        (cfg.embed_dim, 4)).astype(np.float32))
+    classifier = classifier / jnp.linalg.norm(classifier, axis=0)
+    labels = np.asarray([0, 1])
+
+    def logits_fn(x):
+        feats = encode_vision(params["visual"], cfg, x, True)
+        return 100.0 * feats @ classifier
+
+    mfn = make_margin_loss_fn(logits_fn, labels)
+    x = np.asarray(images)
+    adv = square_attack(mfn, x, eps=EPS, n_iters=20, seed=0)
+    assert np.abs(adv - x).max() <= EPS + 1e-6
+    assert adv.min() >= 0 and adv.max() <= 1
+    # the random search never decreases the best margin loss
+    l0, _ = mfn(jnp.asarray(x))
+    l1, _ = mfn(jnp.asarray(adv))
+    assert (np.asarray(l1) >= np.asarray(l0) - 1e-4).any()
