@@ -78,6 +78,58 @@ def params_to_openclip(params: Params, cfg: CLIPConfig) -> Dict[str, np.ndarray]
     return sd
 
 
+def hf_config_dict(cfg: CLIPConfig) -> Dict[str, Any]:
+    """transformers CLIPConfig kwargs for a registry model — the
+    per-size config block of `conversion/convert_2.py:128-216`,
+    derived from our config instead of hand-enumerated."""
+    act = "quick_gelu" if cfg.quick_gelu else "gelu"
+    return dict(
+        projection_dim=cfg.embed_dim,
+        text_config=dict(
+            hidden_act=act,
+            hidden_size=cfg.text.width,
+            intermediate_size=int(cfg.text.width * cfg.text.mlp_ratio),
+            num_attention_heads=cfg.text.heads,
+            num_hidden_layers=cfg.text.layers,
+            max_position_embeddings=cfg.text.context_length,
+            vocab_size=cfg.text.vocab_size,
+        ),
+        vision_config=dict(
+            hidden_act=act,
+            hidden_size=cfg.vision.width,
+            intermediate_size=int(cfg.vision.width * cfg.vision.mlp_ratio),
+            num_attention_heads=cfg.vision.heads,
+            num_hidden_layers=cfg.vision.layers,
+            image_size=cfg.vision.image_size,
+            patch_size=cfg.vision.patch_size,
+        ),
+    )
+
+
+def save_hf_pretrained(params: Params, cfg: CLIPConfig, output_dir: str,
+                       verify: bool = False) -> str:
+    """Write an HF-loadable model directory — the release path
+    (`README.md:96-98`: training in OpenCLIP format, release in HF):
+    `transformers.CLIPModel.from_pretrained(output_dir)` round-trips.
+    """
+    import transformers
+    assert cfg.resnet is None, "HF CLIPModel export requires a ViT tower"
+    hf_cfg = transformers.CLIPConfig(**hf_config_dict(cfg))
+    sd = interop.params_to_hf(params, cfg)
+    import torch
+    model = transformers.CLIPModel(hf_cfg)
+    missing, unexpected = model.load_state_dict(
+        {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+        strict=False)
+    # position_ids buffers may be "missing" (generated); nothing else may be
+    real_missing = [k for k in missing if "position_ids" not in k]
+    assert not real_missing and not unexpected, (real_missing, unexpected)
+    if verify:
+        verify_parity(params, cfg, model.state_dict(), "hf")
+    model.save_pretrained(output_dir)
+    return output_dir
+
+
 def save_state_dict(sd: Dict[str, np.ndarray], output: str, fmt: str):
     os.makedirs(output, exist_ok=True)
     from safetensors.numpy import save_file

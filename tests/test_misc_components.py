@@ -232,3 +232,28 @@ def test_attack_captions_batched(tiny):
     assert len(advs) == 2 and all(isinstance(a, str) for a in advs)
     from tests.test_edits import lev
     assert all(lev(c, a) <= 1 for c, a in zip(caps, advs))
+
+
+def test_save_hf_pretrained_roundtrip(tiny, tmp_path):
+    """Release path: our params → HF directory → CLIPModel.from_pretrained
+    → identical text features."""
+    transformers = pytest.importorskip("transformers")
+    import torch
+    from leaf_tpu.convert import save_hf_pretrained
+    from leaf_tpu.models import clip as lclip
+    cfg, params = tiny
+    out_dir = save_hf_pretrained(params, cfg, str(tmp_path / "hf"))
+    hf = transformers.CLIPModel.from_pretrained(out_dir).eval()
+
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(1, cfg.text.vocab_size - 2,
+                          size=(2, cfg.text.context_length))
+    tokens[:, 0] = 49406
+    tokens[:, 10] = 49407
+    tokens[:, 11:] = 0
+    with torch.no_grad():
+        ref = hf.get_text_features(torch.from_numpy(tokens)).numpy()
+    ours = np.asarray(jax.jit(lambda p, t: lclip.encode_text(
+        p["text"], cfg.text, t, cfg.quick_gelu))(
+            params, jnp.asarray(tokens)))
+    np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-3)
