@@ -1,0 +1,140 @@
+"""HuggingFace text towers (Flax) for CustomTextCLIP-style models.
+
+Re-expression of the reference's HF adapter
+(`/root/reference/src/open_clip/hf_model.py`): wrap a transformers text
+model as the CLIP text tower with a configurable pooler
+(mean/max/cls/cls_last_hidden_state — `hf_model.py:36-97`) and a
+linear or MLP projection head (`hf_model.py:142-160`).  TPU-native via
+the *Flax* model classes, so the whole tower stays a jit-able pytree.
+
+Offline-first: towers build from a `transformers` config object with
+random weights (`pretrained=False` path of the reference); pretrained
+weights load with `from_pretrained` when a local checkpoint exists.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+POOLERS = ("mean_pooler", "max_pooler", "cls_pooler",
+           "cls_last_hidden_state_pooler")
+
+
+def _pool(last_hidden: jnp.ndarray, pooler_output, attention_mask,
+          pooler_type: str) -> jnp.ndarray:
+    mask = attention_mask.astype(last_hidden.dtype)[..., None]
+    if pooler_type == "mean_pooler":
+        return (last_hidden * mask).sum(1) / jnp.maximum(mask.sum(1), 1e-9)
+    if pooler_type == "max_pooler":
+        neg = jnp.where(mask > 0, last_hidden, -jnp.inf)
+        return neg.max(axis=1)
+    if pooler_type == "cls_pooler":
+        if pooler_output is not None:
+            return pooler_output
+        return last_hidden[:, 0]
+    if pooler_type == "cls_last_hidden_state_pooler":
+        return last_hidden[:, 0]
+    raise ValueError(f"unknown pooler {pooler_type!r}")
+
+
+class HFTextTower:
+    """Flax HF model + pooler + projection as (params pytree, apply fn).
+
+    params layout: {"hf": <flax params>, "proj": {...}}.
+    """
+
+    def __init__(self, config_or_name, output_dim: int,
+                 pooler_type: str = "mean_pooler",
+                 proj_type: Optional[str] = "linear",
+                 pretrained: bool = False, seed: int = 0):
+        import transformers
+
+        if isinstance(config_or_name, str) and pretrained:
+            module = transformers.FlaxAutoModel.from_pretrained(
+                config_or_name,
+                add_pooling_layer=(pooler_type == "cls_pooler"))
+            self.config = module.config
+            hf_params = module.params
+        else:
+            self.config = (transformers.AutoConfig.from_pretrained(
+                config_or_name) if isinstance(config_or_name, str)
+                else config_or_name)
+            module = transformers.FlaxAutoModel.from_config(
+                self.config, add_pooling_layer=(pooler_type == "cls_pooler"))
+            hf_params = module.params
+        self.module = module
+        self.pooler_type = pooler_type
+        self.proj_type = proj_type
+        self.output_dim = output_dim
+        self.vocab_size = getattr(self.config, "vocab_size", 0)
+        self.context_length = getattr(self.config, "max_position_embeddings", 0)
+
+        d_model = getattr(self.config, "hidden_size",
+                          getattr(self.config, "d_model", None))
+        key = jax.random.PRNGKey(seed)
+        if proj_type == "linear" and d_model != output_dim:
+            proj = {"w": (d_model ** -0.5) * jax.random.normal(
+                key, (d_model, output_dim), jnp.float32)}
+        elif proj_type == "mlp":
+            hidden = (d_model + output_dim) // 2
+            k1, k2 = jax.random.split(key)
+            proj = {
+                "w1": (d_model ** -0.5) * jax.random.normal(
+                    k1, (d_model, hidden), jnp.float32),
+                "w2": (hidden ** -0.5) * jax.random.normal(
+                    k2, (hidden, output_dim), jnp.float32),
+                "b2": jnp.zeros((output_dim,), jnp.float32),
+            }
+        else:
+            proj = {}
+        self.params = {"hf": hf_params, "proj": proj}
+
+    def __call__(self, params: Dict[str, Any], input_ids,
+                 attention_mask=None, normalize: bool = False):
+        if attention_mask is None:
+            attention_mask = (jnp.asarray(input_ids) != 0).astype(jnp.int32)
+        out = self.module(input_ids=jnp.asarray(input_ids),
+                          attention_mask=attention_mask,
+                          params=params["hf"])
+        pooler_output = getattr(out, "pooler_output", None)
+        pooled = _pool(out.last_hidden_state, pooler_output, attention_mask,
+                       self.pooler_type)
+        proj = params["proj"]
+        if "w" in proj:
+            pooled = pooled @ proj["w"]
+        elif "w1" in proj:
+            h = jax.nn.gelu(pooled @ proj["w1"], approximate=False)
+            pooled = h @ proj["w2"] + proj["b2"]
+        if normalize:
+            from leaf_tpu.models.clip import l2_normalize
+            pooled = l2_normalize(pooled)
+        return pooled
+
+
+def create_custom_text_clip(vision_cfg, hf_text: HFTextTower, embed_dim: int,
+                            seed: int = 0):
+    """CustomTextCLIP-style bundle (reference `model.py:318+`): our ViT
+    vision tower + an HF text tower; returns (params, encode_image_fn,
+    encode_text_fn)."""
+    from leaf_tpu.models import clip as lclip
+
+    kv = jax.random.PRNGKey(seed + 1)
+    vision_params = lclip.init_vision_tower(kv, vision_cfg)
+    params = {
+        "visual": vision_params,
+        "text": hf_text.params,
+        "logit_scale": jnp.asarray(2.6592, jnp.float32),
+    }
+
+    def encode_image(p, images, normalize=False):
+        return lclip.encode_image(p["visual"], vision_cfg, images,
+                                  normalize=normalize)
+
+    def encode_text(p, input_ids, attention_mask=None, normalize=False):
+        return hf_text(p["text"], input_ids, attention_mask, normalize)
+
+    return params, encode_image, encode_text
