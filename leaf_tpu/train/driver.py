@@ -68,6 +68,14 @@ def main(args=None) -> Dict:
     setup_logging(level=logging.DEBUG if args.debug else logging.INFO)
     from leaf_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
+    # multi-host coordination when JAX_COORDINATOR_ADDRESS / SLURM env
+    # is present (reference `init_distributed_device`,
+    # `distributed.py:63-114`); single-process otherwise
+    from leaf_tpu.parallel.distributed import init_distributed_device
+    dist = init_distributed_device()
+    if dist["world_size"] > 1:
+        LOG.info("multi-host: rank %d / %d", dist["rank"],
+                 dist["world_size"])
     if args.matmul_precision:
         jax.config.update("jax_default_matmul_precision",
                           args.matmul_precision)
