@@ -152,3 +152,27 @@ def test_square_attack(setup):
     l0, _ = mfn(jnp.asarray(x))
     l1, _ = mfn(jnp.asarray(adv))
     assert (np.asarray(l1) >= np.asarray(l0) - 1e-4).any()
+
+
+def test_fare_driver_end_to_end(tmp_path):
+    """Full FARE CLI on a tiny image-folder dataset."""
+    import os
+    from PIL import Image
+    from leaf_tpu.train import fare_driver
+    rng = np.random.default_rng(0)
+    for cls in ("c0", "c1"):
+        os.makedirs(tmp_path / "data" / cls)
+        for i in range(3):
+            Image.fromarray(rng.integers(0, 255, (64, 64, 3),
+                                         dtype=np.uint8).astype(np.uint8)
+                            ).save(tmp_path / "data" / cls / f"{i}.png")
+    out = fare_driver.main([
+        "--model", "ViT-tiny-test",
+        "--imagenet-root", str(tmp_path / "data"),
+        "--steps", "2", "--warmup", "1", "--batch-size", "2",
+        "--eps", "8", "--iterations-adv", "2", "--stepsize-adv", "4",
+        "--precision", "fp32",
+        "--output-dir", str(tmp_path / "out"),
+        "--experiment-name", "smoke"])
+    assert out["steps"] == 2
+    assert np.isfinite(out["final_loss"])
