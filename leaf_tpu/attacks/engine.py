@@ -85,10 +85,15 @@ class CandidateScorer:
     towers (or two different models, as in the SDXL dual-encoder mode).
     """
 
-    def __init__(self, cfg: CLIPConfig, dtype=jnp.float32, bucket: int = 256):
+    def __init__(self, cfg: CLIPConfig, dtype=jnp.float32, bucket: int = 256,
+                 mesh=None):
         self.cfg = cfg
         self.dtype = dtype
         self.bucket = bucket
+        # when a mesh is set, candidate/anchor batches are sharded over
+        # its `data` axis (the training path's DP split); params are
+        # expected replicated/TP-sharded by the caller
+        self.mesh = mesh
         # context bucketing is exact only under causal masking with
         # argmax-EOT pooling (see CONTEXT_BUCKETS)
         self._can_bucket = (not cfg.text.no_causal_mask
@@ -96,6 +101,26 @@ class CandidateScorer:
 
     def _bucket(self, tokens):
         return bucket_tokens(tokens) if self._can_bucket else np.asarray(tokens)
+
+    def _put(self, tree):
+        """Batch arrays → device (mesh-sharded over `data` when set)."""
+        from leaf_tpu.parallel.sharding import put_batch
+        return put_batch(tree, self.mesh)
+
+    def _put_flat(self, x):
+        """Per-sentence candidate buffers: shard over the local mesh on
+        a single host; in multi-host runs each host searches its own
+        sentences independently (host-local shapes differ), so flat
+        buffers stay host-local."""
+        import jax
+        from leaf_tpu.parallel.sharding import put_batch
+        mesh = self.mesh if jax.process_count() == 1 else None
+        return put_batch(x, mesh)
+
+    def _get(self, x):
+        """Batch-sharded device result → this host's rows (numpy)."""
+        from leaf_tpu.parallel.sharding import host_local_batch
+        return host_local_batch(x, self.mesh)
 
     # -- raw text encode ---------------------------------------------------
 
@@ -111,7 +136,7 @@ class CandidateScorer:
         return encode
 
     def encode_text(self, text_params, tokens, normalize: bool = False):
-        tokens = jnp.asarray(self._bucket(tokens))
+        tokens = self._put(self._bucket(tokens))
         return self._encode(text_params, tokens, normalize)
 
     # -- batch-parallel scoring (LEAF training attack) ---------------------
@@ -146,15 +171,14 @@ class CandidateScorer:
 
         If `objective` normalises features, anchors must already be
         normalised (the attacks do this once up front)."""
-        tokens = jnp.asarray(self._bucket(tokens))
+        tokens = self._put(self._bucket(tokens))
         B, N, _ = tokens.shape
         if mask is None:
-            mask = jnp.ones((B, N), dtype=bool)
-        else:
-            mask = jnp.asarray(mask)
+            mask = np.ones((B, N), dtype=bool)
         best, best_feats, loss = self._score_rows(
-            text_params, tokens, jnp.asarray(anchors), mask, objective)
-        return np.asarray(best), best_feats, loss
+            text_params, tokens, self._put(anchors),
+            self._put(np.asarray(mask)), objective)
+        return self._get(best), best_feats, loss
 
     # -- single-sentence scoring with bucketing (Charmer/bruteforce) -------
 
@@ -177,10 +201,11 @@ class CandidateScorer:
         """
         n = tokens.shape[0]
         padded, mask = self._pad(self._bucket(tokens))
-        loss = self._score_flat(text_params, jnp.asarray(padded),
+        padded = self._put_flat(padded)
+        loss = self._score_flat(text_params, padded,
                                 jnp.asarray(anchor), objective)
         if text_params2 is not None:
-            loss2 = self._score_flat(text_params2, jnp.asarray(padded),
+            loss2 = self._score_flat(text_params2, padded,
                                      jnp.asarray(anchor2), objective)
             loss = (loss + loss2) / 2
         out = np.asarray(loss)[:n]
@@ -243,16 +268,14 @@ class CandidateScorer:
                                   ) -> Tuple[np.ndarray, np.ndarray]:
         """tokens [B, N, C], labels [B] → (margin loss [B, N] with -inf
         on masked slots, predictions [B, N])."""
-        tokens = jnp.asarray(self._bucket(tokens))
+        tokens = self._put(self._bucket(tokens))
         B, N, _ = tokens.shape
         if mask is None:
-            mask = jnp.ones((B, N), bool)
-        else:
-            mask = jnp.asarray(mask)
+            mask = np.ones((B, N), bool)
         loss, preds = self._score_cls_rows(
             text_params, tokens, jnp.asarray(class_feats),
-            jnp.asarray(labels), mask)
-        return np.asarray(loss), np.asarray(preds)
+            self._put(np.asarray(labels)), self._put(np.asarray(mask)))
+        return self._get(loss), self._get(preds)
 
     def score_classification(self, text_params, tokens: np.ndarray,
                              class_feats, label: int
@@ -261,6 +284,6 @@ class CandidateScorer:
         [N], predictions [N]) with -inf loss on padding."""
         n = tokens.shape[0]
         padded, mask = self._pad(self._bucket(tokens))
-        loss, preds = self._score_cls(text_params, jnp.asarray(padded),
+        loss, preds = self._score_cls(text_params, self._put_flat(padded),
                                       jnp.asarray(class_feats), label)
         return np.asarray(loss)[:n], np.asarray(preds)[:n]

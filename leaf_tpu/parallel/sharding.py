@@ -12,10 +12,14 @@ not matched is replicated.
 """
 from __future__ import annotations
 
+import logging
 from typing import Any, Optional
 
 import jax
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+LOG = logging.getLogger(__name__)
 
 
 def clip_param_spec(params: Any, model_axis: Optional[str] = "model") -> Any:
@@ -68,3 +72,61 @@ def shard_params(params: Any, mesh: Mesh,
 
 def batch_sharding(mesh: Mesh, data_axis: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(data_axis))
+
+
+_WARNED_UNEVEN = set()
+
+
+def put_batch(tree: Any, mesh: Optional[Mesh], axis: str = "data") -> Any:
+    """Place host batch arrays onto the mesh, leading axis sharded over
+    `axis` (the reference's DDP batch split, `train_AT_text_only.py:
+    310-317`, expressed as GSPMD sharding).
+
+    * `mesh is None` → plain `jnp.asarray` (single-device path).
+    * multi-host → each host's local arrays are stitched into one
+      global array (`host_local_array_to_global_array`).
+    * a leading dim not divisible by the axis size is replicated with a
+      one-time warning (train batches should divide the data axis).
+    """
+    import jax.numpy as jnp
+
+    if mesh is None:
+        return jax.tree.map(jnp.asarray, tree)
+    n_shards = mesh.shape[axis]
+    multi_host = jax.process_count() > 1
+
+    def put(x):
+        if multi_host:
+            if isinstance(x, jax.Array):
+                return x  # already a global array (e.g. anchor feats)
+            from jax.experimental import multihost_utils
+            return multihost_utils.host_local_array_to_global_array(
+                np.asarray(x), mesh, P(axis))
+        if not isinstance(x, jax.Array):
+            x = np.asarray(x)
+        if np.ndim(x) == 0 or x.shape[0] % n_shards != 0:
+            key = (x.shape[0] if np.ndim(x) else 0, n_shards)
+            if key not in _WARNED_UNEVEN:
+                _WARNED_UNEVEN.add(key)
+                LOG.warning(
+                    "batch dim %s not divisible by data axis size %d; "
+                    "replicating instead of sharding",
+                    np.shape(x)[:1], n_shards)
+            return jax.device_put(x, NamedSharding(mesh, P()))
+        return jax.device_put(x, NamedSharding(mesh, P(axis)))
+
+    return jax.tree.map(put, tree)
+
+
+def host_local_batch(x, mesh: Optional[Mesh], axis: str = "data"):
+    """Inverse of `put_batch` for result arrays: this host's rows of a
+    batch-sharded global array, as numpy.  Single-host arrays (or
+    replicated results) convert directly."""
+    if mesh is None or jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+    if getattr(x, "sharding", None) is not None \
+            and x.sharding.is_fully_replicated:
+        return np.asarray(x)
+    return np.asarray(multihost_utils.global_array_to_host_local_array(
+        x, mesh, P(axis)))

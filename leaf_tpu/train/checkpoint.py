@@ -85,11 +85,19 @@ def load_checkpoint(path: str, like: Optional[Dict[str, Any]] = None
 
 def resolve_resume(resume: Optional[str], ckpt_dir: str
                    ) -> Optional[Tuple[int, str]]:
-    """Map --resume {latest,<path>} to (epoch, path)."""
+    """Map --resume {latest,<path>} to (epoch, path).
+
+    An explicit path must be named epoch_<N> — a silent epoch-0
+    assumption would reset start_epoch and truncate the results ledger
+    on what may be a perfectly valid checkpoint."""
     if not resume:
         return None
     if resume == "latest":
         return latest_checkpoint(ckpt_dir)
     m = _EPOCH_RE.match(os.path.basename(os.path.normpath(resume)))
-    epoch = int(m.group(1)) if m else 0
-    return epoch, resume
+    if m is None:
+        raise ValueError(
+            f"--resume path {resume!r} is not named epoch_<N>; cannot "
+            "infer the completed-epoch count (pass a checkpoint "
+            "directory produced by this trainer, or 'latest')")
+    return int(m.group(1)), resume

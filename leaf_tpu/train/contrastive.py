@@ -144,7 +144,11 @@ def make_accum_contrastive_train_step(cfg: CLIPConfig,
         (grads, loss_sum, _), _ = jax.lax.scan(
             accum_one, (zero, jnp.zeros(()), jnp.zeros((), jnp.int32)),
             (images, tokens))
-        grads = jax.tree.map(lambda g: g / accum_freq, grads)
+        # each chunk loss is already a mean over the full k·b effective
+        # batch, so the SUM of chunk grads equals the exact full-batch
+        # gradient (the reference sums per-chunk backwards with no
+        # division, `train.py:118-136`); dividing here would shrink the
+        # update k-fold and distort clip_by_global_norm
 
         updates, opt_state = tx.update(grads, state.opt_state, params)
         new_params = optax.apply_updates(params, updates)
@@ -186,20 +190,25 @@ def evaluate_contrastive(params, cfg: CLIPConfig, loader, tokenizer,
     loader (reference `utils_AT.py:441-505` evaluate val path)."""
     all_img, all_txt = [], []
     total_loss, n = 0.0, 0
-    fwd = jax.jit(functools.partial(lclip.forward, cfg=cfg, dtype=dtype),
-                  static_argnames=())
-    for images, texts in loader:
-        tokens = jnp.asarray(tokenizer(texts))
-        out = lclip.forward(params, cfg, jnp.asarray(images), tokens, dtype)
+
+    @jax.jit
+    def eval_batch(params, images, tokens):
+        out = lclip.forward(params, cfg, images, tokens, dtype)
         img_f, txt_f = out["image_features"], out["text_features"]
         scale = out["logit_scale"]
-        B = img_f.shape[0]
-        logits = scale * img_f.astype(jnp.float32) @ txt_f.T.astype(jnp.float32)
-        labels = jnp.arange(B)
+        logits = (scale * img_f.astype(jnp.float32)
+                  @ txt_f.T.astype(jnp.float32))
+        labels = jnp.arange(img_f.shape[0])
         logp_i = jax.nn.log_softmax(logits, -1)
         logp_t = jax.nn.log_softmax(logits.T, -1)
         loss = -(jnp.take_along_axis(logp_i, labels[:, None], 1).mean()
                  + jnp.take_along_axis(logp_t, labels[:, None], 1).mean()) / 2
+        return img_f, txt_f, loss
+
+    for images, texts in loader:
+        tokens = jnp.asarray(tokenizer(texts))
+        img_f, txt_f, loss = eval_batch(params, jnp.asarray(images), tokens)
+        B = img_f.shape[0]
         total_loss += float(loss) * B
         n += B
         all_img.append(np.asarray(img_f))

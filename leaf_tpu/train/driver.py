@@ -108,7 +108,7 @@ def main(args=None) -> Dict:
     # attack vocabulary V (`train_AT_text_only.py:93`)
     vocab = edits.DEFAULT_VOCAB
     constraint = WordConstraint() if args.constrain else None
-    scorer = CandidateScorer(cfg, dtype=dtype)
+    scorer = CandidateScorer(cfg, dtype=dtype, mesh=mesh)
     tokenizer = get_tokenizer(args.model)
 
     # data ----------------------------------------------------------------
@@ -149,16 +149,25 @@ def main(args=None) -> Dict:
                                    vocab=vocab,
                                    normalize=args.normalize_fare,
                                    dtype=dtype,
-                                   remat=args.grad_checkpointing)
+                                   remat=args.grad_checkpointing,
+                                   mesh=mesh)
 
+    # ledger/file writes are master-only (the reference gates on
+    # is_master, `train_AT_text_only.py:498-513`); concurrent same-path
+    # appends from several hosts would corrupt the CSVs
+    from leaf_tpu.parallel.distributed import broadcast_object, is_master
+    master = is_master()
     results = ResultsLedger(os.path.join(out_dir, "results.csv"),
-                            columns=RESULT_COLUMNS)
-    timing = TimingLedger(os.path.join(out_dir,
-                                       f"times_{args.use_charmer}.csv"))
+                            columns=RESULT_COLUMNS) if master else None
+    timing = TimingLedger(os.path.join(
+        out_dir, f"times_{args.use_charmer}.csv")) if master else None
 
     # resume ---------------------------------------------------------------
+    # rank-0 discovers the latest checkpoint, everyone loads the same
+    # one (reference `train_AT_text_only.py:184-186`)
     start_epoch = 0
-    resume = ckpt.resolve_resume(args.resume, ckpt_dir)
+    resume = broadcast_object(
+        ckpt.resolve_resume(args.resume, ckpt_dir) if master else None)
     if resume is not None:
         epoch_done, path = resume
         LOG.info("resuming from %s (epoch %d)", path, epoch_done)
@@ -174,7 +183,8 @@ def main(args=None) -> Dict:
         # checkpoint names record *completed* epochs; training epoch
         # indices are 0-based, so the next epoch to run == epoch_done
         start_epoch = epoch_done
-        results.truncate_to_epoch(epoch_done)
+        if results is not None:
+            results.truncate_to_epoch(epoch_done)
 
     def save(epoch: int):
         ckpt.save_checkpoint(ckpt_dir, epoch, {
@@ -183,7 +193,7 @@ def main(args=None) -> Dict:
             "step": state.step,
             "frozen_text_params": frozen_text_params,
         })
-        if args.delete_previous_checkpoint:
+        if args.delete_previous_checkpoint and master:
             prev = os.path.join(ckpt_dir, f"epoch_{epoch - 1}")
             if os.path.isdir(prev):
                 import shutil
@@ -216,6 +226,8 @@ def main(args=None) -> Dict:
         return metrics
 
     def record(epoch: int, train_loss: float, metrics: Dict[str, float]):
+        if results is None:
+            return
         row = {"epoch": epoch, "train_loss": train_loss}
         for col in RESULT_COLUMNS[2:]:
             if col in metrics:
@@ -231,7 +243,8 @@ def main(args=None) -> Dict:
             save(0)
 
     if "train" not in data:
-        return {"results": results.rows, "state": state}
+        return {"results": results.rows if results is not None else [],
+                "state": state}
 
     for epoch in range(start_epoch, args.epochs):
         LOG.info("Start epoch %d", epoch)
@@ -240,7 +253,7 @@ def main(args=None) -> Dict:
             tokenizer, vocab, data, epoch, args, constraint=constraint,
             timing=timing, rng=np.random.default_rng(args.seed + 1000 * epoch
                                                      + jax.process_index()),
-            fused_step=fused_step)
+            fused_step=fused_step, mesh=mesh)
         completed = epoch + 1
         metrics = run_eval(completed)
         LOG.info("epoch %d eval: %s", completed, metrics)
@@ -249,7 +262,8 @@ def main(args=None) -> Dict:
             save(completed)
 
     ckpt.wait_for_checkpoints()
-    return {"results": results.rows, "state": state,
+    return {"results": results.rows if results is not None else [],
+            "state": state,
             "params": eval_params(), "cfg": cfg, "out_dir": out_dir}
 
 

@@ -97,14 +97,22 @@ class FusedLeafStep:
 
     def __init__(self, cfg: CLIPConfig, tx, tokenizer, rho: int,
                  vocab=edits.DEFAULT_VOCAB, normalize: bool = False,
-                 dtype=jnp.float32, remat: bool = False):
+                 dtype=jnp.float32, remat: bool = False, mesh=None):
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.rho = rho
         self.vocab = np.asarray(vocab, np.int32)
         self.vocab_list = list(vocab)
+        # with a mesh, all token buffers are sharded over `data` so
+        # GSPMD partitions both scoring phases and the update's grads
+        # are psum-averaged (the reference's DDP allreduce)
+        self.mesh = mesh
         self.phase1 = make_fused_phase1(cfg, normalize, dtype)
         self.phase2 = make_fused_phase2_step(cfg, tx, normalize, dtype, remat)
+
+    def _put(self, tree):
+        from leaf_tpu.parallel.sharding import put_batch
+        return put_batch(tree, self.mesh)
 
     def _probe_tokens(self, texts, positions):
         from leaf_tpu.attacks.text import _edit_tokens_fast
@@ -142,16 +150,17 @@ class FusedLeafStep:
                               for S in texts])
         probe_tokens = bucket_tokens(self._probe_tokens(texts, positions))
         anchors, best_probe = self.phase1(
-            frozen_text, state.text_params, jnp.asarray(clean_tokens),
-            jnp.asarray(probe_tokens))
-        best_probe = np.asarray(best_probe)          # the one hard sync
+            frozen_text, state.text_params, self._put(clean_tokens),
+            self._put(probe_tokens))
+        from leaf_tpu.parallel.sharding import host_local_batch
+        best_probe = host_local_batch(best_probe, self.mesh)  # the hard sync
         best_pos = [int(positions[i][best_probe[i]]) for i in range(B)]
 
         us = np.stack([rng.choice(len(self.vocab_list), size=n,
                                   replace=(n > len(self.vocab_list)))
                        for _ in range(B)])
         cand_tokens = bucket_tokens(self._cand_tokens(texts, best_pos, us))
-        state, best, metrics = self.phase2(state, jnp.asarray(cand_tokens),
+        state, best, metrics = self.phase2(state, self._put(cand_tokens),
                                            anchors)
         info = {"best_pos": best_pos, "best_char_idx": best, "us": us,
                 "metrics": metrics}
@@ -159,7 +168,8 @@ class FusedLeafStep:
 
     def adv_sentences(self, texts, info):
         """Reconstruct the winning adversarial strings (logging only)."""
-        best = np.asarray(info["best_char_idx"])
+        from leaf_tpu.parallel.sharding import host_local_batch
+        best = host_local_batch(info["best_char_idx"], self.mesh)
         return [edits.apply_edit(S, info["best_pos"][i],
                                  int(info["us"][i][best[i]]),
                                  self.vocab_list, alternative=-1)

@@ -25,6 +25,7 @@ import numpy as np
 
 from leaf_tpu.attacks.engine import CandidateScorer, bucket_tokens
 from leaf_tpu.attacks.text import attack_text_charmer_inference, attack_text_leaf
+from leaf_tpu.parallel.sharding import put_batch
 from leaf_tpu.train.step import TrainState
 from leaf_tpu.utils.meters import AverageMeter
 from leaf_tpu.utils.results import TimingLedger
@@ -66,6 +67,7 @@ def train_one_epoch_text_only(
     timing: Optional[TimingLedger] = None,
     rng: Optional[np.random.Generator] = None,
     fused_step=None,
+    mesh=None,
 ):
     """Run one epoch; returns (state, log_data).
 
@@ -100,7 +102,10 @@ def train_one_epoch_text_only(
             if timing is not None:
                 timing.append(attack_seconds)
         else:
-            tokens = bucket_tokens(tokenizer(texts))
+            # batch sharded over the mesh's data axis (the reference's
+            # DDP split); params stay replicated, GSPMD inserts the
+            # grad psum inside train_step
+            tokens = put_batch(bucket_tokens(tokenizer(texts)), mesh)
             anchors = anchor_encode(frozen_text_params, tokens)
 
             t0 = time.time()
@@ -111,7 +116,7 @@ def train_one_epoch_text_only(
             if timing is not None:
                 timing.append(attack_seconds)
 
-            adv_tokens = bucket_tokens(tokenizer(adv_texts))
+            adv_tokens = put_batch(bucket_tokens(tokenizer(adv_texts)), mesh)
             state, metrics = train_step(state, adv_tokens, anchors)
 
         batch_time_m.update(time.time() - end)

@@ -175,12 +175,23 @@ def test_accum_contrastive_feature_cache(tiny):
 
     state_b = TrainState.create(jax.tree.map(jnp.copy, params), tx)
     accum_step = make_accum_contrastive_train_step(cfg, tx, accum_freq=2)
-    _, m_accum = accum_step(state_b,
-                            jnp.asarray(images.reshape(2, 4, 64, 64, 3)),
-                            jnp.asarray(tokens.reshape(2, 4, -1)))
+    state_b2, m_accum = accum_step(state_b,
+                                   jnp.asarray(images.reshape(2, 4, 64, 64, 3)),
+                                   jnp.asarray(tokens.reshape(2, 4, -1)))
     # the feature-cache trick reproduces the full-batch loss
     np.testing.assert_allclose(float(m_accum["loss"]),
                                float(m_full["loss"]), rtol=1e-4)
+    # ... and the SUMMED chunk grads give the exact full-batch update
+    # (accum_freq=k must behave like a k-times-larger batch; the
+    # reference sums per-chunk backwards without dividing)
+    state_a2, _ = full_step(
+        TrainState.create(jax.tree.map(jnp.copy, params), tx),
+        jnp.asarray(images), jnp.asarray(tokens))
+    flat_a = jax.tree.leaves(state_a2.text_params)
+    flat_b = jax.tree.leaves(state_b2.text_params)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-5)
 
 
 def test_export_roundtrip(tiny, tmp_path):
