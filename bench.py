@@ -6,15 +6,24 @@ device: host candidate generation + BPE tokenisation, the two
 fixed-shape [B, ρ, 77] device scoring rounds of the LEAF attack, and
 the TextFARE train step (fwd+bwd+AdamW).
 
+The model is ViT-L-14-quickgelu: the canonical LEAF recipe finetunes
+`hf-hub:chs20/fare2-clip` (scripts/train_leaf_vitl.sh), whose text
+tower is OpenAI-initialised and therefore QuickGELU — the same config
+the reference would run.  Steady-state throughput includes the
+anchor-feature cache (epochs ≥ 1 reuse frozen-tower features of the
+same captions, exactly); the first measured step warms it.
+
 Prints ONE JSON line:
   {"metric": "leaf_train_samples_per_sec", "value": N, "unit":
-   "samples/s", "vs_baseline": R}
+   "samples/s", "vs_baseline": R, "candidates_per_sec": C}
 
 `vs_baseline` compares against an *estimated* reference throughput on
 one A100 (the reference publishes no numbers — BASELINE.md): per step
 the reference encodes 2·B·ρ = 12800 77-token ViT-L text sequences
 (≈5.9 GFLOP each fwd) plus a bs-128 fwd/bwd; at 312 TFLOP/s bf16 and a
 generous 40% MFU that is ≈1.6 steps/s → ≈208 samples/s.
+`candidates_per_sec` is the second north-star metric (BASELINE.json):
+adversarial candidates scored per second = 2·B·ρ·steps/sec.
 """
 import json
 import os
@@ -24,7 +33,7 @@ import numpy as np
 
 BATCH = int(os.environ.get("BENCH_BATCH", 128))
 RHO = int(os.environ.get("BENCH_RHO", 50))
-MODEL = os.environ.get("BENCH_MODEL", "ViT-L-14")
+MODEL = os.environ.get("BENCH_MODEL", "ViT-L-14-quickgelu")
 STEPS = int(os.environ.get("BENCH_STEPS", 8))
 BASELINE_SAMPLES_PER_SEC = 208.0  # estimated A100 reference (see docstring)
 
@@ -58,19 +67,21 @@ def main():
     rng = np.random.default_rng(0)
     texts = [" ".join(rng.choice(words, size=10)) for _ in range(BATCH)]
 
-    def one_step(step_rng):
-        new_state, info = fused(state, frozen_text, texts, step_rng)
-        jax.block_until_ready(info["metrics"]["loss"])
-        return new_state, info["metrics"]
+    def one_step(state, step_rng):
+        state, info = fused(state, frozen_text, texts, step_rng)
+        return state, info["metrics"]
 
-    # warmup / compile
-    state, _ = one_step(np.random.default_rng(1))
-    state, _ = one_step(np.random.default_rng(2))
+    # warmup / compile (also fills the anchor cache)
+    state, m = one_step(state, np.random.default_rng(1))
+    np.asarray(m["loss"])
+    state, m = one_step(state, np.random.default_rng(2))
+    np.asarray(m["loss"])
 
     t0 = time.perf_counter()
     for i in range(STEPS):
-        state, metrics = one_step(np.random.default_rng(10 + i))
-    dt = time.perf_counter() - t0
+        state, metrics = one_step(state, np.random.default_rng(10 + i))
+    np.asarray(metrics["loss"])   # hard sync (block_until_ready is
+    dt = time.perf_counter() - t0  # unreliable through the tunnel)
 
     steps_per_sec = STEPS / dt
     samples_per_sec = steps_per_sec * BATCH
@@ -79,6 +90,7 @@ def main():
         "value": round(samples_per_sec, 2),
         "unit": "samples/s",
         "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 3),
+        "candidates_per_sec": round(2 * BATCH * RHO * steps_per_sec, 1),
     }))
 
 

@@ -172,3 +172,20 @@ def zero_shot_eval(params, cfg: CLIPConfig, data: Dict, tokenizer,
             results[f"{name}-zeroshot-{split}-acc-adv"] = acc_adv
 
     return results
+
+
+def imagenet_zero_shot_clean(params, cfg: CLIPConfig, datainfo, tokenizer,
+                             dtype=jnp.float32) -> Dict[str, float]:
+    """Clean-only ImageNet zero-shot top1/top5 (the vanilla contrastive
+    trainer's eval, reference `open_clip_train/zero_shot.py`)."""
+    del dtype  # classifier/eval run in the scorer's default precision
+    scorer = CandidateScorer(cfg)
+    classifier = build_zero_shot_classifier(
+        lambda toks: scorer.encode_text(params["text"], toks),
+        tokenizer, imagenet_classnames(), openai_imagenet_templates(),
+        num_classes_per_batch=10)
+    top1, top5, _ = run_imagenet_eval(
+        params, cfg, classifier, datainfo.loader, jax.random.PRNGKey(0),
+        attack=False)
+    return {"imagenet-zeroshot-val-top1": top1,
+            "imagenet-zeroshot-val-top5": top5}

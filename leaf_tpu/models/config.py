@@ -45,6 +45,10 @@ class VisionConfig:
     output_dim: int = 512
     pool_type: str = "tok"         # 'tok' (class token) | 'avg' | 'none'
     ln_eps: float = 1e-5
+    # train-time patch dropout rate (FLIP-style; reference
+    # `transformer.py:48-87` PatchDropout, `--force-patch-dropout`);
+    # applied only when the caller passes a dropout key
+    patch_dropout: float = 0.0
 
     @property
     def heads(self) -> int:

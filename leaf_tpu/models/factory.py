@@ -60,13 +60,22 @@ def create_model(
     pretrained: Optional[str] = None,
     precision: str = "fp32",
     seed: int = 0,
+    force_quick_gelu: bool = False,
+    force_patch_dropout: Optional[float] = None,
 ) -> CLIPModel:
     """Build a CLIP model by registry name.
 
     `pretrained` is a local checkpoint path (HF or OpenCLIP format,
-    auto-detected — the reference's hf-hub: download path is replaced by
-    local files in this offline-first design)."""
+    auto-detected) or an `hf-hub:` id resolved through the pretrained
+    registry cache.  `force_quick_gelu` / `force_patch_dropout` are the
+    reference's config overrides (`factory.py:209-223`)."""
     cfg = get_model_config(model_name)
+    if force_quick_gelu:
+        cfg = dataclasses.replace(cfg, quick_gelu=True)
+    if force_patch_dropout is not None:
+        cfg = dataclasses.replace(
+            cfg, vision=dataclasses.replace(
+                cfg.vision, patch_dropout=force_patch_dropout))
     if pretrained:
         params = interop.load_pretrained(pretrained, cfg)
         params = jax.tree.map(jnp.asarray, params)
@@ -82,11 +91,14 @@ def create_model_and_transforms(
     pretrained: Optional[str] = None,
     precision: str = "fp32",
     seed: int = 0,
+    force_quick_gelu: bool = False,
+    force_patch_dropout: Optional[float] = None,
 ) -> Tuple[CLIPModel, Callable, Callable]:
     """(model, preprocess_train, preprocess_val) — reference
     `factory.py:375+`.  Both transforms are the eval pipeline (LEAF's
     text-only training never augments images)."""
-    model = create_model(model_name, pretrained, precision, seed)
+    model = create_model(model_name, pretrained, precision, seed,
+                         force_quick_gelu, force_patch_dropout)
     preprocess = image_transform(model.cfg.vision.image_size)
     return model, preprocess, preprocess
 

@@ -34,8 +34,22 @@ LOG = logging.getLogger(__name__)
 def contrastive_loss_fn(params, cfg: CLIPConfig, images, tokens,
                         axis_name: Optional[str] = None,
                         local_loss: bool = True, siglip: bool = False,
-                        dtype=jnp.float32):
-    out = lclip.forward(params, cfg, images, tokens, dtype)
+                        dtype=jnp.float32, dropout_key=None):
+    if dropout_key is not None and cfg.vision.patch_dropout > 0:
+        # patch-dropout training path (`--force-patch-dropout`)
+        out = {
+            "image_features": lclip.encode_image_model(
+                params, cfg, images, normalize=True, dtype=dtype,
+                dropout_key=dropout_key),
+            "text_features": lclip.encode_text(
+                params["text"], cfg.text, tokens, cfg.quick_gelu,
+                True, dtype),
+            "logit_scale": jnp.exp(params["logit_scale"]),
+        }
+        if "logit_bias" in params:
+            out["logit_bias"] = params["logit_bias"]
+    else:
+        out = lclip.forward(params, cfg, images, tokens, dtype)
     img_f = out["image_features"].astype(jnp.float32)
     txt_f = out["text_features"].astype(jnp.float32)
     scale = out["logit_scale"].astype(jnp.float32)
@@ -48,18 +62,23 @@ def contrastive_loss_fn(params, cfg: CLIPConfig, images, tokens,
 def make_contrastive_train_step(cfg: CLIPConfig,
                                 tx: optax.GradientTransformation,
                                 mesh=None, local_loss: bool = True,
-                                siglip: bool = False, dtype=jnp.float32):
+                                siglip: bool = False, dtype=jnp.float32,
+                                base_dropout_key=None):
     """Jitted full-model contrastive step; with a mesh, the loss runs
-    under shard_map with batch sharded over `data`."""
+    under shard_map with batch sharded over `data`.  With
+    `base_dropout_key` (and cfg.vision.patch_dropout > 0), each step
+    applies patch dropout with a key folded from the step counter."""
 
-    def loss_of(params, images, tokens):
+    def loss_of(params, images, tokens, dropout_key):
         if mesh is None:
             return contrastive_loss_fn(params, cfg, images, tokens,
-                                       None, local_loss, siglip, dtype)
+                                       None, local_loss, siglip, dtype,
+                                       dropout_key)
 
         def inner(params, images, tokens):
             return contrastive_loss_fn(params, cfg, images, tokens,
-                                       "data", local_loss, siglip, dtype)
+                                       "data", local_loss, siglip, dtype,
+                                       dropout_key)
 
         return jax.shard_map(
             inner, mesh=mesh,
@@ -67,8 +86,11 @@ def make_contrastive_train_step(cfg: CLIPConfig,
                 params, images, tokens)
 
     def step_fn(state: TrainState, images, tokens):
+        dropout_key = None
+        if base_dropout_key is not None:
+            dropout_key = jax.random.fold_in(base_dropout_key, state.step)
         loss, grads = jax.value_and_grad(loss_of)(
-            state.text_params, images, tokens)
+            state.text_params, images, tokens, dropout_key)
         updates, opt_state = tx.update(grads, state.opt_state,
                                        state.text_params)
         params = optax.apply_updates(state.text_params, updates)

@@ -54,6 +54,26 @@ def make_fused_phase1(cfg: CLIPConfig, normalize: bool = False,
     return phase1
 
 
+def make_fused_phase1_cached(cfg: CLIPConfig, normalize: bool = False,
+                             dtype=jnp.float32):
+    """Probe scoring against *precomputed* anchors (the anchor-feature
+    cache path: the frozen tower never changes, so after the first
+    epoch over a dataset every clean caption's anchor is known)."""
+
+    @jax.jit
+    def phase1(train_text, probe_tokens, anchors):
+        B, N, C = probe_tokens.shape
+        feats = lclip.encode_text(train_text, cfg.text,
+                                  probe_tokens.reshape(B * N, C),
+                                  cfg.quick_gelu, False, dtype)
+        loss = objective_loss(
+            feats.reshape(B, N, -1).astype(jnp.float32),
+            anchors.astype(jnp.float32), "l2")
+        return jnp.argmax(loss, axis=-1)
+
+    return phase1
+
+
 def make_fused_phase2_step(cfg: CLIPConfig, tx: optax.GradientTransformation,
                            normalize: bool = False, dtype=jnp.float32,
                            remat: bool = False, donate: bool = True):
@@ -95,9 +115,13 @@ class FusedLeafStep:
     """Orchestrates the 2-dispatch fused step; falls back on callers for
     k>1 / charmer / constrained configurations."""
 
+    # anchor cache size guard: 1M captions × 768 bf16 ≈ 1.5 GB host RAM
+    MAX_CACHED_ANCHORS = 1_000_000
+
     def __init__(self, cfg: CLIPConfig, tx, tokenizer, rho: int,
                  vocab=edits.DEFAULT_VOCAB, normalize: bool = False,
-                 dtype=jnp.float32, remat: bool = False, mesh=None):
+                 dtype=jnp.float32, remat: bool = False, mesh=None,
+                 cache_anchors: bool = True):
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.rho = rho
@@ -107,7 +131,13 @@ class FusedLeafStep:
         # GSPMD partitions both scoring phases and the update's grads
         # are psum-averaged (the reference's DDP allreduce)
         self.mesh = mesh
+        # frozen-tower anchor features keyed by caption: exact reuse
+        # across epochs (the frozen tower never changes — VERDICT r1
+        # perf lever; the reference recomputes them every epoch,
+        # `utils_AT.py:296`)
+        self.anchor_cache = {} if cache_anchors else None
         self.phase1 = make_fused_phase1(cfg, normalize, dtype)
+        self.phase1_cached = make_fused_phase1_cached(cfg, normalize, dtype)
         self.phase2 = make_fused_phase2_step(cfg, tx, normalize, dtype, remat)
 
     def _put(self, tree):
@@ -144,15 +174,25 @@ class FusedLeafStep:
                  ) -> Tuple[TrainState, dict]:
         B = len(texts)
         n = self.rho
-        clean_tokens = bucket_tokens(self.tokenizer(texts))
 
         positions = np.stack([edits.sample_positions(len(S), n, rng=rng)
                               for S in texts])
         probe_tokens = bucket_tokens(self._probe_tokens(texts, positions))
-        anchors, best_probe = self.phase1(
-            frozen_text, state.text_params, self._put(clean_tokens),
-            self._put(probe_tokens))
         from leaf_tpu.parallel.sharding import host_local_batch
+        cache = self.anchor_cache
+        if cache is not None and all(t in cache for t in texts):
+            anchors = self._put(np.stack([cache[t] for t in texts]))
+            best_probe = self.phase1_cached(
+                state.text_params, self._put(probe_tokens), anchors)
+        else:
+            clean_tokens = bucket_tokens(self.tokenizer(texts))
+            anchors, best_probe = self.phase1(
+                frozen_text, state.text_params, self._put(clean_tokens),
+                self._put(probe_tokens))
+            if cache is not None \
+                    and len(cache) < self.MAX_CACHED_ANCHORS:
+                for t, a in zip(texts, host_local_batch(anchors, self.mesh)):
+                    cache[t] = a
         best_probe = host_local_batch(best_probe, self.mesh)  # the hard sync
         best_pos = [int(positions[i][best_probe[i]]) for i in range(B)]
 

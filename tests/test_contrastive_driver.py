@@ -1,0 +1,74 @@
+"""Contrastive pretraining driver smoke tests.
+
+Mirrors the reference's `tests/test_training_simple.py`: run the full
+vanilla trainer `main` on synthetic data (1 epoch, tiny model) for the
+flag variants the reference exercises — plain, --siglip, --local-loss,
+--accum-freq 2 — plus the distillation path, and verify resume.
+"""
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from leaf_tpu.train.contrastive_driver import main
+
+BASE = [
+    "--model", "ViT-tiny-test", "--dataset-type", "synthetic",
+    "--train-num-samples", "16", "--batch-size", "8",
+    "--epochs", "1", "--lr", "1e-4", "--warmup", "2",
+    "--zeroshot-frequency", "0", "--log-every-n-steps", "1",
+]
+
+
+def run(tmp_path, extra, name):
+    return main(BASE + ["--logs", str(tmp_path), "--name", name] + extra)
+
+
+def test_contrastive_plain(tmp_path):
+    out = run(tmp_path, [], "plain")
+    assert int(out["state"].step) == 2
+    assert os.path.exists(os.path.join(out["out_dir"], "results.csv"))
+    assert os.path.isdir(os.path.join(out["out_dir"], "checkpoints",
+                                      "epoch_1"))
+    loss = out["results"][-1]["train_loss"]
+    assert np.isfinite(float(loss))
+
+
+def test_contrastive_siglip(tmp_path):
+    out = run(tmp_path, ["--siglip"], "siglip")
+    assert int(out["state"].step) == 2
+    assert np.isfinite(float(out["results"][-1]["train_loss"]))
+
+
+def test_contrastive_local_loss(tmp_path):
+    out = run(tmp_path, ["--local-loss"], "localloss")
+    assert np.isfinite(float(out["results"][-1]["train_loss"]))
+
+
+def test_contrastive_accum(tmp_path):
+    out = run(tmp_path, ["--accum-freq", "2"], "accum")
+    # 16 samples / batch 8 = 2 loader batches = 1 accumulated step
+    assert int(out["state"].step) == 1
+    assert np.isfinite(float(out["results"][-1]["train_loss"]))
+
+
+def test_contrastive_distill(tmp_path):
+    out = run(tmp_path, ["--distill-model", "ViT-tiny-test"], "distill")
+    assert int(out["state"].step) == 2
+    assert np.isfinite(float(out["results"][-1]["train_loss"]))
+
+
+def test_contrastive_patch_dropout(tmp_path):
+    out = run(tmp_path, ["--force-patch-dropout", "0.5"], "patchdrop")
+    assert out["cfg"].vision.patch_dropout == 0.5
+    assert np.isfinite(float(out["results"][-1]["train_loss"]))
+
+
+def test_contrastive_resume(tmp_path):
+    run(tmp_path, [], "resume")
+    out = main(BASE + ["--logs", str(tmp_path), "--name", "resume",
+                       "--resume", "latest", "--epochs", "2"])
+    assert int(out["state"].step) == 4
+    epochs = [int(r["epoch"]) for r in out["results"]]
+    assert epochs == sorted(set(epochs)), "resume must not duplicate rows"
