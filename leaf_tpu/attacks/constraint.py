@@ -73,6 +73,43 @@ class WordConstraint:
         if words is None:
             words = _nltk_words() or _bpe_words()
         self.words = words
+        self._native_checked = False
+        self._native = None
+
+    def _get_native(self):
+        if not self._native_checked:
+            self._native_checked = True
+            try:
+                from leaf_tpu.tokenizer.native_binding import NativeWordDict
+                self._native = NativeWordDict.create(self.words)
+            except Exception:  # noqa: BLE001
+                self._native = None
+        return self._native
+
+    def valid_edits_batch(self, originals: Sequence[str], zs, cps,
+                          alternative: int = -1):
+        """Vectorised validity for [B, rho] (slot, codepoint) edits —
+        the constrained fused-step fast path (C++ when available; the
+        Python recount otherwise).  Semantics identical to
+        `valid(original, apply_edit(original, z, ·))` per slot."""
+        import numpy as np
+
+        from leaf_tpu.attacks import edits as _edits
+        zs = np.asarray(zs)
+        cps = np.asarray(cps)
+        native = self._get_native()
+        if native is not None and all(
+                s.isascii() for s in originals):
+            return native.valid_edits(originals, zs, cps, alternative)
+        out = np.zeros(zs.shape, bool)
+        for i, S in enumerate(originals):
+            lo = self.count(S)
+            for j in range(zs.shape[1]):
+                cand = _edits.apply_edit(S, int(zs[i, j]), 0,
+                                         [int(cps[i, j])],
+                                         alternative=alternative)
+                out[i, j] = self.count(cand) < lo
+        return out
 
     def count(self, sentence: str) -> int:
         return len(self.words.intersection(word_tokenize(sentence.lower())))

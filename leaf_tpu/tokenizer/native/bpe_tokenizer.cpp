@@ -321,3 +321,157 @@ void bpe_encode_edits(void* h, const char** sentences, int n_sent,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Word-validity constraint (ASCII fast path).
+//
+// Native counterpart of leaf_tpu/attacks/constraint.py for the
+// constrained attack (`--constrain`, the released-model setting): an
+// edit is valid iff the count of DISTINCT dictionary words strictly
+// decreases.  The scanner mirrors constraint.word_tokenize for
+// lowercased ASCII: alnum runs (with an optional 'x contraction tail,
+// split off when it is one of 's|'t|'re|'ve|'m|'ll|'d), single
+// punctuation chars otherwise.  Parity: tests/test_constraint.py.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct WordDict {
+  std::unordered_map<std::string, int> words;  // word -> id (for dedup)
+
+  // distinct dictionary words in lowercased ASCII text
+  int CountDistinct(const std::string& s, std::vector<int>* seen_ids,
+                    int* generation, std::vector<int>* seen_gen) const {
+    const size_t n = s.size();
+    size_t i = 0;
+    int count = 0;
+    ++*generation;
+    auto is_sp = [](char c) {
+      return c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' ||
+             c == '\v';
+    };
+    auto is_al = [](char c) { return (c >= 'a' && c <= 'z'); };
+    auto is_an = [&](char c) { return is_al(c) || (c >= '0' && c <= '9'); };
+    auto check = [&](const std::string& tok) {
+      auto it = words.find(tok);
+      if (it == words.end()) return;
+      const int id = it->second;
+      if ((*seen_gen)[id] != *generation) {
+        (*seen_gen)[id] = *generation;
+        ++count;
+      }
+    };
+    while (i < n) {
+      if (is_sp(s[i])) { ++i; continue; }
+      if (is_an(s[i])) {
+        size_t j = i;
+        while (j < n && is_an(s[j])) ++j;
+        size_t end = j;
+        // optional contraction tail '<letters>
+        if (j < n && s[j] == '\'' && j + 1 < n && is_al(s[j + 1])) {
+          size_t k = j + 1;
+          while (k < n && is_al(s[k])) ++k;
+          const std::string tail = s.substr(j + 1, k - j - 1);
+          if (tail == "s" || tail == "t" || tail == "re" || tail == "ve" ||
+              tail == "m" || tail == "ll" || tail == "d") {
+            // contraction splits: word + 'tail (two tokens)
+            check(s.substr(i, j - i));
+            check(s.substr(j, k - j));
+            i = k;
+            continue;
+          }
+          end = k;  // single token word'tail
+        }
+        check(s.substr(i, end - i));
+        i = end;
+      } else {
+        check(s.substr(i, 1));
+        ++i;
+      }
+    }
+    return count;
+  }
+};
+
+// shared edit application (mirrors bpe_encode_edits' slot logic)
+void ApplyEdit(const std::string& S, int z, int cp, int alternative,
+               std::string* edited) {
+  edited->clear();
+  const int L = static_cast<int>(S.size());
+  const bool is_char_pos = (z % 2) == 1;
+  const int char_idx = is_char_pos ? (z - 1) / 2 : z / 2;
+  for (int c = 0; c < L; ++c) {
+    if (!is_char_pos && c == char_idx && cp != -1) {
+      edited->push_back(static_cast<char>(cp));
+    }
+    if (is_char_pos && c == char_idx) {
+      if (cp == -1) continue;
+      const char ch = static_cast<char>(cp);
+      if (S[c] == ch && alternative == -1) continue;
+      if (S[c] == ch && alternative >= 0) {
+        edited->push_back(static_cast<char>(alternative));
+      } else {
+        edited->push_back(ch);
+      }
+      continue;
+    }
+    edited->push_back(S[c]);
+  }
+  if (!is_char_pos && char_idx == L && cp != -1) {
+    edited->push_back(static_cast<char>(cp));
+  }
+}
+
+std::string Lower(const std::string& s) {
+  std::string out(s);
+  for (auto& c : out)
+    c = static_cast<char>(std::tolower(static_cast<unsigned char>(c)));
+  return out;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* wc_create(const char* words_path) {
+  auto* d = new WordDict();
+  std::ifstream f(words_path);
+  if (!f.good()) { delete d; return nullptr; }
+  std::string line;
+  int id = 0;
+  while (std::getline(f, line)) {
+    if (!line.empty() && line.back() == '\r') line.pop_back();
+    if (!line.empty()) d->words.emplace(line, id++);
+  }
+  return d;
+}
+
+void wc_destroy(void* h) { delete static_cast<WordDict*>(h); }
+
+// out[i*rho + j] = 1 iff edit (zs, cps) on sentences[i] is VALID
+// (distinct-dict-word count strictly decreases).
+void wc_valid_edits(void* h, const char** sentences, int n_sent,
+                    const int32_t* zs, const int32_t* cps, int rho,
+                    int alternative, uint8_t* out) {
+  auto* d = static_cast<WordDict*>(h);
+  std::vector<int> seen_ids;
+  std::vector<int> seen_gen(d->words.size(), 0);
+  int generation = 0;
+  std::string edited;
+  for (int i = 0; i < n_sent; ++i) {
+    // the edit applies to the ORIGINAL casing (self-substitution is
+    // case-sensitive, edits.apply_edit); only count() lowercases
+    const std::string S(sentences[i]);
+    const int base =
+        d->CountDistinct(Lower(S), &seen_ids, &generation, &seen_gen);
+    for (int j = 0; j < rho; ++j) {
+      ApplyEdit(S, zs[i * rho + j], cps[i * rho + j], alternative, &edited);
+      const std::string lowered = Lower(edited);
+      const int c =
+          d->CountDistinct(lowered, &seen_ids, &generation, &seen_gen);
+      out[i * rho + j] = c < base ? 1 : 0;
+    }
+  }
+}
+
+}  // extern "C"

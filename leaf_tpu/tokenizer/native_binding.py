@@ -137,3 +137,70 @@ def get_native(bpe_gz_path: str) -> Optional[NativeBPE]:
     if os.environ.get("LEAF_TPU_NO_NATIVE_TOKENIZER"):
         return None
     return NativeBPE.create(bpe_gz_path)
+
+
+class NativeWordDict:
+    """Native distinct-dictionary-word validity checker for the
+    constrained attack (see bpe_tokenizer.cpp::wc_valid_edits)."""
+
+    def __init__(self, lib, handle):
+        self._lib = lib
+        self._h = handle
+
+    @classmethod
+    def create(cls, words) -> Optional["NativeWordDict"]:
+        if os.environ.get("LEAF_TPU_NO_NATIVE_TOKENIZER"):
+            return None
+        so = _ensure_built()
+        if so is None:
+            return None
+        try:
+            lib = ctypes.CDLL(so)
+        except OSError:  # pragma: no cover
+            return None
+        if not hasattr(lib, "wc_create"):  # stale .so
+            return None
+        lib.wc_create.restype = ctypes.c_void_p
+        lib.wc_create.argtypes = [ctypes.c_char_p]
+        lib.wc_destroy.argtypes = [ctypes.c_void_p]
+        lib.wc_valid_edits.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8)]
+        import hashlib
+        ascii_words = sorted(w for w in words if w.isascii())
+        digest = hashlib.sha256(
+            "\n".join(ascii_words).encode()).hexdigest()[:16]
+        path = os.path.join(_NATIVE_DIR, f"words_{digest}.txt")
+        if not os.path.exists(path):
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                f.write("\n".join(ascii_words))
+            os.replace(tmp, path)
+        h = lib.wc_create(path.encode())
+        if not h:
+            return None
+        return cls(lib, h)
+
+    def valid_edits(self, sentences: Sequence[str], zs: np.ndarray,
+                    cps: np.ndarray, alternative: int = -1) -> np.ndarray:
+        """sentences [B], zs/cps [B, rho] → bool mask [B, rho]: True iff
+        the edit strictly decreases the distinct-dict-word count."""
+        B, rho = zs.shape
+        out = np.zeros((B * rho,), dtype=np.uint8)
+        arr = (ctypes.c_char_p * B)(*[s.encode() for s in sentences])
+        zs32 = np.ascontiguousarray(zs, dtype=np.int32)
+        cps32 = np.ascontiguousarray(cps, dtype=np.int32)
+        self._lib.wc_valid_edits(
+            self._h, arr, B,
+            zs32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            cps32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            rho, alternative,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        return out.reshape(B, rho).astype(bool)
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self._lib.wc_destroy(self._h)
+        except Exception:  # noqa: BLE001
+            pass

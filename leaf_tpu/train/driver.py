@@ -143,14 +143,17 @@ def main(args=None) -> Dict:
     anchor_encode = make_anchor_encode(cfg, normalize=args.normalize_fare,
                                        dtype=dtype)
     fused_step = None
-    if args.k_adv == 1 and not args.use_charmer and constraint is None:
+    if args.k_adv == 1 and not args.use_charmer:
+        # the 2-dispatch fused path covers the canonical recipes,
+        # INCLUDING --constrain (validity masks are applied to the
+        # candidate token buffer host-side)
         from leaf_tpu.train.fused import FusedLeafStep
         fused_step = FusedLeafStep(cfg, tx, tokenizer, rho=args.rho,
                                    vocab=vocab,
                                    normalize=args.normalize_fare,
                                    dtype=dtype,
                                    remat=args.grad_checkpointing,
-                                   mesh=mesh)
+                                   mesh=mesh, constraint=constraint)
 
     # ledger/file writes are master-only (the reference gates on
     # is_master, `train_AT_text_only.py:498-513`); concurrent same-path

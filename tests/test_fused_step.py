@@ -74,3 +74,58 @@ def test_fused_step_trains(setup):
         losses.append(float(info["metrics"]["loss"]))
     assert all(np.isfinite(l) for l in losses)
     assert int(state.step) == 3
+
+
+def test_fused_constrained_equals_unfused(setup):
+    """--constrain (the released-model recipe) through the fused path:
+    identical selection and update to the unfused constrained attack."""
+    from leaf_tpu.attacks.constraint import WordConstraint
+
+    cfg, params, tok, tx = setup
+    rho = 8
+    frozen = jax.tree.map(jnp.copy, params["text"])
+    wc = WordConstraint()
+
+    scorer = CandidateScorer(cfg)
+    anchor_encode = make_anchor_encode(cfg)
+    train_step = make_train_step(cfg, tx, donate=False)
+    state_a = TrainState.create(jax.tree.map(jnp.copy, params["text"]), tx)
+    rng_a = np.random.default_rng(11)
+    clean = bucket_tokens(tok(TEXTS))
+    anchors = anchor_encode(frozen, clean)
+    _, adv_texts = attack_text_leaf(scorer, state_a.text_params, tok,
+                                    list(TEXTS), anchors, objective="l2",
+                                    n=rho, k=1, constraint=wc, rng=rng_a)
+    adv_tokens = bucket_tokens(tok(adv_texts))
+    state_a, metrics_a = train_step(state_a, adv_tokens, anchors)
+
+    state_b = TrainState.create(jax.tree.map(jnp.copy, params["text"]), tx)
+    fused = FusedLeafStep(cfg, tx, tok, rho=rho, constraint=wc)
+    rng_b = np.random.default_rng(11)
+    state_b, info = fused(state_b, frozen, list(TEXTS), rng_b)
+
+    assert fused.adv_sentences(list(TEXTS), info) == adv_texts
+    np.testing.assert_allclose(float(info["metrics"]["loss"]),
+                               float(metrics_a["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(state_a.text_params),
+                    jax.tree.leaves(state_b.text_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_anchor_cache_is_exact(setup):
+    """Steps with the anchor cache reproduce the uncached run exactly."""
+    cfg, params, tok, tx = setup
+    frozen = jax.tree.map(jnp.copy, params["text"])
+
+    outs = []
+    for cache in (False, True):
+        state = TrainState.create(jax.tree.map(jnp.copy, params["text"]), tx)
+        fused = FusedLeafStep(cfg, tx, tok, rho=4, cache_anchors=cache)
+        rng = np.random.default_rng(3)
+        for _ in range(3):   # steps 2-3 hit the cache when enabled
+            state, info = fused(state, frozen, TEXTS, rng)
+        outs.append((state, float(info["metrics"]["loss"])))
+    assert outs[1][1] == outs[0][1]
+    for a, b in zip(jax.tree.leaves(outs[0][0].text_params),
+                    jax.tree.leaves(outs[1][0].text_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

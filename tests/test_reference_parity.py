@@ -235,3 +235,48 @@ def test_rn50_full_model_via_factory(ref_open_clip, torch):
             params, jnp.asarray(tokens)))
     np.testing.assert_allclose(ours_i, ref_i, atol=5e-4, rtol=1e-3)
     np.testing.assert_allclose(ours_t, ref_t, atol=5e-4, rtol=1e-3)
+
+
+def test_valid_sentence_logic_parity_vs_reference():
+    """The constrained-attack validity LOGIC vs the reference's
+    valid_sentence (`utils_attacks.py:80-108`), exec-extracted with the
+    same lexicon + tokenizer injected (nltk's corpus is absent in this
+    container — the reference's own W would differ only by word list,
+    which is pluggable in WordConstraint)."""
+    src = open(os.path.join(REFERENCE, "utils_attacks.py")).read()
+    start = src.index("def valid_sentence(")
+    end = src.index("def valid_sentence_batched(")
+    code = src[start:end]
+
+    from leaf_tpu.attacks.constraint import WordConstraint, word_tokenize
+    wc = WordConstraint()
+
+    class _WordsStub:
+        def words(self):
+            return list(wc.words)
+
+    ns = {"words": _WordsStub(), "word_tokenize": word_tokenize,
+          "time": __import__("time").time}
+    exec(code, ns)  # noqa: S102 — test-only oracle
+    valid_sentence = ns["valid_sentence"]
+
+    from leaf_tpu.attacks import edits
+    rng = np.random.default_rng(0)
+    originals = ["the cat sat on the mat", "stocks rally as tech gains",
+                 "it's a trap", "Wall St. falls 2%"]
+    for s in originals:
+        cands = [edits.apply_edit(s, int(z), int(u), edits.DEFAULT_VOCAB,
+                                  alternative=-1)
+                 for z, u in zip(rng.integers(0, edits.num_slots(len(s)), 40),
+                                 rng.integers(0, len(edits.DEFAULT_VOCAB), 40))]
+        assert wc.valid(s, cands) == valid_sentence(s, cands)
+        # and the vectorised mask used by the fused constrained step
+        zs = edits.sample_positions(len(s), 20, rng=rng)[None, :]
+        us = rng.integers(0, len(edits.DEFAULT_VOCAB), (1, 20))
+        cps = np.asarray(edits.DEFAULT_VOCAB, np.int32)[us]
+        strs = [edits.apply_edit(s, int(z), int(u), edits.DEFAULT_VOCAB,
+                                 alternative=-1)
+                for z, u in zip(zs[0], us[0])]
+        np.testing.assert_array_equal(
+            wc.valid_edits_batch([s], zs, cps)[0],
+            np.asarray(valid_sentence(s, strs)))
