@@ -29,10 +29,11 @@ __all__ = [
 
 
 def get_data(args, preprocess: Callable, epoch: int = 0,
-             process_index: int = 0, process_count: int = 1
-             ) -> Dict[str, object]:
+             process_index: int = 0, process_count: int = 1,
+             text_only: bool = False) -> Dict[str, object]:
     """Assemble datasets from a parsed-args namespace (see
-    `leaf_tpu.train.params`)."""
+    `leaf_tpu.train.params`).  `text_only` skips image decode in the
+    train tar pipeline (the LEAF text-AT loop discards images)."""
     data: Dict[str, object] = {}
 
     if getattr(args, "dataset_type", None) == "synthetic":
@@ -48,7 +49,14 @@ def get_data(args, preprocess: Callable, epoch: int = 0,
                           num_samples=args.train_num_samples,
                           resampled=getattr(args, "dataset_resampled", False),
                           process_index=process_index,
-                          process_count=process_count),
+                          process_count=process_count,
+                          text_only=text_only,
+                          workers=getattr(args, "workers", 4),
+                          upsampling_factors=(
+                              [float(x) for x in
+                               args.train_data_upsampling_factors.split("::")]
+                              if getattr(args, "train_data_upsampling_factors",
+                                         None) else None)),
                 preprocess)
         elif args.dataset_type == "csv":
             data["train"] = get_csv_dataset(
@@ -65,6 +73,11 @@ def get_data(args, preprocess: Callable, epoch: int = 0,
     if getattr(args, "imagenet_val", None):
         data["imagenet-val"] = get_imagenet(
             args.imagenet_val, preprocess, "val", args.batch_size,
+            n_val=getattr(args, "n_val_imagenet", 1000), seed=args.seed)
+
+    if getattr(args, "imagenet_v2", None):
+        data["imagenet-v2"] = get_imagenet(
+            args.imagenet_v2, preprocess, "val", args.batch_size,
             n_val=getattr(args, "n_val_imagenet", 1000), seed=args.seed)
 
     if getattr(args, "val_text_classification", None):

@@ -94,9 +94,15 @@ def iter_tar_samples(path: str, handler=None) -> Iterator[dict]:
         tf.close()
 
 
-def decode_sample(sample: dict, preprocess: Optional[Callable]) -> Optional[dict]:
+def decode_sample(sample: dict, preprocess: Optional[Callable],
+                  text_only: bool = False) -> Optional[dict]:
     """txt + image bytes → {'image': array, 'text': str}; None to drop
-    (reference filter `data_AT.py:279-282` + pilrgb decode)."""
+    (reference filter `data_AT.py:279-282` + pilrgb decode).
+
+    `text_only` skips PIL decode entirely — the LEAF text-AT loop
+    discards images, and host jpeg decode would otherwise dominate the
+    step on real DataComp tars (reference keeps decoding them;
+    `--text_only` + this flag is the TPU fix)."""
     if "txt" not in sample:
         return None
     img_bytes = None
@@ -108,6 +114,8 @@ def decode_sample(sample: dict, preprocess: Optional[Callable]) -> Optional[dict
         return None
     try:
         text = sample["txt"].decode("utf-8")
+        if text_only:
+            return {"image": None, "text": text}
         from PIL import Image
         img = Image.open(io.BytesIO(img_bytes)).convert("RGB")
         image = preprocess(img) if preprocess else np.asarray(img)
@@ -116,6 +124,27 @@ def decode_sample(sample: dict, preprocess: Optional[Callable]) -> Optional[dict
                     sample.get("__key__"), e)
         return None
     return {"image": image, "text": text}
+
+
+def parallel_map_ordered(fn: Callable, it: Iterator, workers: int,
+                         depth_per_worker: int = 4) -> Iterator:
+    """Order-preserving threaded map (the reference's DataLoader
+    `--workers` decode parallelism, `data_AT.py:526-532`, without
+    worker processes: PIL jpeg decode releases the GIL)."""
+    if workers <= 1:
+        yield from map(fn, it)
+        return
+    import collections
+    from concurrent.futures import ThreadPoolExecutor
+    depth = workers * depth_per_worker
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        futs: collections.deque = collections.deque()
+        for item in it:
+            futs.append(ex.submit(fn, item))
+            if len(futs) >= depth:
+                yield futs.popleft().result()
+        while futs:
+            yield futs.popleft().result()
 
 
 @dataclass
@@ -133,6 +162,8 @@ class WdsConfig:
     shard_shuffle_initial: int = SHARD_SHUFFLE_INITIAL
     sample_shuffle_size: int = SAMPLE_SHUFFLE_SIZE
     sample_shuffle_initial: int = SAMPLE_SHUFFLE_INITIAL
+    text_only: bool = False   # skip image decode (LEAF text-AT)
+    workers: int = 4          # decode threads (`--workers`)
 
 
 class WdsDataset:
@@ -170,23 +201,31 @@ class WdsDataset:
 
     def _samples(self, epoch: int) -> Iterator[dict]:
         rng = random.Random(self.cfg.seed + epoch + 31 * self.cfg.process_index)
+
         def raw():
             for url in self._shards_for_epoch(epoch):
-                for s in iter_tar_samples(url):
-                    d = decode_sample(s, self.preprocess)
-                    if d is not None:
-                        yield d
+                yield from iter_tar_samples(url)
+
+        # shuffle RAW byte samples (5000 × ~50 KB ≈ 250 MB), decode
+        # after — shuffling decoded float images would hold ~3 GB
         it = raw()
         if self.cfg.is_train:
             it = shuffle_buffer(it, self.cfg.sample_shuffle_size,
                                 self.cfg.sample_shuffle_initial, rng)
-        return it
+        decode = lambda s: decode_sample(s, self.preprocess,  # noqa: E731
+                                         self.cfg.text_only)
+        decoded = parallel_map_ordered(
+            decode, it, 1 if self.cfg.text_only else self.cfg.workers)
+        return (d for d in decoded if d is not None)
 
     def __iter__(self):
         self.epoch += 1
         epoch = self.epoch
         cfg = self.cfg
         target = self.num_batches if cfg.is_train else None
+
+        def stack(images):
+            return None if cfg.text_only else np.stack(images)
 
         def batches():
             produced = 0
@@ -197,14 +236,14 @@ class WdsDataset:
                     images.append(s["image"])
                     texts.append(s["text"])
                     if len(texts) == cfg.batch_size:
-                        yield np.stack(images), list(texts)
+                        yield stack(images), list(texts)
                         images, texts = [], []
                         produced += 1
                         if target is not None and produced >= target:
                             return
                 if target is None:
                     if texts:  # eval: final partial batch
-                        yield np.stack(images), list(texts)
+                        yield stack(images), list(texts)
                     return
                 if produced == n_before and not texts:
                     return  # empty shard set — avoid infinite loop

@@ -51,6 +51,24 @@ def save_checkpoint(ckpt_dir: str, epoch: int, payload: Dict[str, Any],
         ckptr.wait_until_finished()
 
 
+LATEST_NAME = "epoch_latest"
+
+
+def save_latest(ckpt_dir: str, epoch: int, payload: Dict[str, Any]):
+    """Rolling most-recent checkpoint (`--save-most-recent`, reference
+    `train_AT_text_only.py:161-171` epoch_latest.pt): overwrite
+    <ckpt_dir>/epoch_latest every epoch with an EPOCH sidecar for
+    resume discovery."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    path = os.path.join(os.path.abspath(ckpt_dir), LATEST_NAME)
+    ckptr = _async_checkpointer()
+    ckptr.wait_until_finished()
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()   # sidecar must postdate the payload
+    with open(os.path.join(ckpt_dir, LATEST_NAME + ".epoch"), "w") as f:
+        f.write(str(epoch))
+
+
 def wait_for_checkpoints():
     """Block until any in-flight async save is committed."""
     if _ASYNC_CKPTR is not None:
@@ -69,6 +87,12 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[Tuple[int, str]]:
             e = int(m.group(1))
             if best is None or e > best[0]:
                 best = (e, os.path.join(os.path.abspath(ckpt_dir), name))
+    sidecar = os.path.join(ckpt_dir, LATEST_NAME + ".epoch")
+    latest_dir = os.path.join(os.path.abspath(ckpt_dir), LATEST_NAME)
+    if os.path.exists(sidecar) and os.path.isdir(latest_dir):
+        e = int(open(sidecar).read().strip())
+        if best is None or e > best[0]:
+            best = (e, latest_dir)
     return best
 
 
@@ -94,7 +118,12 @@ def resolve_resume(resume: Optional[str], ckpt_dir: str
         return None
     if resume == "latest":
         return latest_checkpoint(ckpt_dir)
-    m = _EPOCH_RE.match(os.path.basename(os.path.normpath(resume)))
+    base = os.path.basename(os.path.normpath(resume))
+    if base == LATEST_NAME:
+        sidecar = os.path.join(os.path.dirname(os.path.normpath(resume)),
+                               LATEST_NAME + ".epoch")
+        return int(open(sidecar).read().strip()), resume
+    m = _EPOCH_RE.match(base)
     if m is None:
         raise ValueError(
             f"--resume path {resume!r} is not named epoch_<N>; cannot "

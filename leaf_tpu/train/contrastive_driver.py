@@ -164,6 +164,12 @@ def main(args=None) -> Dict:
     params = replicate(model.params, mesh)
     tokenizer = get_tokenizer(args.model)
 
+    if not args.gather_with_grad:
+        # lax.all_gather differentiates; the reference's no-grad gather
+        # workaround (`loss.py:19-63`) has no TPU counterpart to select
+        raise ValueError("gather-with-grad is always on under XLA "
+                         "(lax.all_gather is differentiable)")
+
     teacher = None
     if args.distill_model:
         t_pre = None

@@ -84,6 +84,12 @@ def main(args=None) -> Dict:
     out_dir = os.path.join(args.custom_out_folder or args.logs, run_name)
     ckpt_dir = os.path.join(out_dir, "checkpoints")
     os.makedirs(out_dir, exist_ok=True)
+    # file log: master-only unless --log-local (reference
+    # `open_clip_train/logger.py` log-local semantics)
+    if jax.process_index() == 0 or args.log_local:
+        suffix = f"_rank{jax.process_index()}" if args.log_local else ""
+        setup_logging(log_file=os.path.join(out_dir, f"out{suffix}.log"),
+                      level=logging.DEBUG if args.debug else logging.INFO)
     LOG.info("run: %s → %s", run_name, out_dir)
 
     mesh = create_mesh(
@@ -96,8 +102,22 @@ def main(args=None) -> Dict:
     if args.pretrained:
         from leaf_tpu.models.pretrained import resolve_pretrained
         pretrained = resolve_pretrained(args.model, args.pretrained)
+    # flags that belong to the vanilla contrastive trainer are a hard
+    # error here — silent acceptance hid them in round 1
+    if args.siglip or args.distill_model or args.local_loss:
+        raise ValueError(
+            "--siglip/--distill-model/--local-loss drive the contrastive "
+            "pretrainer; run python -m leaf_tpu.train.contrastive_driver")
+    if not args.lock_image:
+        # the reference freezes model.visual unconditionally for
+        # text-only AT (`train_AT_text_only.py:489-490`); only the
+        # text tower enters the optimizer here, so an unlocked vision
+        # tower cannot be honoured
+        raise ValueError("LEAF text-AT always locks the vision tower")
     model, preprocess_train, preprocess_val = create_model_and_transforms(
-        args.model, pretrained, precision=precision, seed=args.seed)
+        args.model, pretrained, precision=precision, seed=args.seed,
+        force_quick_gelu=args.force_quick_gelu,
+        force_patch_dropout=args.force_patch_dropout)
     cfg = model.cfg
     params = replicate(model.params, mesh)
     # real buffer copy: the train step donates its text params, so the
@@ -117,7 +137,8 @@ def main(args=None) -> Dict:
                                         do_normalize=False)
     data = get_data(args, preprocess_nonorm,
                     process_index=jax.process_index(),
-                    process_count=jax.process_count())
+                    process_count=jax.process_count(),
+                    text_only=args.text_only)
 
     # optimizer ------------------------------------------------------------
     steps_per_epoch = (data["train"].num_batches // args.accum_freq
@@ -139,7 +160,8 @@ def main(args=None) -> Dict:
     state = TrainState.create(jax.tree.map(jnp.copy, params["text"]), tx)
 
     train_step = make_train_step(cfg, tx, normalize=args.normalize_fare,
-                                 dtype=dtype, remat=args.grad_checkpointing)
+                                 dtype=dtype, remat=args.grad_checkpointing,
+                                 w_fare_text=args.w_fare_text)
     anchor_encode = make_anchor_encode(cfg, normalize=args.normalize_fare,
                                        dtype=dtype)
     fused_step = None
@@ -153,7 +175,9 @@ def main(args=None) -> Dict:
                                    normalize=args.normalize_fare,
                                    dtype=dtype,
                                    remat=args.grad_checkpointing,
-                                   mesh=mesh, constraint=constraint)
+                                   mesh=mesh, constraint=constraint,
+                                   objective=args.attack_objective,
+                                   w_fare_text=args.w_fare_text)
 
     # ledger/file writes are master-only (the reference gates on
     # is_master, `train_AT_text_only.py:498-513`); concurrent same-path
@@ -164,6 +188,11 @@ def main(args=None) -> Dict:
                             columns=RESULT_COLUMNS) if master else None
     timing = TimingLedger(os.path.join(
         out_dir, f"times_{args.use_charmer}.csv")) if master else None
+    from leaf_tpu.utils.trackers import create_tracker
+    tracker = create_tracker(args.report_to, out_dir, run_name,
+                             wandb_project=args.wandb_project_name,
+                             wandb_notes=args.wandb_notes,
+                             config=vars(args)) if master else None
 
     # resume ---------------------------------------------------------------
     # rank-0 discovers the latest checkpoint, everyone loads the same
@@ -189,13 +218,16 @@ def main(args=None) -> Dict:
         if results is not None:
             results.truncate_to_epoch(epoch_done)
 
-    def save(epoch: int):
-        ckpt.save_checkpoint(ckpt_dir, epoch, {
+    def payload():
+        return {
             "text_params": state.text_params,
             "opt_state": state.opt_state,
             "step": state.step,
             "frozen_text_params": frozen_text_params,
-        })
+        }
+
+    def save(epoch: int):
+        ckpt.save_checkpoint(ckpt_dir, epoch, payload())
         if args.delete_previous_checkpoint and master:
             prev = os.path.join(ckpt_dir, f"epoch_{epoch - 1}")
             if os.path.isdir(prev):
@@ -256,15 +288,22 @@ def main(args=None) -> Dict:
             tokenizer, vocab, data, epoch, args, constraint=constraint,
             timing=timing, rng=np.random.default_rng(args.seed + 1000 * epoch
                                                      + jax.process_index()),
-            fused_step=fused_step, mesh=mesh)
+            fused_step=fused_step, mesh=mesh, tracker=tracker)
         completed = epoch + 1
         metrics = run_eval(completed)
         LOG.info("epoch %d eval: %s", completed, metrics)
         record(completed, log_data.get("train/loss", float("nan")), metrics)
+        if tracker is not None:
+            tracker.log({f"val/{k}": v for k, v in metrics.items()
+                         if isinstance(v, (int, float))}, step=completed)
         if completed % args.save_frequency == 0 or completed == args.epochs:
             save(completed)
+        if args.save_most_recent:
+            ckpt.save_latest(ckpt_dir, completed, payload())
 
     ckpt.wait_for_checkpoints()
+    if tracker is not None:
+        tracker.finish()
     return {"results": results.rows if results is not None else [],
             "state": state,
             "params": eval_params(), "cfg": cfg, "out_dir": out_dir}

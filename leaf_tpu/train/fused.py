@@ -33,10 +33,19 @@ from leaf_tpu.models.config import CLIPConfig
 from leaf_tpu.train.step import TrainState
 
 
+def _scoring_anchors(anchors, objective: str):
+    """Match attack_text_leaf's anchor handling: sim/dissim normalise
+    the anchors before scoring (leaf_tpu/attacks/text.py:81-82)."""
+    if objective in ("sim", "dissim"):
+        return lclip.l2_normalize(anchors.astype(jnp.float32))
+    return anchors.astype(jnp.float32)
+
+
 def make_fused_phase1(cfg: CLIPConfig, normalize: bool = False,
-                      dtype=jnp.float32):
+                      dtype=jnp.float32, objective: str = "l2"):
     """(frozen_text, train_text, clean_tokens [B,C], probe_tokens
     [B,N,C]) → (anchors [B,D], best_probe [B])."""
+    norm_sc = objective in ("sim", "dissim")
 
     @jax.jit
     def phase1(frozen_text, train_text, clean_tokens, probe_tokens):
@@ -45,30 +54,31 @@ def make_fused_phase1(cfg: CLIPConfig, normalize: bool = False,
         B, N, C = probe_tokens.shape
         feats = lclip.encode_text(train_text, cfg.text,
                                   probe_tokens.reshape(B * N, C),
-                                  cfg.quick_gelu, False, dtype)
+                                  cfg.quick_gelu, norm_sc, dtype)
         loss = objective_loss(
             feats.reshape(B, N, -1).astype(jnp.float32),
-            anchors.astype(jnp.float32), "l2")
+            _scoring_anchors(anchors, objective), objective)
         return anchors, jnp.argmax(loss, axis=-1)
 
     return phase1
 
 
 def make_fused_phase1_cached(cfg: CLIPConfig, normalize: bool = False,
-                             dtype=jnp.float32):
+                             dtype=jnp.float32, objective: str = "l2"):
     """Probe scoring against *precomputed* anchors (the anchor-feature
     cache path: the frozen tower never changes, so after the first
     epoch over a dataset every clean caption's anchor is known)."""
+    norm_sc = objective in ("sim", "dissim")
 
     @jax.jit
     def phase1(train_text, probe_tokens, anchors):
         B, N, C = probe_tokens.shape
         feats = lclip.encode_text(train_text, cfg.text,
                                   probe_tokens.reshape(B * N, C),
-                                  cfg.quick_gelu, False, dtype)
+                                  cfg.quick_gelu, norm_sc, dtype)
         loss = objective_loss(
             feats.reshape(B, N, -1).astype(jnp.float32),
-            anchors.astype(jnp.float32), "l2")
+            _scoring_anchors(anchors, objective), objective)
         return jnp.argmax(loss, axis=-1)
 
     return phase1
@@ -76,18 +86,20 @@ def make_fused_phase1_cached(cfg: CLIPConfig, normalize: bool = False,
 
 def make_fused_phase2_step(cfg: CLIPConfig, tx: optax.GradientTransformation,
                            normalize: bool = False, dtype=jnp.float32,
-                           remat: bool = False, donate: bool = True):
+                           remat: bool = False, donate: bool = True,
+                           objective: str = "l2", w_fare_text: float = 1.0):
     """(state, cand_tokens [B,N,C], anchors [B,D]) →
     (state', best_idx [B], metrics)."""
+    norm_sc = objective in ("sim", "dissim")
 
     def step_fn(state: TrainState, cand_tokens, anchors):
         B, N, C = cand_tokens.shape
         feats = lclip.encode_text(state.text_params, cfg.text,
                                   cand_tokens.reshape(B * N, C),
-                                  cfg.quick_gelu, normalize, dtype)
+                                  cfg.quick_gelu, norm_sc, dtype)
         cand_loss = objective_loss(
             feats.reshape(B, N, -1).astype(jnp.float32),
-            anchors.astype(jnp.float32), "l2")
+            _scoring_anchors(anchors, objective), objective)
         best = jnp.argmax(cand_loss, axis=-1)
         adv_tokens = jnp.take_along_axis(
             cand_tokens, best[:, None, None], axis=1)[:, 0]
@@ -97,7 +109,7 @@ def make_fused_phase2_step(cfg: CLIPConfig, tx: optax.GradientTransformation,
                                           cfg.quick_gelu, normalize, dtype,
                                           remat=remat)
             diff = anchors.astype(jnp.float32) - adv_feats.astype(jnp.float32)
-            return jnp.square(diff).sum(-1).mean()
+            return w_fare_text * jnp.square(diff).sum(-1).mean()
 
         loss, grads = jax.value_and_grad(loss_fn)(state.text_params)
         updates, opt_state = tx.update(grads, state.opt_state,
@@ -132,7 +144,8 @@ class FusedLeafStep:
     def __init__(self, cfg: CLIPConfig, tx, tokenizer, rho: int,
                  vocab=edits.DEFAULT_VOCAB, normalize: bool = False,
                  dtype=jnp.float32, remat: bool = False, mesh=None,
-                 cache_anchors: bool = True, constraint=None):
+                 cache_anchors: bool = True, constraint=None,
+                 objective: str = "l2", w_fare_text: float = 1.0):
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.rho = rho
@@ -154,9 +167,12 @@ class FusedLeafStep:
         # perf lever; the reference recomputes them every epoch,
         # `utils_AT.py:296`)
         self.anchor_cache = {} if cache_anchors else None
-        self.phase1 = make_fused_phase1(cfg, normalize, dtype)
-        self.phase1_cached = make_fused_phase1_cached(cfg, normalize, dtype)
-        self.phase2 = make_fused_phase2_step(cfg, tx, normalize, dtype, remat)
+        self.phase1 = make_fused_phase1(cfg, normalize, dtype, objective)
+        self.phase1_cached = make_fused_phase1_cached(cfg, normalize, dtype,
+                                                      objective)
+        self.phase2 = make_fused_phase2_step(cfg, tx, normalize, dtype, remat,
+                                             objective=objective,
+                                             w_fare_text=w_fare_text)
 
     def _put(self, tree):
         from leaf_tpu.parallel.sharding import put_batch

@@ -36,18 +36,19 @@ LOG = logging.getLogger(__name__)
 def run_attack(scorer: CandidateScorer, text_params, tokenizer, texts,
                anchors, args, vocab, constraint, rng):
     """Training-time inner maximisation (`utils_AT.py:296-311`)."""
+    objective = getattr(args, "attack_objective", "l2")
     if args.use_charmer:
         adv_texts = []
         for j, t in enumerate(texts):
             adv, _ = attack_text_charmer_inference(
                 scorer, text_params, tokenizer, t, anchors[j],
-                objective="l2", n=args.rho, k=args.k_adv, vocab=vocab,
+                objective=objective, n=args.rho, k=args.k_adv, vocab=vocab,
                 constraint=constraint)
             adv_texts.append(adv)
         return adv_texts
     _, adv_texts = attack_text_leaf(
         scorer, text_params, tokenizer, list(texts), anchors,
-        objective="l2", n=args.rho, k=args.k_adv, vocab=vocab,
+        objective=objective, n=args.rho, k=args.k_adv, vocab=vocab,
         constraint=constraint, rng=rng)
     return adv_texts
 
@@ -68,6 +69,7 @@ def train_one_epoch_text_only(
     rng: Optional[np.random.Generator] = None,
     fused_step=None,
     mesh=None,
+    tracker=None,
 ):
     """Run one epoch; returns (state, log_data).
 
@@ -146,6 +148,8 @@ def train_one_epoch_text_only(
                 "train/attack_seconds": attack_seconds,
                 "train/step": step,
             }
+            if tracker is not None:
+                tracker.log(log_data, step=step)
             batch_time_m.reset()
             data_time_m.reset()
 

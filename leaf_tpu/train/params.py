@@ -83,16 +83,20 @@ def parse_args(args: Optional[List[str]] = None) -> argparse.Namespace:
     p.add_argument("--force-patch-dropout", type=float, default=None)
     p.add_argument("--local-loss", action="store_true", default=False,
                    help="per-shard logit rows in the contrastive loss")
-    p.add_argument("--gather-with-grad", action="store_true", default=True,
-                   help="always on: lax.all_gather is differentiable")
+    p.add_argument("--gather-with-grad", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="always on: lax.all_gather is differentiable "
+                        "(--no-gather-with-grad is rejected)")
     p.add_argument("--siglip", action="store_true", default=False)
     p.add_argument("--distill-model", type=str, default=None)
     p.add_argument("--distill-pretrained", type=str, default=None)
     p.add_argument("--coca-caption-loss-weight", type=float, default=2.0)
     p.add_argument("--coca-contrastive-loss-weight", type=float, default=1.0)
-    p.add_argument("--lock-image", action="store_true", default=True,
+    p.add_argument("--lock-image", action=argparse.BooleanOptionalAction,
+                   default=True,
                    help="LEAF always freezes the vision tower "
-                        "(train_AT_text_only.py:489-490)")
+                        "(train_AT_text_only.py:489-490); --no-lock-image "
+                        "is rejected by the LEAF driver")
     p.add_argument("--zeroshot-frequency", type=int, default=1)
     p.add_argument("--val-frequency", type=int, default=1)
 

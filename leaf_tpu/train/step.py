@@ -44,18 +44,20 @@ class TrainState:
 
 def textfare_loss(text_params, cfg: CLIPConfig, adv_tokens, anchor_features,
                   normalize: bool = False, dtype=jnp.float32,
-                  remat: bool = False) -> jnp.ndarray:
-    """TextFARE objective: MSE(anchor, f(adv)).sum(-1).mean()
-    (reference `utils_AT.py:319-322`)."""
+                  remat: bool = False,
+                  w_fare_text: float = 1.0) -> jnp.ndarray:
+    """TextFARE objective: w · MSE(anchor, f(adv)).sum(-1).mean()
+    (reference `utils_AT.py:319-322`; `--w_fare_text` weight)."""
     feats = lclip.encode_text(text_params, cfg.text, adv_tokens,
                               cfg.quick_gelu, normalize, dtype, remat=remat)
     diff = anchor_features.astype(jnp.float32) - feats.astype(jnp.float32)
-    return jnp.square(diff).sum(axis=-1).mean()
+    return w_fare_text * jnp.square(diff).sum(axis=-1).mean()
 
 
 def make_train_step(cfg: CLIPConfig, tx: optax.GradientTransformation,
                     normalize: bool = False, dtype=jnp.float32,
-                    remat: bool = False, donate: bool = True):
+                    remat: bool = False, donate: bool = True,
+                    w_fare_text: float = 1.0):
     """Build the jitted train step.
 
     step(state, adv_tokens [B,C], anchor_features [B,D])
@@ -65,7 +67,7 @@ def make_train_step(cfg: CLIPConfig, tx: optax.GradientTransformation,
     def step_fn(state: TrainState, adv_tokens, anchor_features):
         loss, grads = jax.value_and_grad(textfare_loss)(
             state.text_params, cfg, adv_tokens, anchor_features,
-            normalize, dtype, remat)
+            normalize, dtype, remat, w_fare_text)
         updates, opt_state = tx.update(grads, state.opt_state,
                                        state.text_params)
         text_params = optax.apply_updates(state.text_params, updates)

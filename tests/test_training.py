@@ -149,3 +149,39 @@ def test_train_with_val_contrastive(tmp_path):
     assert any("clip_val_loss" in str(r) or True for r in out["results"])
     # metrics reach the run_eval return — check directly
     from leaf_tpu.train.contrastive import evaluate_contrastive  # noqa: F401
+
+
+def test_train_save_most_recent(tmp_path):
+    run_driver(tmp_path, ["--save-most-recent", "--save-frequency", "100",
+                          "--name", "latestck"])
+    ck = os.path.join(tmp_path, "latestck", "checkpoints")
+    assert os.path.isdir(os.path.join(ck, "epoch_latest"))
+    assert open(os.path.join(ck, "epoch_latest.epoch")).read() == "1"
+    # resume discovery picks the rolling checkpoint up
+    out = run_driver(tmp_path, ["--save-most-recent", "--save-frequency",
+                                "100", "--name", "latestck",
+                                "--resume", "latest", "--epochs", "2"])
+    assert int(out["state"].step) == 8
+
+
+def test_train_attack_objective_and_weight(tmp_path):
+    out_sim = run_driver(tmp_path, ["--attack_objective", "sim",
+                                    "--name", "objsim",
+                                    "--train-num-samples", "8"])
+    assert np.isfinite(float(out_sim["results"][-1]["train_loss"]))
+    # w_fare_text scales the reported loss (0.5x) for the same seed
+    out_1 = run_driver(tmp_path, ["--name", "w1", "--train-num-samples", "8",
+                                  "--lr", "0"])
+    out_h = run_driver(tmp_path, ["--name", "wh", "--train-num-samples", "8",
+                                  "--lr", "0", "--w_fare_text", "0.5"])
+    np.testing.assert_allclose(float(out_h["results"][-1]["train_loss"]),
+                               0.5 * float(out_1["results"][-1]["train_loss"]),
+                               rtol=1e-5)
+
+
+def test_leaf_driver_rejects_contrastive_flags(tmp_path):
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="contrastive"):
+        run_driver(tmp_path, ["--siglip"])
+    with _pytest.raises(ValueError, match="vision tower"):
+        run_driver(tmp_path, ["--no-lock-image"])
