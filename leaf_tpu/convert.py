@@ -43,20 +43,25 @@ def params_to_openclip(params: Params, cfg: CLIPConfig) -> Dict[str, np.ndarray]
     put("logit_scale", params["logit_scale"])
 
     v = params["visual"]
-    p = cfg.vision.patch_size
-    conv = np.asarray(v["patch_embedding"]).reshape(p, p, 3, cfg.vision.width)
-    put("visual.conv1.weight", conv.transpose(3, 2, 0, 1))
-    put("visual.class_embedding", v["class_embedding"])
-    put("visual.positional_embedding", v["positional_embedding"])
-    put("visual.ln_pre.weight", v["ln_pre"]["scale"])
-    put("visual.ln_pre.bias", v["ln_pre"]["bias"])
-    put("visual.ln_post.weight", v["ln_post"]["scale"])
-    put("visual.ln_post.bias", v["ln_post"]["bias"])
-    put("visual.proj", v["proj"])
+    if cfg.resnet is not None:
+        _resnet_to_openclip(sd, v, put)
+        towers = ((t, "transformer", cfg.text.layers),)
+    else:
+        p = cfg.vision.patch_size
+        conv = np.asarray(v["patch_embedding"]).reshape(
+            p, p, 3, cfg.vision.width)
+        put("visual.conv1.weight", conv.transpose(3, 2, 0, 1))
+        put("visual.class_embedding", v["class_embedding"])
+        put("visual.positional_embedding", v["positional_embedding"])
+        put("visual.ln_pre.weight", v["ln_pre"]["scale"])
+        put("visual.ln_pre.bias", v["ln_pre"]["bias"])
+        put("visual.ln_post.weight", v["ln_post"]["scale"])
+        put("visual.ln_post.bias", v["ln_post"]["bias"])
+        put("visual.proj", v["proj"])
+        towers = ((t, "transformer", cfg.text.layers),
+                  (v, "visual.transformer", cfg.vision.layers))
 
-    for tower, prefix, n_layers in ((t, "transformer", cfg.text.layers),
-                                    (v, "visual.transformer",
-                                     cfg.vision.layers)):
+    for tower, prefix, n_layers in towers:
         b = tower["blocks"]
         for i in range(n_layers):
             base = f"{prefix}.resblocks.{i}"
@@ -76,6 +81,39 @@ def params_to_openclip(params: Params, cfg: CLIPConfig) -> Dict[str, np.ndarray]
                 np.asarray(b["mlp"]["proj_w"][i]).T)
             put(f"{base}.mlp.c_proj.bias", b["mlp"]["proj_b"][i])
     return sd
+
+
+def _resnet_to_openclip(sd, v: Params, put):
+    """ModifiedResNet visual pytree → `visual.*` torch state dict —
+    inverse of `resnet.resnet_openclip_to_params`."""
+
+    def conv(k, w):  # HWIO → torch OIHW
+        put(k, np.asarray(w).transpose(3, 2, 0, 1))
+
+    def bn(k, b):
+        put(k + ".weight", b["scale"])
+        put(k + ".bias", b["bias"])
+        put(k + ".running_mean", b["mean"])
+        put(k + ".running_var", b["var"])
+
+    for i in (1, 2, 3):
+        conv(f"visual.conv{i}.weight", v[f"conv{i}"])
+        bn(f"visual.bn{i}", v[f"bn{i}"])
+    for li in range(1, 5):
+        for b, bp in enumerate(v[f"layer{li}"]):
+            base = f"visual.layer{li}.{b}."
+            for i in (1, 2, 3):
+                conv(base + f"conv{i}.weight", bp[f"conv{i}"])
+                bn(base + f"bn{i}", bp[f"bn{i}"])
+            if "downsample" in bp:
+                conv(base + "downsample.0.weight", bp["downsample"]["conv"])
+                bn(base + "downsample.1", bp["downsample"]["bn"])
+    ap = v["attnpool"]
+    put("visual.attnpool.positional_embedding", ap["positional_embedding"])
+    for name, key in (("q_proj", "q"), ("k_proj", "k"), ("v_proj", "v"),
+                      ("c_proj", "c")):
+        put(f"visual.attnpool.{name}.weight", ap[f"{key}_w"])
+        put(f"visual.attnpool.{name}.bias", ap[f"{key}_b"])
 
 
 def hf_config_dict(cfg: CLIPConfig) -> Dict[str, Any]:
@@ -135,6 +173,10 @@ def save_state_dict(sd: Dict[str, np.ndarray], output: str, fmt: str):
     from safetensors.numpy import save_file
     name = ("model.safetensors" if fmt == "hf"
             else "open_clip_model.safetensors")
+    # safetensors writes the raw buffer and IGNORES strides — the
+    # transposed views params_to_{hf,openclip} produce must be
+    # materialised or the file is silently corrupt
+    sd = {k: np.ascontiguousarray(v) for k, v in sd.items()}
     save_file(sd, os.path.join(output, name))
     return os.path.join(output, name)
 

@@ -175,3 +175,85 @@ def get_model_config(name: str) -> CLIPConfig:
 
 def register_model(config: CLIPConfig) -> None:
     _REGISTRY[config.name] = config
+
+
+def config_from_open_clip_dict(name: str, d: dict) -> CLIPConfig:
+    """Build a CLIPConfig from an open_clip model-config dict — the
+    JSON schema of `src/open_clip/model_configs/*.json` and the
+    `model_cfg` section of hub `open_clip_config.json`
+    (reference `factory.py:200-230` _get_hf_config path)."""
+    v = dict(d.get("vision_cfg", {}))
+    t = dict(d.get("text_cfg", {}))
+    embed = d["embed_dim"]
+    resnet = None
+    layers = v.get("layers", 12)
+    if isinstance(layers, (list, tuple)):
+        width = v.get("width", 64)
+        image_size = v.get("image_size", 224)
+        resnet = ResNetVisionSpec(layers=tuple(layers), width=width,
+                                  image_size=image_size, output_dim=embed)
+        vision = VisionConfig(image_size=image_size, patch_size=32,
+                              width=width * 16, layers=sum(layers),
+                              output_dim=embed)
+    else:
+        vision = VisionConfig(
+            image_size=v.get("image_size", 224),
+            patch_size=v.get("patch_size", 16),
+            width=v.get("width", 768),
+            layers=layers,
+            head_width=v.get("head_width", 64),
+            mlp_ratio=v.get("mlp_ratio", 4.0),
+            output_dim=embed,
+            patch_dropout=v.get("patch_dropout", 0.0),
+        )
+    text = TextConfig(
+        context_length=t.get("context_length", 77),
+        vocab_size=t.get("vocab_size", 49408),
+        width=t.get("width", 512),
+        heads=t.get("heads", 8),
+        layers=t.get("layers", 12),
+        mlp_ratio=t.get("mlp_ratio", 4.0),
+        output_dim=embed,
+        pool_type=t.get("pool_type", "argmax"),
+        proj_bias=t.get("proj_bias", False),
+        no_causal_mask=t.get("no_causal_mask", False),
+        pad_id=t.get("pad_id", 0),
+    )
+    return CLIPConfig(name=name, embed_dim=embed, text=text, vision=vision,
+                      quick_gelu=bool(d.get("quick_gelu", False)),
+                      init_logit_scale=d.get("init_logit_scale", 2.6592),
+                      init_logit_bias=d.get("init_logit_bias"),
+                      resnet=resnet)
+
+
+def config_from_hf_dict(name: str, d: dict) -> CLIPConfig:
+    """Build a CLIPConfig from an HF `CLIPConfig` config.json (the
+    schema of LEAF's released `LEAF-CLIP/*` repos)."""
+    tv = d.get("text_config", {})
+    vv = d.get("vision_config", {})
+    embed = d.get("projection_dim", 512)
+    quick = (tv.get("hidden_act", d.get("hidden_act", "")) == "quick_gelu")
+    vision = VisionConfig(
+        image_size=vv.get("image_size", 224),
+        patch_size=vv.get("patch_size", 16),
+        width=vv.get("hidden_size", 768),
+        layers=vv.get("num_hidden_layers", 12),
+        head_width=(vv.get("hidden_size", 768)
+                    // vv.get("num_attention_heads", 12)),
+        mlp_ratio=(vv.get("intermediate_size", 3072)
+                   / vv.get("hidden_size", 768)),
+        output_dim=embed,
+    )
+    text = TextConfig(
+        context_length=tv.get("max_position_embeddings", 77),
+        vocab_size=tv.get("vocab_size", 49408),
+        width=tv.get("hidden_size", 512),
+        heads=tv.get("num_attention_heads", 8),
+        layers=tv.get("num_hidden_layers", 12),
+        mlp_ratio=(tv.get("intermediate_size", 2048)
+                   / tv.get("hidden_size", 512)),
+        output_dim=embed,
+    )
+    return CLIPConfig(name=name, embed_dim=embed, text=text, vision=vision,
+                      quick_gelu=quick,
+                      init_logit_scale=d.get("logit_scale_init_value", 2.6592))

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -55,6 +56,34 @@ class CLIPModel:
         return self.params["logit_scale"]
 
 
+def _config_from_hub(model_name: str):
+    """hf-hub: model name → (CLIPConfig, local snapshot dir)."""
+    import json
+
+    from leaf_tpu.models.config import (
+        config_from_hf_dict,
+        config_from_open_clip_dict,
+    )
+    from leaf_tpu.models.pretrained import download_pretrained_from_hf
+    snapshot = download_pretrained_from_hf(model_name)
+    oc = os.path.join(snapshot, "open_clip_config.json")
+    hf = os.path.join(snapshot, "config.json")
+    if os.path.exists(oc):
+        with open(oc) as f:
+            d = json.load(f)
+        cfg = config_from_open_clip_dict(model_name,
+                                         d.get("model_cfg", d))
+    elif os.path.exists(hf):
+        with open(hf) as f:
+            d = json.load(f)
+        cfg = config_from_hf_dict(model_name, d)
+    else:
+        raise FileNotFoundError(
+            f"{model_name}: snapshot {snapshot} has neither "
+            "open_clip_config.json nor config.json")
+    return cfg, snapshot
+
+
 def create_model(
     model_name: str,
     pretrained: Optional[str] = None,
@@ -68,8 +97,18 @@ def create_model(
     `pretrained` is a local checkpoint path (HF or OpenCLIP format,
     auto-detected) or an `hf-hub:` id resolved through the pretrained
     registry cache.  `force_quick_gelu` / `force_patch_dropout` are the
-    reference's config overrides (`factory.py:209-223`)."""
-    cfg = get_model_config(model_name)
+    reference's config overrides (`factory.py:209-223`).
+
+    An `hf-hub:org/repo` MODEL NAME resolves config + weights from the
+    hub snapshot (reference `factory.py:200-207`): the config comes
+    from `open_clip_config.json` (or an HF `config.json`), and the
+    snapshot becomes the default `pretrained` source."""
+    if model_name.startswith("hf-hub:"):
+        cfg, snapshot = _config_from_hub(model_name)
+        if not pretrained:
+            pretrained = snapshot
+    else:
+        cfg = get_model_config(model_name)
     if force_quick_gelu:
         cfg = dataclasses.replace(cfg, quick_gelu=True)
     if force_patch_dropout is not None:
@@ -77,6 +116,9 @@ def create_model(
             cfg, vision=dataclasses.replace(
                 cfg.vision, patch_dropout=force_patch_dropout))
     if pretrained:
+        if isinstance(pretrained, str) and pretrained.startswith("hf-hub:"):
+            from leaf_tpu.models.pretrained import download_pretrained_from_hf
+            pretrained = download_pretrained_from_hf(pretrained)
         params = interop.load_pretrained(pretrained, cfg)
         params = jax.tree.map(jnp.asarray, params)
     else:

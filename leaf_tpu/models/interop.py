@@ -282,8 +282,8 @@ def load_pretrained(path: str, cfg: CLIPConfig) -> Params:
     """Load an HF or OpenCLIP checkpoint file/dir into a pytree,
     auto-detecting the key schema."""
     if os.path.isdir(path):
-        for cand in ("model.safetensors", "open_clip_pytorch_model.bin",
-                     "pytorch_model.bin"):
+        for cand in ("open_clip_model.safetensors", "model.safetensors",
+                     "open_clip_pytorch_model.bin", "pytorch_model.bin"):
             f = os.path.join(path, cand)
             if os.path.exists(f):
                 path = f

@@ -26,28 +26,84 @@ DEFAULT_CACHE_DIR = os.path.expanduser("~/.cache/leaf_tpu/checkpoints")
 
 # (model, tag) → {url, sha256 prefix}.  URLs follow the upstream
 # open_clip/LAION hosting scheme; LEAF release artifacts are HF repos.
+_OPENAI_BASE = "https://openaipublic.azureedge.net/clip/models/"
+
 _PRETRAINED: Dict[str, Dict[str, Dict[str, str]]] = {
+    "RN50": {
+        "openai": dict(
+            url=_OPENAI_BASE + "afeb0e10f9e5a86da6080e35cf09123aca3b358a0c3e3"
+                "b6c78a7b63bc04b6762/RN50.pt",
+            sha256="afeb0e10f9e5a86da6080e35cf09123aca3b358a0c3e3b6c78a7b63b"),
+        "yfcc15m": dict(
+            url="https://github.com/mlfoundations/open_clip/releases/"
+                "download/v0.2-weights/rn50-quickgelu-yfcc15m-455df137.pt",
+            sha256="455df137"),
+        "cc12m": dict(
+            url="https://github.com/mlfoundations/open_clip/releases/"
+                "download/v0.2-weights/rn50-quickgelu-cc12m-f000538c.pt",
+            sha256="f000538c"),
+    },
+    "RN101": {
+        "openai": dict(
+            url=_OPENAI_BASE + "8fa8567bab74a42d41c5915025a8e4538c3bdbe8804a4"
+                "70a72f30b0d94fab599/RN101.pt",
+            sha256="8fa8567bab74a42d41c5915025a8e4538c3bdbe8804a470a72f30b0d"),
+        "yfcc15m": dict(
+            url="https://github.com/mlfoundations/open_clip/releases/"
+                "download/v0.2-weights/rn101-quickgelu-yfcc15m-3e04b30e.pt",
+            sha256="3e04b30e"),
+    },
+    "RN50x4": {
+        "openai": dict(
+            url=_OPENAI_BASE + "7e526bd135e493cef0776de27d5f42653e6b4c8bf9e0f"
+                "653bb11773263205fdd/RN50x4.pt",
+            sha256="7e526bd135e493cef0776de27d5f42653e6b4c8bf9e0f653bb117732"),
+    },
     "ViT-B-32": {
         "openai": dict(
-            url="https://openaipublic.azureedge.net/clip/models/"
-                "40d365715913c9da98579312b702a82c18be219cc2a73407c4526f58"
-                "eba950af/ViT-B-32.pt",
+            url=_OPENAI_BASE + "40d365715913c9da98579312b702a82c18be219cc2a73"
+                "407c4526f58eba950af/ViT-B-32.pt",
             sha256="40d365715913c9da98579312b702a82c18be219cc2a73407c4526f58"),
+        "laion2b_s34b_b79k": dict(
+            url="hf-hub:laion/CLIP-ViT-B-32-laion2B-s34B-b79K", sha256=""),
+        "laion2b": dict(
+            url="hf-hub:laion/CLIP-ViT-B-32-laion2B-s34B-b79K", sha256=""),
+        "datacomp_xl_s13b_b90k": dict(
+            url="hf-hub:laion/CLIP-ViT-B-32-DataComp.XL-s13B-b90K",
+            sha256=""),
+    },
+    "ViT-B-16": {
+        "openai": dict(
+            url=_OPENAI_BASE + "5806e77cd80f8b59890b7e101eabd078d9fb84e6937f9"
+                "e85e4ecb61988df416f/ViT-B-16.pt",
+            sha256="5806e77cd80f8b59890b7e101eabd078d9fb84e6937f9e85e4ecb619"),
+        "laion2b": dict(
+            url="hf-hub:laion/CLIP-ViT-B-16-laion2B-s34B-b88K", sha256=""),
     },
     "ViT-L-14": {
         "openai": dict(
-            url="https://openaipublic.azureedge.net/clip/models/"
-                "b8cca3fd41ae0c99ba7e8951adf17d267cdb84cd88be6f7c2e0eca1737"
-                "a03836/ViT-L-14.pt",
+            url=_OPENAI_BASE + "b8cca3fd41ae0c99ba7e8951adf17d267cdb84cd88be6"
+                "f7c2e0eca1737a03836/ViT-L-14.pt",
             sha256="b8cca3fd41ae0c99ba7e8951adf17d267cdb84cd88be6f7c2e0eca17"),
+        "laion2b": dict(
+            url="hf-hub:laion/CLIP-ViT-L-14-laion2B-s32B-b82K", sha256=""),
+        "datacomp_xl_s13b_b90k": dict(
+            url="hf-hub:laion/CLIP-ViT-L-14-DataComp.XL-s13B-b90K",
+            sha256=""),
+        # FARE2 (robust image tower, LEAF's init) and the released LEAF
+        # text towers (`README.md:27-63`, eval_utils.py:25-59)
         "fare2": dict(url="hf-hub:chs20/fare2-clip", sha256=""),
         "leaf": dict(
             url="hf-hub:LEAF-CLIP/CLIP-ViT-L-rho50-k1-constrained-FARE2",
+            sha256=""),
+        "leaf_clean": dict(
+            url="hf-hub:LEAF-CLIP/CLIP-ViT-L-rho50-k1-constrained",
             sha256=""),
     },
     "ViT-H-14": {
         "laion2b": dict(
             url="hf-hub:laion/CLIP-ViT-H-14-laion2B-s32B-b79K", sha256=""),
+        "fare2": dict(url="hf-hub:chs20/fare2-clip-vit-h", sha256=""),
         "leaf": dict(
             url="hf-hub:LEAF-CLIP/CLIP-ViT-H-rho50-k1-constrained-FARE2",
             sha256=""),
@@ -67,6 +123,11 @@ _PRETRAINED: Dict[str, Dict[str, Dict[str, str]]] = {
             sha256=""),
     },
 }
+
+# quickgelu aliases share their base model's sources (OpenAI-pretrained
+# towers ARE quickgelu; reference `pretrained.py` lists them separately)
+for _base in ("RN50", "RN101", "ViT-B-32", "ViT-B-16", "ViT-L-14"):
+    _PRETRAINED.setdefault(_base + "-quickgelu", _PRETRAINED[_base])
 
 
 def list_pretrained():
@@ -129,16 +190,74 @@ def download_pretrained_from_url(
     return target
 
 
+# checkpoint filenames probed on the hub, in preference order
+# (reference `pretrained.py:599-625` download_pretrained_from_hf)
+HF_WEIGHT_FILES = ("open_clip_model.safetensors",
+                   "open_clip_pytorch_model.bin",
+                   "model.safetensors", "pytorch_model.bin")
+HF_CONFIG_FILES = ("open_clip_config.json", "config.json")
+
+
+def _default_hf_download(repo_id: str, filename: str, local_dir: str) -> str:
+    from huggingface_hub import hf_hub_download
+    return hf_hub_download(repo_id=repo_id, filename=filename,
+                           local_dir=local_dir)
+
+
+def download_pretrained_from_hf(
+    hf_id: str,
+    cache_dir: Optional[str] = None,
+    hf_download: Optional[Callable[[str, str, str], str]] = None,
+) -> str:
+    """Resolve an `hf-hub:org/repo` id to a local snapshot directory
+    holding the checkpoint (and config, when present).
+
+    Offline-first (reference `factory.py:200-207` + huggingface cache
+    semantics): if the cache directory already contains one of the
+    known weight files, nothing is fetched.  `hf_download(repo_id,
+    filename, local_dir)` is injectable for tests / air-gapped mirrors.
+    """
+    repo = hf_id[len("hf-hub:"):] if hf_id.startswith("hf-hub:") else hf_id
+    repo = repo.rstrip("/")
+    local = os.path.join(cache_dir or DEFAULT_CACHE_DIR, "hf",
+                         repo.replace("/", "--"))
+    os.makedirs(local, exist_ok=True)
+    if any(os.path.exists(os.path.join(local, f)) for f in HF_WEIGHT_FILES):
+        return local
+
+    fetch = hf_download or _default_hf_download
+    errors = []
+    for f in HF_CONFIG_FILES:        # config is optional but preferred
+        try:
+            fetch(repo, f, local)
+            break
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+    for f in HF_WEIGHT_FILES:
+        try:
+            fetch(repo, f, local)
+            return local
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+    raise RuntimeError(
+        f"could not fetch any of {HF_WEIGHT_FILES} from hf-hub:{repo} "
+        f"(last errors: {errors[-2:]})")
+
+
 def resolve_pretrained(model: str, tag_or_path: str,
-                       cache_dir: Optional[str] = None) -> str:
-    """Registry tag → local path (downloading if needed); paths and
-    hf-hub ids pass through."""
-    if os.path.exists(tag_or_path) or tag_or_path.startswith("hf-hub:"):
+                       cache_dir: Optional[str] = None,
+                       hf_download: Optional[Callable] = None) -> str:
+    """Registry tag / hf-hub id / path → local path (downloading when
+    needed)."""
+    if os.path.exists(tag_or_path):
         return tag_or_path
+    if tag_or_path.startswith("hf-hub:"):
+        return download_pretrained_from_hf(tag_or_path, cache_dir,
+                                           hf_download)
     cfg = get_pretrained_cfg(model, tag_or_path)
     if not cfg:
         return tag_or_path
     url = cfg["url"]
     if url.startswith("hf-hub:"):
-        return url
+        return download_pretrained_from_hf(url, cache_dir, hf_download)
     return download_pretrained_from_url(url, cache_dir, cfg.get("sha256"))
