@@ -1,0 +1,328 @@
+"""Benchmark dataset builder registry.
+
+Re-expression of the reference's `src/clip_benchmark/datasets/
+builder.py` (820 LoC of torchvision download wrappers) for an
+offline-first TPU host: every dataset resolves to one of four local
+layouts —
+
+  * **imagefolder**: `root/<class_dir>/*.jpg` (torchvision
+    ImageFolder layout; class order = sorted dir names),
+  * **wds**: `root/{split}/{split}-{0000..NNNN}.tar` webdataset shards
+    with `cls` (classification) or `txt` (retrieval) members, plus an
+    optional `root/classnames.txt` (the clip_benchmark
+    webdataset_builder layout),
+  * **retrieval csv/json**: `filepath<sep>caption` CSV or a COCO
+    Karpathy-style JSON (`mscoco_captions`, `flickr30k`, `flickr8k`),
+  * **caption-selection json**: SugarCrepe-style records with
+    `filename`, `caption`, `negative_caption`.
+
+Classnames and prompt templates come from the bundled multilingual
+JSONs (en/cn/it/jp/ar + babel-imagenet — data assets shared with the
+reference, `datasets/{lang}_classnames.json`); templates use the
+`{c}` placeholder convention.
+"""
+from __future__ import annotations
+
+import functools
+import json
+import logging
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+LOG = logging.getLogger(__name__)
+
+ASSETS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "assets")
+
+# datasets whose default task is retrieval / caption selection
+RETRIEVAL_DATASETS = ("mscoco_captions", "flickr30k", "flickr8k",
+                      "multilingual_mscoco_captions")
+CAPTION_SELECTION_PREFIX = "sugar_crepe"
+
+# the reference's named collections (`builder.py` dataset_collection)
+DATASET_COLLECTIONS: Dict[str, List[str]] = {
+    "vtab": ["caltech101", "cifar100", "dtd", "flowers", "pets",
+             "svhn", "sun397", "eurosat", "resisc45", "pcam",
+             "diabetic_retinopathy", "clevr_count_all",
+             "clevr_closest_object_distance", "dsprites_label_orientation",
+             "dsprites_label_x_position", "smallnorb_label_azimuth",
+             "smallnorb_label_elevation", "dmlab", "kitti_closest_vehicle_distance"],
+    "imagenet_robustness": ["imagenetv2", "imagenet_sketch", "imagenet-a",
+                            "imagenet-r", "objectnet"],
+    "retrieval": ["mscoco_captions", "flickr8k", "flickr30k"],
+    "sugar_crepe": [f"sugar_crepe/{t}" for t in
+                    ("add_att", "add_obj", "replace_att", "replace_obj",
+                     "replace_rel", "swap_att", "swap_obj")],
+}
+
+# dataset name → classnames key in the language JSONs (most are 1:1)
+_CLASSNAME_ALIASES = {
+    "imagenet1k": "imagenet1k",
+    "imagenetv2": "imagenet1k",
+    "imagenet_sketch": "imagenet1k",
+    "imagenet-a": "imagenet1k",
+    "imagenet-r": "imagenet1k",
+    "imagenet-o": "imagenet1k",
+}
+
+
+@functools.lru_cache()
+def load_language_classnames(language: str = "en") -> Dict[str, List[str]]:
+    path = os.path.join(ASSETS, f"{language}_classnames.json")
+    with open(path) as f:
+        return json.load(f)
+
+
+@functools.lru_cache()
+def load_language_templates(language: str = "en"
+                            ) -> Optional[Dict[str, List[str]]]:
+    path = os.path.join(
+        ASSETS, f"{language}_zeroshot_classification_templates.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+@functools.lru_cache()
+def load_nllb_prompts(language: str) -> Optional[List[str]]:
+    """Machine-translated imagenet prompt set for babel-imagenet
+    languages (reference `nllb_dist13b_prompts.json`)."""
+    with open(os.path.join(ASSETS, "nllb_dist13b_prompts.json")) as f:
+        table = json.load(f)
+    return table.get(language.upper())
+
+
+@functools.lru_cache()
+def load_babel_imagenet(language: str) -> Optional[Tuple[List[int], List[str]]]:
+    """Babel-ImageNet translated classnames: (class indices, names)."""
+    with open(os.path.join(ASSETS, "babel_imagenet.json")) as f:
+        table = json.load(f)
+    v = table.get(language.upper())
+    return (v[0], v[1]) if v else None
+
+
+def get_dataset_default_task(name: str) -> str:
+    if name.startswith(CAPTION_SELECTION_PREFIX):
+        return "image_caption_selection"
+    if name in RETRIEVAL_DATASETS:
+        return "zeroshot_retrieval"
+    return "zeroshot_classification"
+
+
+def classnames_and_templates(name: str, language: str = "en",
+                             fallback_classes: Optional[Sequence[str]] = None
+                             ) -> Tuple[List[str], List]:
+    """(classnames, template callables) for a classification dataset.
+
+    Templates are `'{c}'`-format strings turned into callables (the
+    reference formats with `template.format(c=classname)`,
+    `zeroshot_classification.py:52`)."""
+    key = _CLASSNAME_ALIASES.get(name, name)
+    table = load_language_classnames(language) \
+        if os.path.exists(os.path.join(
+            ASSETS, f"{language}_classnames.json")) else {}
+    if key in table:
+        classnames = table[key]
+    elif key == "imagenet1k":
+        babel = load_babel_imagenet(language)
+        if babel is not None:
+            classnames = babel[1]
+        else:
+            classnames = load_language_classnames("en")[key]
+    elif fallback_classes is not None:
+        classnames = list(fallback_classes)
+    elif key in load_language_classnames("en"):
+        classnames = load_language_classnames("en")[key]
+    else:
+        raise KeyError(
+            f"no classnames for dataset {name!r} (language "
+            f"{language!r}) and no folder classes to fall back on")
+
+    tpl_table = load_language_templates(language)
+    templates = None
+    if tpl_table is not None:
+        templates = tpl_table.get(key) or tpl_table.get("imagenet1k")
+    if templates is None:
+        templates = load_nllb_prompts(language)
+    if templates is None:
+        en = load_language_templates("en") or {}
+        templates = en.get(key) or en.get("imagenet1k") \
+            or ["a photo of a {c}."]
+    # template strings use either the `{c}` or bare `{}` placeholder
+    fns = [(lambda c, _t=t: _t.format(c=c) if "{c}" in _t
+            else _t.format(c)) for t in templates]
+    return list(classnames), fns
+
+
+class BabelSubsetDataset:
+    """Wrap a classification dataset, keeping only samples whose label
+    has a translation and remapping labels to subset positions
+    (reference `datasets/babel_imagenet.py` BabelImageNet)."""
+
+    def __init__(self, base, class_indices: Sequence[int]):
+        import numpy as np
+        self.base = base
+        self.classes = list(class_indices)
+        self._remap = {int(c): i for i, c in enumerate(class_indices)}
+        self._np = np
+
+    def __iter__(self):
+        np = self._np
+        for images, labels in self.base:
+            keep = np.asarray([int(l) in self._remap for l in labels])
+            if not keep.any():
+                continue
+            labels = np.asarray([self._remap[int(l)]
+                                 for l in np.asarray(labels)[keep]])
+            yield np.asarray(images)[keep], labels
+
+
+class WdsClassificationDataset:
+    """Webdataset tar shards with integer `cls` members
+    (the clip_benchmark wds layout: `root/{split}/{split}-%04d.tar` or
+    a flat directory of tars; `root/classnames.txt` optional)."""
+
+    def __init__(self, root: str, preprocess, split: str = "test",
+                 batch_size: int = 64):
+        import glob as _glob
+
+        from leaf_tpu.data.wds import iter_tar_samples
+        self._iter_tar_samples = iter_tar_samples
+        cand_dirs = [os.path.join(root, split), root]
+        self.tars: List[str] = []
+        for d in cand_dirs:
+            if os.path.isdir(d):
+                self.tars = sorted(_glob.glob(os.path.join(d, "*.tar")))
+                if self.tars:
+                    break
+        if not self.tars:
+            raise FileNotFoundError(f"no .tar shards under {root}")
+        self.preprocess = preprocess
+        self.batch_size = batch_size
+        names = os.path.join(root, "classnames.txt")
+        self.classes: List[str] = []
+        if os.path.exists(names):
+            self.classes = [l.strip() for l in open(names) if l.strip()]
+
+    def __iter__(self):
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        from leaf_tpu.data.wds import IMAGE_EXTS
+        images, labels = [], []
+        for tar in self.tars:
+            for s in self._iter_tar_samples(tar):
+                if "cls" not in s:
+                    continue
+                img_bytes = None
+                for ext in IMAGE_EXTS:
+                    if ext in s:
+                        img_bytes = s[ext]
+                        break
+                if img_bytes is None:
+                    continue
+                img = Image.open(io.BytesIO(img_bytes)).convert("RGB")
+                images.append(self.preprocess(img) if self.preprocess
+                              else np.asarray(img))
+                labels.append(int(s["cls"]))
+                if len(images) == self.batch_size:
+                    yield np.stack(images), np.asarray(labels)
+                    images, labels = [], []
+        if images:
+            import numpy as np
+            yield np.stack(images), np.asarray(labels)
+
+
+class CaptionSelectionDataset:
+    """SugarCrepe-style (image, [positive, negatives...]) pairs from a
+    JSON annotation file (reference `datasets/sugar_crepe.py`)."""
+
+    def __init__(self, image_root: str, annotation_file: str, preprocess,
+                 batch_size: int = 64):
+        with open(annotation_file) as f:
+            data = json.load(f)
+        records = list(data.values()) if isinstance(data, dict) else data
+        self.items = [
+            (r.get("filename") or r.get("image"),
+             [r["caption"]] + ([r["negative_caption"]]
+                               if "negative_caption" in r
+                               else list(r.get("negative_captions", []))))
+            for r in records
+        ]
+        self.image_root = image_root
+        self.preprocess = preprocess
+        self.batch_size = batch_size
+
+    def __iter__(self):
+        import numpy as np
+        from PIL import Image
+        images, caption_lists = [], []
+        for fname, captions in self.items:
+            img = Image.open(
+                os.path.join(self.image_root, fname)).convert("RGB")
+            images.append(self.preprocess(img) if self.preprocess
+                          else np.asarray(img))
+            caption_lists.append(captions)
+            if len(images) == self.batch_size:
+                yield np.stack(images), caption_lists
+                images, caption_lists = [], []
+        if images:
+            yield np.stack(images), caption_lists
+
+
+def build_dataset(name: str, root: str, preprocess, split: str = "test",
+                  batch_size: int = 64, language: str = "en",
+                  annotation_file: str = ""):
+    """name → (dataset, task, classnames, templates).
+
+    classnames/templates are None for non-classification tasks."""
+    task = get_dataset_default_task(name)
+    root = root.format(dataset=name.replace("/", "-"), language=language)
+
+    if task == "image_caption_selection":
+        ann = annotation_file
+        if not ann:
+            sub = name.split("/", 1)[1] if "/" in name else "all"
+            ann = os.path.join(root, f"{sub}.json")
+        ds = CaptionSelectionDataset(
+            os.path.join(root, "images") if os.path.isdir(
+                os.path.join(root, "images")) else root,
+            ann, preprocess, batch_size)
+        return ds, task, None, None
+
+    if task == "zeroshot_retrieval":
+        from leaf_tpu.data.coco import CocoRetrievalDataset
+        if not annotation_file:
+            raise ValueError(
+                f"{name}: retrieval needs --annotation-file (Karpathy-"
+                "style JSON: [{'image': ..., 'caption': [...]}, ...])")
+        ds = CocoRetrievalDataset(root, annotation_file, preprocess,
+                                  batch_size=batch_size)
+        return ds, task, None, None
+
+    # classification
+    if name.startswith("wds/"):
+        ds = WdsClassificationDataset(root, preprocess, split, batch_size)
+        base = name[len("wds/"):]
+        classnames, templates = classnames_and_templates(
+            base, language, fallback_classes=ds.classes or None)
+        return ds, task, classnames, templates
+
+    from leaf_tpu.data.imagenet import ImageFolderDataset
+    sub = os.path.join(root, split)
+    ds = ImageFolderDataset(sub if os.path.isdir(sub) else root, preprocess,
+                            batch_size=batch_size)
+    classnames, templates = classnames_and_templates(
+        name, language, fallback_classes=ds.classes)
+    key = _CLASSNAME_ALIASES.get(name, name)
+    if key == "imagenet1k" and language != "en" \
+            and language not in ("cn", "it", "jp", "ar"):
+        babel = load_babel_imagenet(language)
+        if babel is not None:
+            # babel-imagenet translates a class SUBSET: evaluate on
+            # those classes only, labels remapped (reference
+            # babel_imagenet.py)
+            ds = BabelSubsetDataset(ds, babel[0])
+    return ds, task, classnames, templates

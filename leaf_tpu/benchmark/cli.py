@@ -3,14 +3,23 @@
 
   python -m leaf_tpu.benchmark.cli eval \
       --model ViT-B-32 --pretrained ckpt.safetensors \
-      --task zeroshot_classification --dataset-root /data/imagenet-val \
-      --classnames imagenet --output result.json [--attack apgd]
+      --dataset imagenet1k --dataset-root /data/imagenet \
+      [--task auto] [--language en] [--attack apgd] \
+      [--interpolate --beta 0.5 --interpolate-ckpt clean.safetensors] \
+      --output '{dataset}_{model}_{task}.json'
 
-Tasks: zeroshot_classification (clean / --attack apgd robust),
-zeroshot_retrieval (csv of filepath,caption), linear_probe.
-Datasets are local image folders / CSVs (the reference's ~40 web
-builders assume network access; local layouts cover the same metric
-paths).
+  python -m leaf_tpu.benchmark.cli build result1.json result2.json \
+      --output benchmark.csv
+
+Tasks: zeroshot_classification (clean / --attack apgd AutoAttack-style
+robust), zeroshot_retrieval, linear_probe, image_caption_selection,
+captioning (CoCa); `--task auto` infers from the dataset name.
+Datasets resolve through `builder.build_dataset` (imagefolder / wds
+tars / retrieval json / SugarCrepe json — offline layouts of the
+reference's ~40 builders); `--dataset` also accepts a collection name
+(vtab, retrieval, imagenet_robustness, sugar_crepe) or a text file of
+names.  `--language {en,cn,it,jp,ar,...}` selects classname/template
+translations (babel-imagenet for imagenet variants).
 """
 from __future__ import annotations
 
@@ -25,86 +34,141 @@ from leaf_tpu.utils.logging_utils import setup_logging
 LOG = logging.getLogger(__name__)
 
 
-def _load_classnames_and_templates(args):
-    from leaf_tpu.models.zero_shot import (
-        imagenet_classnames,
-        openai_imagenet_templates,
-    )
-    if args.classnames == "imagenet":
-        classnames = imagenet_classnames()
-    else:
-        with open(args.classnames) as f:
-            classnames = json.load(f)
-    if args.templates == "openai_imagenet":
-        templates = openai_imagenet_templates()
-    elif args.templates == "simple":
-        templates = ["a photo of a {}."]
-    else:
-        with open(args.templates) as f:
-            templates = json.load(f)
-    return classnames, templates
+def _interpolate(params, other, beta: float):
+    """θ ← β·θ + (1−β)·θ_other (reference `cli.py:81-88`
+    interpolate_state_dict; β=0 gives the clean model)."""
+    import jax
+    return jax.tree.map(lambda a, b: beta * a + (1 - beta) * b,
+                        params, other)
 
 
-def run_eval(args) -> dict:
-    from leaf_tpu.data.imagenet import ImageFolderDataset
+def _expand_datasets(specs: List[str]) -> List[str]:
+    from leaf_tpu.benchmark.builder import DATASET_COLLECTIONS
+    out: List[str] = []
+    for s in specs:
+        if s in DATASET_COLLECTIONS:
+            out.extend(DATASET_COLLECTIONS[s])
+        elif os.path.isfile(s) and s.endswith(".txt"):
+            out.extend(l.strip() for l in open(s) if l.strip())
+        else:
+            out.append(s)
+    return out
+
+
+def run_one(args, dataset_name: str) -> dict:
+    from leaf_tpu.benchmark.builder import build_dataset
     from leaf_tpu.models import create_model, get_tokenizer
     from leaf_tpu.models.preprocess import image_transform
 
     model = create_model(args.model, args.pretrained or None,
                          precision=args.precision)
     cfg = model.cfg
+    params = model.params
+    if args.interpolate:
+        if not args.interpolate_ckpt:
+            raise ValueError("--interpolate needs --interpolate-ckpt")
+        from leaf_tpu.models.interop import load_pretrained
+        other = load_pretrained(args.interpolate_ckpt, cfg)
+        params = _interpolate(params, other, args.beta)
     tokenizer = get_tokenizer(args.model)
     preprocess = image_transform(cfg.vision.image_size, do_normalize=False)
 
-    if args.task == "zeroshot_classification":
+    task = args.task
+    ds, default_task, classnames, templates = build_dataset(
+        dataset_name, args.dataset_root, preprocess, split=args.split,
+        batch_size=args.batch_size, language=args.language,
+        annotation_file=args.annotation_file)
+    if task == "auto":
+        task = default_task
+
+    if task == "zeroshot_classification":
         from leaf_tpu.benchmark import evaluate_zeroshot_classification
-        classnames, templates = _load_classnames_and_templates(args)
-        ds = ImageFolderDataset(args.dataset_root, preprocess,
-                                batch_size=args.batch_size)
-        if len(ds.classes) != len(classnames):
-            LOG.warning("dataset has %d class dirs but %d classnames",
-                        len(ds.classes), len(classnames))
         metrics = evaluate_zeroshot_classification(
-            model.params, cfg, tokenizer, ds, classnames, templates,
+            params, cfg, tokenizer, ds, classnames, templates,
             attack=args.attack, eps=args.eps / 255.0,
             n_iter=args.attack_iters)
-    elif args.task == "zeroshot_retrieval":
+    elif task == "zeroshot_retrieval":
         from leaf_tpu.benchmark import evaluate_zeroshot_retrieval
-        from leaf_tpu.data.csv_data import CsvDataset
-        ds = CsvDataset(args.dataset_root, preprocess,
-                        img_key=args.csv_img_key,
-                        caption_key=args.csv_caption_key,
-                        sep=args.csv_separator,
-                        batch_size=args.batch_size)
-        captions = list(ds.captions)
-        img2txt = {i: [i] for i in range(len(captions))}
         image_loader = (imgs for imgs, _ in ds)
         metrics = evaluate_zeroshot_retrieval(
-            model.params, cfg, tokenizer, image_loader, captions, img2txt)
-    elif args.task == "linear_probe":
+            params, cfg, tokenizer, image_loader, ds.text, ds.img2txt,
+            recall_ks=tuple(args.recall_k))
+    elif task == "image_caption_selection":
+        from leaf_tpu.benchmark.image_caption_selection import (
+            evaluate_image_caption_selection,
+        )
+        metrics = evaluate_image_caption_selection(params, cfg, tokenizer,
+                                                   ds)
+    elif task == "captioning":
+        import jax
+
+        from leaf_tpu.benchmark.captioning import evaluate_captioning
+        from leaf_tpu.models.coca import create_coca_model
+        coca, coca_cfg = create_coca_model(args.model,
+                                           args.pretrained or None)
+        metrics = evaluate_captioning(coca, coca_cfg, tokenizer, ds,
+                                      jax.random.PRNGKey(args.seed))
+    elif task == "linear_probe":
         from leaf_tpu.benchmark import evaluate_linear_probe
-        train_ds = ImageFolderDataset(
-            os.path.join(args.dataset_root, "train"), preprocess,
-            batch_size=args.batch_size)
+        from leaf_tpu.data.imagenet import ImageFolderDataset
+        root = args.dataset_root.format(dataset=dataset_name,
+                                        language=args.language)
+        train_ds = ImageFolderDataset(os.path.join(root, "train"),
+                                      preprocess,
+                                      batch_size=args.batch_size)
         test_ds = ImageFolderDataset(
-            os.path.join(args.dataset_root, "val"), preprocess,
-            batch_size=args.batch_size)
+            os.path.join(root, args.split if os.path.isdir(
+                os.path.join(root, args.split)) else "val"),
+            preprocess, batch_size=args.batch_size)
         metrics = evaluate_linear_probe(
-            model.params, cfg, train_ds, test_ds,
-            n_classes=len(train_ds.classes), lr=args.lp_lr,
-            epochs=args.lp_epochs)
+            params, cfg, train_ds, test_ds,
+            n_classes=len(train_ds.classes), lr=args.fewshot_lr,
+            epochs=args.fewshot_epochs, fewshot_k=args.fewshot_k)
     else:
-        raise ValueError(f"unknown task {args.task}")
+        raise ValueError(f"unknown task {task}")
 
     result = {"model": args.model, "pretrained": args.pretrained,
-              "task": args.task, "dataset": args.dataset_root,
-              "metrics": metrics}
+              "task": task, "dataset": dataset_name,
+              "language": args.language, "metrics": metrics}
     if args.output:
-        with open(args.output, "w") as f:
+        out = args.output.format(dataset=dataset_name.replace("/", "-"),
+                                 model=args.model.replace("/", "-"),
+                                 pretrained=os.path.basename(
+                                     args.pretrained or "scratch"),
+                                 task=task, language=args.language)
+        with open(out, "w") as f:
             json.dump(result, f, indent=2, default=float)
-        LOG.info("wrote %s", args.output)
+        LOG.info("wrote %s", out)
     print(json.dumps(result, default=float))
     return result
+
+
+def run_eval(args) -> List[dict]:
+    return [run_one(args, name)
+            for name in _expand_datasets(args.dataset)]
+
+
+def run_build(args):
+    """Merge result JSONs into one CSV (`cli.py` build subcommand)."""
+    import csv
+    rows = []
+    fields: List[str] = ["model", "pretrained", "task", "dataset",
+                         "language"]
+    for path in args.files:
+        with open(path) as f:
+            r = json.load(f)
+        row = {k: r.get(k) for k in fields[:5]}
+        for k, v in r.get("metrics", {}).items():
+            row[k] = v
+            if k not in fields:
+                fields.append(k)
+        rows.append(row)
+    with open(args.output, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=fields)
+        w.writeheader()
+        w.writerows(rows)
+    LOG.info("wrote %s (%d rows)", args.output, len(rows))
+    return rows
 
 
 def main(argv: List[str] | None = None):
@@ -114,28 +178,42 @@ def main(argv: List[str] | None = None):
     e.add_argument("--model", required=True)
     e.add_argument("--pretrained", default="")
     e.add_argument("--precision", default="fp32")
-    e.add_argument("--task", default="zeroshot_classification",
-                   choices=["zeroshot_classification", "zeroshot_retrieval",
-                            "linear_probe"])
-    e.add_argument("--dataset-root", required=True)
-    e.add_argument("--classnames", default="imagenet",
-                   help="'imagenet' or a JSON file of classnames")
-    e.add_argument("--templates", default="openai_imagenet",
-                   help="'openai_imagenet', 'simple', or a JSON file")
+    e.add_argument("--task", default="auto",
+                   choices=["auto", "zeroshot_classification",
+                            "zeroshot_retrieval", "linear_probe",
+                            "image_caption_selection", "captioning"])
+    e.add_argument("--dataset", nargs="+", default=["imagefolder"],
+                   help="dataset name(s), a collection (vtab, retrieval, "
+                        "imagenet_robustness, sugar_crepe), or a .txt list")
+    e.add_argument("--dataset-root", required=True,
+                   help="root dir; may template {dataset}/{language}")
+    e.add_argument("--split", default="test")
+    e.add_argument("--language", default="en")
+    e.add_argument("--annotation-file", default="")
     e.add_argument("--batch-size", type=int, default=64)
+    e.add_argument("--recall-k", type=int, nargs="+", default=[1, 5, 10])
     e.add_argument("--attack", default=None, choices=[None, "apgd"])
     e.add_argument("--eps", type=float, default=2.0, help="/255 units")
     e.add_argument("--attack-iters", type=int, default=100)
-    e.add_argument("--csv-separator", default="\t")
-    e.add_argument("--csv-img-key", default="filepath")
-    e.add_argument("--csv-caption-key", default="title")
-    e.add_argument("--lp-lr", type=float, default=0.1)
-    e.add_argument("--lp-epochs", type=int, default=100)
-    e.add_argument("--output", default=None)
+    e.add_argument("--interpolate", action="store_true", default=False,
+                   help="interpolate params with --interpolate-ckpt")
+    e.add_argument("--beta", type=float, default=0.5,
+                   help="interpolation weight (0 = the other model)")
+    e.add_argument("--interpolate-ckpt", default="")
+    e.add_argument("--fewshot-k", type=int, default=-1)
+    e.add_argument("--fewshot-lr", type=float, default=0.1)
+    e.add_argument("--fewshot-epochs", type=int, default=100)
+    e.add_argument("--seed", type=int, default=0)
+    e.add_argument("--output", default=None,
+                   help="may template {dataset}/{model}/{task}/{language}")
+    b = sub.add_parser("build")
+    b.add_argument("files", nargs="+")
+    b.add_argument("--output", default="benchmark.csv")
     args = p.parse_args(argv)
     setup_logging()
     if args.command == "eval":
         return run_eval(args)
+    return run_build(args)
 
 
 if __name__ == "__main__":

@@ -71,11 +71,24 @@ def evaluate_linear_probe(
     epochs: int = 100,
     val_fraction: float = 0.2,
     seed: int = 0,
+    fewshot_k: int = -1,
 ) -> Dict[str, float]:
     """Feature extraction → (optional) wd search on a val split →
-    final probe → test accuracy + mean per-class recall."""
+    final probe → test accuracy + mean per-class recall.
+
+    `fewshot_k > 0` keeps k train examples per class (the reference's
+    `--fewshot_k`, `linear_probe.py`)."""
     Xtr, ytr = extract_features(params, cfg, train_loader)
     Xte, yte = extract_features(params, cfg, test_loader)
+    if fewshot_k and fewshot_k > 0:
+        rng = np.random.default_rng(seed)
+        keep = []
+        for c in np.unique(ytr):
+            idx = np.nonzero(ytr == c)[0]
+            rng.shuffle(idx)
+            keep.extend(idx[:fewshot_k])
+        keep = np.sort(np.asarray(keep))
+        Xtr, ytr = Xtr[keep], ytr[keep]
 
     best_wd = weight_decays[0]
     if len(weight_decays) > 1:

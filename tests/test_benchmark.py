@@ -1,0 +1,237 @@
+"""Benchmark suite breadth: builder registry, multilingual prompts,
+new metrics (caption selection, captioning), --beta interpolation,
+wds classification layout, and the build subcommand."""
+import json
+import os
+import tarfile
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from leaf_tpu.benchmark import builder as bld
+
+
+def _img(rng):
+    return Image.fromarray(
+        rng.integers(0, 255, (64, 64, 3), dtype=np.uint8), "RGB")
+
+
+def make_imagefolder(root, classes=("cat", "dog"), per_class=3):
+    rng = np.random.default_rng(0)
+    for c in classes:
+        d = os.path.join(root, c)
+        os.makedirs(d, exist_ok=True)
+        for i in range(per_class):
+            _img(rng).save(os.path.join(d, f"{i}.png"))
+
+
+def test_language_assets_load():
+    for lang in ("en", "cn", "it", "jp", "ar"):
+        names = bld.load_language_classnames(lang)
+        tpls = bld.load_language_templates(lang)
+        assert "imagenet1k" in names and len(names["imagenet1k"]) == 1000
+        assert tpls["imagenet1k"]
+    # babel-imagenet: a translated SUBSET of classes (reference
+    # babel_imagenet.py evaluates on those classes only)
+    cls_de, _ = bld.classnames_and_templates("imagenetv2", "de")
+    cls_en, _ = bld.classnames_and_templates("imagenetv2", "en")
+    idxs, names = bld.load_babel_imagenet("de")
+    assert len(cls_en) == 1000
+    assert cls_de == names and len(idxs) == len(names) < 1000
+    # the subset adapter remaps labels to subset positions
+    base = [(np.zeros((3, 2, 2, 3), np.float32), np.asarray([idxs[0], 999999, idxs[1]]))]
+    sub = bld.BabelSubsetDataset(base, idxs)
+    (imgs, labels), = list(sub)
+    assert labels.tolist() == [0, 1] and imgs.shape[0] == 2
+
+
+def test_templates_are_c_format():
+    # cifar10 classnames come from torchvision in the reference, so the
+    # en json has no entry — folder classes are the fallback; the
+    # template table DOES carry cifar10 prompts
+    names, tpls = bld.classnames_and_templates(
+        "cifar10", "en", fallback_classes=["cat", "dog"])
+    assert names == ["cat", "dog"]
+    assert any("photo" in t("dog") and "dog" in t("dog") for t in tpls)
+
+
+def test_collections_and_default_tasks():
+    assert "imagenetv2" in bld.DATASET_COLLECTIONS["imagenet_robustness"]
+    assert bld.get_dataset_default_task("mscoco_captions") \
+        == "zeroshot_retrieval"
+    assert bld.get_dataset_default_task("sugar_crepe/add_att") \
+        == "image_caption_selection"
+    assert bld.get_dataset_default_task("cifar10") \
+        == "zeroshot_classification"
+
+
+def test_cli_imagefolder_classification(tmp_path):
+    from leaf_tpu.benchmark.cli import main
+    make_imagefolder(tmp_path / "data")
+    out = tmp_path / "{dataset}_{task}.json"
+    res = main(["eval", "--model", "ViT-tiny-test",
+                "--dataset", "imagefolder",
+                "--dataset-root", str(tmp_path / "data"),
+                "--task", "zeroshot_classification",
+                "--batch-size", "4", "--output", str(out)])
+    m = res[0]["metrics"]
+    assert 0.0 <= m["acc1"] <= 1.0
+    assert os.path.exists(str(tmp_path / "imagefolder_"
+                                         "zeroshot_classification.json"))
+
+
+def test_cli_interpolate_beta_zero_equals_other(tmp_path):
+    """--interpolate --beta 0 must evaluate the OTHER checkpoint."""
+    import jax
+
+    from leaf_tpu.benchmark.cli import main
+    from leaf_tpu.convert import save_state_dict
+    from leaf_tpu.convert import params_to_openclip
+    from leaf_tpu.models import create_model
+
+    make_imagefolder(tmp_path / "data")
+    other = create_model("ViT-tiny-test", seed=123)
+    sd = params_to_openclip(other.params, other.cfg)
+    ck = save_state_dict(sd, str(tmp_path / "other"), "openclip")
+
+    res_other = main(["eval", "--model", "ViT-tiny-test",
+                      "--pretrained", ck,
+                      "--dataset-root", str(tmp_path / "data"),
+                      "--task", "zeroshot_classification",
+                      "--batch-size", "4"])
+    res_interp = main(["eval", "--model", "ViT-tiny-test",
+                       "--interpolate", "--beta", "0.0",
+                       "--interpolate-ckpt", ck,
+                       "--dataset-root", str(tmp_path / "data"),
+                       "--task", "zeroshot_classification",
+                       "--batch-size", "4"])
+    assert res_interp[0]["metrics"]["acc1"] == res_other[0]["metrics"]["acc1"]
+
+
+def test_wds_classification_dataset(tmp_path):
+    rng = np.random.default_rng(1)
+    root = tmp_path / "wds"
+    os.makedirs(root / "test")
+    with tarfile.open(root / "test" / "test-0000.tar", "w") as tf:
+        import io
+        for i in range(6):
+            buf = io.BytesIO()
+            _img(rng).save(buf, format="PNG")
+            data = buf.getvalue()
+            info = tarfile.TarInfo(f"{i:05d}.png")
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+            cls = str(i % 2).encode()
+            info = tarfile.TarInfo(f"{i:05d}.cls")
+            info.size = len(cls)
+            tf.addfile(info, io.BytesIO(cls))
+    with open(root / "classnames.txt", "w") as f:
+        f.write("zero\none\n")
+
+    ds, task, classnames, templates = bld.build_dataset(
+        "wds/mytest", str(root), None, batch_size=4)
+    assert task == "zeroshot_classification"
+    assert classnames == ["zero", "one"]
+    batches = list(ds)
+    n = sum(len(l) for _, l in batches)
+    assert n == 6
+    assert set(np.concatenate([l for _, l in batches])) == {0, 1}
+
+
+def test_image_caption_selection(tmp_path):
+    from leaf_tpu.benchmark.image_caption_selection import (
+        evaluate_image_caption_selection,
+    )
+    from leaf_tpu.models import create_model, get_tokenizer
+
+    rng = np.random.default_rng(2)
+    os.makedirs(tmp_path / "imgs")
+    ann = {}
+    for i in range(4):
+        fname = f"{i}.png"
+        _img(rng).save(tmp_path / "imgs" / fname)
+        ann[str(i)] = {"filename": fname,
+                       "caption": f"a photo number {i}",
+                       "negative_caption": f"an upside down thing {i}"}
+    with open(tmp_path / "add_att.json", "w") as f:
+        json.dump(ann, f)
+
+    ds = bld.CaptionSelectionDataset(str(tmp_path / "imgs"),
+                                     str(tmp_path / "add_att.json"),
+                                     None, batch_size=2)
+    model = create_model("ViT-tiny-test")
+    m = evaluate_image_caption_selection(model.params, model.cfg,
+                                         get_tokenizer(), ds)
+    assert m["num_samples"] == 4 and 0.0 <= m["acc"] <= 1.0
+
+
+def test_captioning_metrics_sanity():
+    from leaf_tpu.benchmark.captioning import bleu4, cider_d
+    cands = ["a cat sits on the mat", "a dog runs in the park"]
+    refs = [[c] for c in cands]
+    assert bleu4(cands, refs) == pytest.approx(1.0)
+    assert cider_d(cands, refs) > 5.0
+    worse = bleu4(["completely unrelated words here now"], [refs[0]])
+    assert worse < 0.2
+
+
+def test_captioning_eval_runs(tmp_path):
+    import jax
+
+    from leaf_tpu.benchmark.captioning import evaluate_captioning
+    from leaf_tpu.models import coca as lcoca
+    from leaf_tpu.models.coca import CoCaConfig, MultimodalConfig
+    from leaf_tpu.models.config import TextConfig, VisionConfig
+    from leaf_tpu.tokenizer import get_tokenizer
+
+    cfg = CoCaConfig(
+        name="coca-tiny", embed_dim=64,
+        text=TextConfig(context_length=12, vocab_size=49408, width=64,
+                        heads=2, layers=2, output_dim=64),
+        vision=VisionConfig(image_size=32, patch_size=16, width=64,
+                            layers=2, head_width=32, output_dim=64),
+        multimodal=MultimodalConfig(context_length=12, width=64, heads=2,
+                                    layers=2, vocab_size=49408),
+        n_queries=8, attn_pooler_heads=2)
+    params = lcoca.init_coca(jax.random.PRNGKey(0), cfg)
+
+    rng = np.random.default_rng(3)
+    images = rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32)
+    dataset = [(images, [["a tiny test image"], ["another test image"]])]
+    m = evaluate_captioning(params, cfg, get_tokenizer(), dataset,
+                            jax.random.PRNGKey(0), seq_len=6)
+    assert m["num_samples"] == 2
+    assert np.isfinite(m["bleu4"]) and np.isfinite(m["cider_d"])
+
+
+def test_build_subcommand(tmp_path):
+    from leaf_tpu.benchmark.cli import main
+    rows = []
+    for i, ds in enumerate(("cifar10", "cifar100")):
+        path = tmp_path / f"r{i}.json"
+        with open(path, "w") as f:
+            json.dump({"model": "m", "pretrained": "p", "task": "t",
+                       "dataset": ds, "language": "en",
+                       "metrics": {"acc1": 0.5 + i / 10}}, f)
+        rows.append(str(path))
+    out = tmp_path / "bench.csv"
+    main(["build", *rows, "--output", str(out)])
+    lines = open(out).read().strip().splitlines()
+    assert len(lines) == 3 and "acc1" in lines[0]
+
+
+def test_linear_probe_fewshot(tmp_path):
+    from leaf_tpu.benchmark import evaluate_linear_probe
+    from leaf_tpu.data.imagenet import ImageFolderDataset
+    from leaf_tpu.models import create_model
+    make_imagefolder(tmp_path / "train", per_class=4)
+    make_imagefolder(tmp_path / "val", per_class=2)
+    model = create_model("ViT-tiny-test")
+    from leaf_tpu.models.preprocess import image_transform
+    pp = image_transform(model.cfg.vision.image_size, do_normalize=False)
+    tr = ImageFolderDataset(str(tmp_path / "train"), pp, batch_size=4)
+    te = ImageFolderDataset(str(tmp_path / "val"), pp, batch_size=4)
+    m = evaluate_linear_probe(model.params, model.cfg, tr, te, n_classes=2,
+                              epochs=5, fewshot_k=2)
+    assert m["n_train"] == 4  # 2 classes × k=2
