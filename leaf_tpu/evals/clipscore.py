@@ -80,3 +80,33 @@ def compute_clipscores(
         result["clipscore_gen_real"] = float(
             clip_score(gen_f, real_f).mean())
     return result
+
+
+def compute_clipscores_and_fid(params, cfg: CLIPConfig, tokenizer,
+                               captions: Sequence[str],
+                               gen_images: np.ndarray,
+                               real_images: Optional[np.ndarray] = None,
+                               batch_size: int = 64,
+                               fid_features: str = "clip"
+                               ) -> Dict[str, object]:
+    """CLIPScore + FID post-processing (the full
+    `compute_clipscores.py:14-185` metric set): CLIPScores over
+    non-black images, FID between real and generated sets
+    (`fid_features`: 'clip' offline-first, 'inception' classic)."""
+    result = compute_clipscores(params, cfg, tokenizer, captions,
+                                gen_images, real_images, batch_size)
+    if real_images is not None:
+        from leaf_tpu.evals.fid import (
+            compute_fid,
+            make_clip_feature_fn,
+            make_inception_feature_fn,
+        )
+        fn = None
+        if fid_features == "inception":
+            fn = make_inception_feature_fn()
+        if fn is None:
+            fn = make_clip_feature_fn(params, cfg, batch_size)
+            fid_features = "clip"
+        result[f"fid_{fid_features}"] = compute_fid(
+            np.asarray(real_images), np.asarray(gen_images), fn)
+    return result

@@ -27,6 +27,9 @@ class TextConfig:
     no_causal_mask: bool = False
     pad_id: int = 0
     ln_eps: float = 1e-5
+    # HF tokenizer id when the tower uses one (reference CLIPTextCfg
+    # hf_tokenizer_name; selects HFTokenizer in get_tokenizer)
+    hf_tokenizer_name: Optional[str] = None
 
     @property
     def head_dim(self) -> int:
@@ -218,6 +221,7 @@ def config_from_open_clip_dict(name: str, d: dict) -> CLIPConfig:
         proj_bias=t.get("proj_bias", False),
         no_causal_mask=t.get("no_causal_mask", False),
         pad_id=t.get("pad_id", 0),
+        hf_tokenizer_name=t.get("hf_tokenizer_name"),
     )
     return CLIPConfig(name=name, embed_dim=embed, text=text, vision=vision,
                       quick_gelu=bool(d.get("quick_gelu", False)),

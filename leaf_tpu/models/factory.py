@@ -146,9 +146,29 @@ def create_model_and_transforms(
 
 
 @functools.lru_cache()
-def get_tokenizer(model_name: str = ""):
-    """Tokenizer for a model name (all registered models use the
-    byte-BPE SimpleTokenizer scheme; HF-hub text towers are out of
-    scope for LEAF parity — reference `factory.py:84-127`)."""
-    del model_name
+def get_tokenizer(model_name: str = "", context_length=None, **kwargs):
+    """Tokenizer for a model name (reference `factory.py:84-127`):
+    the byte-BPE SimpleTokenizer for registered CLIP configs, an
+    `HFTokenizer` when the config names one (HF text towers), a
+    `SigLipTokenizer` for SigLIP-named models."""
+    if model_name.lower().startswith("siglip:") or "siglip" in \
+            model_name.lower().split("/")[-1].split("-")[:1]:
+        from leaf_tpu.tokenizer.hf import SigLipTokenizer
+        return SigLipTokenizer(
+            model_name.split(":", 1)[1] if ":" in model_name else "c4-en",
+            context_length=context_length or 64)
+    cfg = None
+    if model_name.startswith("hf-hub:"):
+        cfg, _ = _config_from_hub(model_name)
+    elif model_name:
+        try:
+            cfg = get_model_config(model_name)
+        except KeyError:
+            cfg = None
+    if cfg is not None and cfg.text.hf_tokenizer_name:
+        from leaf_tpu.tokenizer.hf import HFTokenizer
+        return HFTokenizer(cfg.text.hf_tokenizer_name,
+                           context_length=(context_length
+                                           or cfg.text.context_length),
+                           **kwargs)
     return _get_bpe()
