@@ -67,8 +67,31 @@ def main():
     rng = np.random.default_rng(0)
     texts = [" ".join(rng.choice(words, size=10)) for _ in range(BATCH)]
 
+    # BENCH_TARS=<shard spec>: feed captions from the real text-only
+    # tar pipeline instead of the synthetic list (measures the data
+    # path the training loop actually runs; text_only skips image
+    # decode, so tar-fed and synthetic throughput should be within a
+    # few percent)
+    batch_iter = None
+    if os.environ.get("BENCH_TARS"):
+        from leaf_tpu.data.wds import WdsConfig, get_wds_dataset
+        # a 4-batch cycle: after the first pass the anchor cache hits,
+        # like epochs >= 1 of real training over a fixed caption set
+        info = get_wds_dataset(
+            WdsConfig(urls=os.environ["BENCH_TARS"], batch_size=BATCH,
+                      is_train=True, num_samples=BATCH * 4,
+                      text_only=True),
+            preprocess=None)
+
+        def gen():
+            while True:
+                for _, batch_texts in info.loader:
+                    yield list(batch_texts)
+        batch_iter = gen()
+
     def one_step(state, step_rng):
-        state, info = fused(state, frozen_text, texts, step_rng)
+        step_texts = next(batch_iter) if batch_iter is not None else texts
+        state, info = fused(state, frozen_text, step_texts, step_rng)
         return state, info["metrics"]
 
     # warmup / compile (also fills the anchor cache)

@@ -374,3 +374,85 @@ def generate(params: Params, cfg: CoCaConfig, images, key,
         step, (tokens0, jnp.asarray(1), jnp.zeros((B,), bool), key),
         None, length=min(seq_len, cfg.multimodal.context_length - 1))
     return tokens
+
+
+def generate_beamsearch(params: Params, cfg: CoCaConfig, images,
+                        num_beams: int = 6, num_beam_groups: int = 3,
+                        min_seq_len: int = 5, seq_len: int = 30,
+                        length_penalty: float = 1.0,
+                        sot_token_id: int = 49406, eos_token_id: int = 49407,
+                        pad_id: int = 0, dtype=jnp.float32) -> jnp.ndarray:
+    """Group beam search as one jitted scan (the reference's
+    `_generate_beamsearch`, `coca_model.py:329-420`, built on HF's
+    BeamSearchScorer with num_beams/num_beam_groups and a min-length
+    EOS block).
+
+    Groups are contiguous beam blocks searched independently (HF group
+    semantics with zero diversity penalty); finished beams are frozen
+    by restricting them to a single pad continuation; the returned
+    sequence per image is the beam with the best length-normalised
+    score (HF length_penalty=1.0 default)."""
+    B = images.shape[0]
+    K, G = num_beams, num_beam_groups
+    assert K % G == 0, "num_beams must divide into num_beam_groups"
+    bg = K // G
+    S = cfg.multimodal.context_length
+    steps = min(seq_len, S - 1)
+    _, image_embs = encode_image_coca(params, cfg, images, dtype=dtype)
+    image_embs_b = jnp.repeat(image_embs, K, axis=0)
+
+    tokens0 = jnp.full((B, K, S), pad_id, jnp.int32)
+    tokens0 = tokens0.at[:, :, 0].set(sot_token_id)
+    # within each group only beam 0 is live at step 1 (identical
+    # prefixes would otherwise fill the beam with duplicates)
+    beam_live = (jnp.arange(K) % bg == 0)
+    scores0 = jnp.where(beam_live, 0.0, -jnp.inf)[None, :].repeat(B, 0)
+    finished0 = jnp.zeros((B, K), bool)
+    lengths0 = jnp.ones((B, K), jnp.float32)
+
+    def step(carry, _):
+        tokens, scores, finished, lengths, pos = carry
+        _, token_embs = encode_text_coca(
+            params, cfg, tokens.reshape(B * K, S), dtype=dtype)
+        logits = decode(params, cfg, image_embs_b, token_embs, dtype)
+        cur = jnp.take_along_axis(
+            logits, (pos - 1)[None, None, None].repeat(B * K, 0),
+            axis=1)[:, 0]
+        logp = jax.nn.log_softmax(cur.astype(jnp.float32), -1)
+        logp = logp.reshape(B, K, -1)
+        V = logp.shape[-1]
+        # min-length: EOS blocked until min_seq_len tokens generated
+        eos_block = jnp.where(pos < min_seq_len, -jnp.inf, 0.0)
+        logp = logp.at[:, :, eos_token_id].add(eos_block)
+        # frozen finished beams: single pad continuation at logp 0
+        pad_only = jnp.full((V,), -jnp.inf).at[pad_id].set(0.0)
+        logp = jnp.where(finished[:, :, None], pad_only[None, None], logp)
+
+        total = scores[:, :, None] + logp                      # [B,K,V]
+        grouped = total.reshape(B, G, bg * V)
+        top_scores, top_idx = jax.lax.top_k(grouped, bg)       # [B,G,bg]
+        beam_in_group = top_idx // V
+        tok = (top_idx % V).astype(jnp.int32)
+        beam_global = (beam_in_group
+                       + (jnp.arange(G) * bg)[None, :, None]).reshape(B, K)
+        tok = tok.reshape(B, K)
+        new_scores = top_scores.reshape(B, K)
+
+        gather = lambda x: jnp.take_along_axis(  # noqa: E731
+            x, beam_global.reshape(B, K, *([1] * (x.ndim - 2))), axis=1)
+        new_tokens = gather(tokens)
+        new_tokens = jax.lax.dynamic_update_slice(
+            new_tokens, tok[:, :, None], (0, 0, pos))
+        was_finished = jnp.take_along_axis(finished, beam_global, axis=1)
+        new_lengths = jnp.take_along_axis(lengths, beam_global, axis=1) \
+            + (~was_finished)
+        new_finished = was_finished | (tok == eos_token_id)
+        return (new_tokens, new_scores, new_finished, new_lengths,
+                pos + 1), None
+
+    (tokens, scores, finished, lengths, _), _ = jax.lax.scan(
+        step, (tokens0, scores0, finished0, lengths0, jnp.asarray(1)),
+        None, length=steps)
+    final = scores / jnp.power(lengths, length_penalty)
+    best = jnp.argmax(final, axis=1)
+    return jnp.take_along_axis(tokens, best[:, None, None], axis=1)[:, 0]

@@ -100,3 +100,49 @@ def test_coca_registry():
     assert cfg.text.context_length == 76
     with pytest.raises(KeyError):
         lcoca.get_coca_config("coca_nonexistent")
+
+
+def test_beam_search_generate(tiny_coca):
+    """Beam search runs, respects min length, and finds a sequence at
+    least as likely as greedy decoding (min_seq_len=0 comparison)."""
+    cfg, params = tiny_coca
+    rng = np.random.default_rng(5)
+    images = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+
+    out = jax.jit(lambda p, im: lcoca.generate_beamsearch(
+        p, cfg, im, num_beams=4, num_beam_groups=2, min_seq_len=3,
+        seq_len=8, eos_token_id=999, sot_token_id=998))(params, images)
+    assert out.shape == (2, cfg.multimodal.context_length)
+    assert (np.asarray(out)[:, 0] == 998).all()
+    # min_seq_len: no EOS among the first 3 generated tokens
+    assert not (np.asarray(out)[:, 1:3] == 999).any()
+
+    def seq_logp(tokens):
+        """Cumulative log-prob of generated tokens under the model."""
+        _, token_embs = lcoca.encode_text_coca(params, cfg, tokens)
+        logits = lcoca.decode(params, cfg,
+                              lcoca.encode_image_coca(params, cfg,
+                                                      images)[1],
+                              token_embs)
+        logp = jax.nn.log_softmax(np.asarray(logits, np.float32), -1)
+        total = np.zeros(tokens.shape[0])
+        for b in range(tokens.shape[0]):
+            for t in range(1, tokens.shape[1]):
+                tok = int(tokens[b, t])
+                if tok == 0:
+                    break
+                total[b] += float(logp[b, t - 1, tok])
+                if tok == 999:
+                    break
+        return total
+
+    greedy = jax.jit(lambda p, im: lcoca.generate(
+        p, cfg, im, jax.random.PRNGKey(0), seq_len=8, top_k=1,
+        eos_token_id=999, sot_token_id=998))(params, images)
+    beam = jax.jit(lambda p, im: lcoca.generate_beamsearch(
+        p, cfg, im, num_beams=4, num_beam_groups=1, min_seq_len=0,
+        seq_len=8, length_penalty=0.0,   # pure sum-logp comparison
+        eos_token_id=999, sot_token_id=998))(params, images)
+    lp_beam = seq_logp(np.asarray(beam))
+    lp_greedy = seq_logp(np.asarray(greedy))
+    assert (lp_beam >= lp_greedy - 1e-4).all()
