@@ -121,18 +121,22 @@ def init_vision_tower(key, cfg: VisionConfig, quick_gelu: bool = False) -> Param
     mlp_width = int(cfg.width * cfg.mlp_ratio)
     scale = cfg.width ** -0.5
     patch_dim = cfg.patch_size * cfg.patch_size * 3
-    return {
+    p = {
         # [p*p*3, width]: pixels flattened (ph, pw, c) — see patchify()
         "patch_embedding": scale * jax.random.normal(
             k[0], (patch_dim, cfg.width), jnp.float32),
         "class_embedding": scale * jax.random.normal(k[1], (cfg.width,), jnp.float32),
         "positional_embedding": scale * jax.random.normal(
             k[2], (cfg.num_tokens, cfg.width), jnp.float32),
-        "ln_pre": layers.init_layer_norm(cfg.width),
         "blocks": layers.init_block_stack(k[3], cfg.layers, cfg.width, mlp_width),
         "ln_post": layers.init_layer_norm(cfg.width),
         "proj": scale * jax.random.normal(k[4], (cfg.width, cfg.output_dim), jnp.float32),
     }
+    if cfg.ln_pre:
+        p["ln_pre"] = layers.init_layer_norm(cfg.width)
+    if cfg.patch_bias:
+        p["patch_bias"] = jnp.zeros((cfg.width,), jnp.float32)
+    return p
 
 
 def init_clip(key, cfg: CLIPConfig) -> Params:
@@ -292,6 +296,8 @@ def encode_image(params: Params, cfg: VisionConfig, images: jnp.ndarray,
     (reference `transformer.py:559-612` VisionTransformer.forward)."""
     x = patchify(images.astype(dtype), cfg.patch_size)
     x = x @ params["patch_embedding"].astype(dtype)
+    if "patch_bias" in params:          # timm ViT patch embed has bias
+        x = x + params["patch_bias"].astype(dtype)
     cls = jnp.broadcast_to(params["class_embedding"].astype(dtype),
                            (x.shape[0], 1, cfg.width))
     x = jnp.concatenate([cls, x], axis=1)
@@ -300,7 +306,8 @@ def encode_image(params: Params, cfg: VisionConfig, images: jnp.ndarray,
         else patch_dropout_rate
     if rate > 0 and dropout_key is not None:
         x = patch_dropout(x, rate, dropout_key)
-    x = layers.layer_norm(params["ln_pre"], x, cfg.ln_eps)
+    if "ln_pre" in params:              # absent in timm ViT towers
+        x = layers.layer_norm(params["ln_pre"], x, cfg.ln_eps)
     x = layers.transformer_stack(
         params["blocks"], x, None, cfg.heads, _act(quick_gelu), cfg.ln_eps,
         remat=remat)
@@ -309,9 +316,21 @@ def encode_image(params: Params, cfg: VisionConfig, images: jnp.ndarray,
         pooled = x[:, 0]
     elif cfg.pool_type == "avg":
         pooled = x.mean(axis=1)
+    elif cfg.pool_type == "avg_patch":  # timm global_pool='avg'
+        pooled = x[:, 1:].mean(axis=1)
     else:
         raise ValueError(f"unsupported pool_type {cfg.pool_type!r}")
-    pooled = pooled @ params["proj"].astype(dtype)
+    if "head_mlp" in params:            # timm proj='mlp' head
+        h = params["head_mlp"]
+        pooled = pooled @ h["fc_w"].astype(dtype) + h["fc_b"].astype(dtype)
+        pooled = layers.gelu(pooled)
+        pooled = pooled @ h["proj_w"].astype(dtype)
+        if "proj_b" in h:
+            pooled = pooled + h["proj_b"].astype(dtype)
+    elif "proj" in params:
+        pooled = pooled @ params["proj"].astype(dtype)
+        if "proj_bias" in params:
+            pooled = pooled + params["proj_bias"].astype(dtype)
     if normalize:
         pooled = l2_normalize(pooled)
     return pooled

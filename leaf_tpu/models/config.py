@@ -46,12 +46,18 @@ class VisionConfig:
     head_width: int = 64
     mlp_ratio: float = 4.0
     output_dim: int = 512
-    pool_type: str = "tok"         # 'tok' (class token) | 'avg' | 'none'
+    # 'tok' (class token) | 'avg' (all tokens) | 'avg_patch' (patch
+    # tokens only — timm ViT global_pool='avg' semantics)
+    pool_type: str = "tok"
     ln_eps: float = 1e-5
     # train-time patch dropout rate (FLIP-style; reference
     # `transformer.py:48-87` PatchDropout, `--force-patch-dropout`);
     # applied only when the caller passes a dropout key
     patch_dropout: float = 0.0
+    # timm-ViT tower deltas vs the CLIP ViT (reference timm_model.py):
+    # biased patch embedding, no pre-transformer LayerNorm
+    patch_bias: bool = False
+    ln_pre: bool = True
 
     @property
     def heads(self) -> int:
@@ -189,8 +195,19 @@ def config_from_open_clip_dict(name: str, d: dict) -> CLIPConfig:
     t = dict(d.get("text_cfg", {}))
     embed = d["embed_dim"]
     resnet = None
-    layers = v.get("layers", 12)
-    if isinstance(layers, (list, tuple)):
+    if v.get("timm_model_name"):
+        from leaf_tpu.models.timm_vision import timm_vision_config
+        vision = timm_vision_config(
+            v["timm_model_name"], embed,
+            image_size=v.get("image_size"),
+            pool=v.get("timm_pool", "avg"),
+            proj=v.get("timm_proj", "linear"))
+        layers = None
+    else:
+        layers = v.get("layers", 12)
+    if layers is None:
+        pass
+    elif isinstance(layers, (list, tuple)):
         width = v.get("width", 64)
         image_size = v.get("image_size", 224)
         resnet = ResNetVisionSpec(layers=tuple(layers), width=width,

@@ -178,6 +178,25 @@ def openclip_to_params(sd: Mapping[str, Any], cfg: CLIPConfig) -> Params:
             "visual": visual,
             "logit_scale": _np(sd["logit_scale"]).reshape(()),
         }
+    if any(k.startswith("visual.trunk.") for k in sd):
+        # CustomTextCLIP with a timm vision trunk (timm_model.py);
+        # its text tower lives under the `text.` prefix
+        from leaf_tpu.models.timm_vision import timm_vit_to_params
+        tp = "text." if "text.token_embedding.weight" in sd else ""
+        return {
+            "text": {
+                "token_embedding": _np(sd[tp + "token_embedding.weight"]),
+                "positional_embedding": _np(
+                    sd[tp + "positional_embedding"]),
+                "blocks": _openclip_block_stack(sd, tp + "transformer",
+                                                cfg.text.layers),
+                "ln_final": {"scale": _np(sd[tp + "ln_final.weight"]),
+                             "bias": _np(sd[tp + "ln_final.bias"])},
+                "text_projection": _np(sd[tp + "text_projection"]),
+            },
+            "visual": timm_vit_to_params(sd, cfg.vision),
+            "logit_scale": _np(sd["logit_scale"]).reshape(()),
+        }
     conv = _np(sd["visual.conv1.weight"])
     patch_w = conv.transpose(2, 3, 1, 0).reshape(-1, conv.shape[0])
     p = {
