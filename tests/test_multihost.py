@@ -1,0 +1,100 @@
+"""Genuine multi-PROCESS validation on the CPU backend.
+
+The reference could only ever test its distributed code at
+world_size=1 (SURVEY.md §4); here two actual `jax.distributed`
+processes (gloo, 4 virtual CPU devices each) run the fused LEAF step
+over a stitched global batch and must agree bit-for-bit: same global
+loss, same psum-averaged parameters on every host.
+"""
+import json
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = textwrap.dedent("""
+    import os, sys, json
+    proc_id = int(sys.argv[1]); port = sys.argv[2]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(f"localhost:{port}", 2, proc_id)
+    import numpy as np
+    import jax.numpy as jnp
+    sys.path.insert(0, %(repo)r)
+    from jax.sharding import Mesh
+    from leaf_tpu.models import create_model
+    from leaf_tpu.parallel.mesh import replicate
+    from leaf_tpu.parallel.distributed import broadcast_object
+    from leaf_tpu.tokenizer import get_tokenizer
+    from leaf_tpu.train.fused import FusedLeafStep
+    from leaf_tpu.train.optim import make_optimizer
+    from leaf_tpu.train.schedules import cosine_lr
+    from leaf_tpu.train.step import TrainState
+
+    ALL = [f"a photo of object number {i} on a table" for i in range(8)]
+    local_texts = ALL[proc_id * 4:(proc_id + 1) * 4]
+
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    model = create_model("ViT-tiny-test")
+    tok = get_tokenizer()
+    tx = make_optimizer(cosine_lr(1e-3, 1, 100), weight_decay=1e-4)
+    params = replicate(model.params["text"], mesh)
+    frozen = replicate(jax.tree.map(np.asarray, model.params["text"]), mesh)
+    state = TrainState.create(jax.tree.map(jnp.copy, params), tx)
+    fused = FusedLeafStep(model.cfg, tx, tok, rho=4, mesh=mesh)
+
+    rng = np.random.default_rng(7 + proc_id)
+    state, info = fused(state, frozen, local_texts, rng)
+    # host-side object broadcast must agree too
+    tag = broadcast_object({"from_rank0": True} if proc_id == 0 else None)
+    probe = np.concatenate([np.asarray(x).ravel()[:5]
+                            for x in jax.tree.leaves(state.text_params)])
+    print(json.dumps({
+        "proc": proc_id,
+        "loss": float(info["metrics"]["loss"]),
+        "probe": probe.tolist(),
+        "bcast_ok": tag == {"from_rank0": True},
+    }), flush=True)
+""") % {"repo": REPO}
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.timeout(600)
+def test_two_process_fused_step_agrees(tmp_path):
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER)
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), str(i), str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True)
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=540)
+        assert p.returncode == 0, err[-3000:]
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+
+    a, b = sorted(outs, key=lambda o: o["proc"])
+    assert a["bcast_ok"] and b["bcast_ok"]
+    # the global loss is computed over the stitched 8-caption batch and
+    # must be identical on both hosts; so must the updated params
+    assert a["loss"] == b["loss"]
+    np.testing.assert_array_equal(np.asarray(a["probe"]),
+                                  np.asarray(b["probe"]))
