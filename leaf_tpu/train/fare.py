@@ -191,15 +191,22 @@ def make_fare_train_step(cfg: CLIPConfig, fcfg: FareConfig,
 def train_fare(model_params, cfg: CLIPConfig, fcfg: FareConfig, data_iter,
                classifier=None, seed: int = 0,
                on_step: Optional[Callable[[int, Dict], None]] = None,
-               checkpoint_fn: Optional[Callable[[int, Any], None]] = None
-               ) -> Dict:
+               checkpoint_fn: Optional[Callable[[int, Any], None]] = None,
+               mesh=None) -> Dict:
     """Run FARE training for fcfg.steps optimizer steps.
 
     data_iter yields (images [B,H,W,3] in [0,1], targets or None).
     Checkpointing: 10 evenly-spaced milestones + the final step
     (reference `adversarial_training_clip.py:474-490`).
+    With a mesh, image/target batches shard over `data` (params
+    replicated; GSPMD inserts the grad psum — the reference's
+    DataParallel, `adversarial_training_clip.py:189-191`).
     """
+    from leaf_tpu.parallel.sharding import put_batch
     tx = make_fare_optimizer(fcfg)
+    if mesh is not None:
+        from leaf_tpu.parallel.mesh import replicate
+        model_params = replicate(model_params, mesh)
     frozen_visual = jax.tree.map(jnp.copy, model_params["visual"])
     # copy into the state: the jitted step donates its buffers, which
     # must not alias the caller's params
@@ -218,9 +225,10 @@ def train_fare(model_params, cfg: CLIPConfig, fcfg: FareConfig, data_iter,
     for images, targets in data_iter:
         if step_total >= fcfg.steps:
             break
-        images = jnp.asarray(images)
-        targets_j = (jnp.asarray(targets) if targets is not None
-                     else jnp.zeros((images.shape[0],), jnp.int32))
+        images = put_batch(images, mesh)
+        targets_j = put_batch(
+            targets if targets is not None
+            else np.zeros((images.shape[0],), np.int32), mesh)
         cls = classifier if classifier is not None else \
             jnp.zeros((model_params["visual"]["proj"].shape[1], 1))
         key, sub = jax.random.split(key)

@@ -116,9 +116,11 @@ def main(argv=None):
                              {"visual_params": state.text_params,
                               "step": state.step})
 
+    from leaf_tpu.parallel import create_mesh
+    mesh = create_mesh()
     out = train_fare(model.params, cfg, fcfg, repeat_forever(),
                      classifier=classifier, seed=args.seed,
-                     checkpoint_fn=checkpoint_fn)
+                     checkpoint_fn=checkpoint_fn, mesh=mesh)
     LOG.info("FARE done: %d steps, final loss %.5g", out["steps"],
              out["final_loss"])
     return out

@@ -167,3 +167,34 @@ def test_driver_shards_batches_over_mesh(tmp_path):
     assert int(state.step) == 2
     for leaf in jax.tree.leaves(state.text_params):
         assert leaf.sharding.is_fully_replicated
+
+
+def test_fare_on_mesh_matches_single_device(tiny):
+    """FARE step with mesh-sharded image batches == single-device."""
+    from leaf_tpu.train.fare import FareConfig, train_fare
+
+    cfg, params = tiny
+    fcfg = FareConfig(steps=2, warmup=1, batch_size=8, lr=1e-4, wd=1e-4,
+                      attack="pgd", iterations_adv=2, eps=2 / 255,
+                      stepsize_adv=1 / 255, log_freq=100)
+    rng = np.random.default_rng(0)
+    batches = [(rng.uniform(0, 1, (8, cfg.vision.image_size,
+                                   cfg.vision.image_size, 3)
+                            ).astype(np.float32), None)
+               for _ in range(2)]
+
+    out0 = train_fare(jax.tree.map(jnp.copy, params), cfg, fcfg,
+                      iter(list(batches)), seed=3)
+    mesh = create_mesh()
+    out1 = train_fare(jax.tree.map(jnp.copy, params), cfg, fcfg,
+                      iter(list(batches)), seed=3, mesh=mesh)
+    np.testing.assert_allclose(out1["final_loss"], out0["final_loss"],
+                               rtol=1e-4)
+    for leaf in jax.tree.leaves(out1["params"]["visual"]):
+        assert leaf.sharding.is_fully_replicated
+    for a, b in zip(jax.tree.leaves(out0["params"]["visual"]),
+                    jax.tree.leaves(out1["params"]["visual"])):
+        # two compounding AdamW steps double the psum-vs-serial
+        # reduction-order deltas (see the train-step test comment)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=2e-4)
