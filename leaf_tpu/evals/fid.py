@@ -15,7 +15,7 @@ instability); the feature extractor is pluggable:
 from __future__ import annotations
 
 import logging
-from typing import Callable, Iterable, Optional, Tuple
+from typing import Callable, Optional, Tuple
 
 import numpy as np
 

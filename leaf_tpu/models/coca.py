@@ -86,7 +86,21 @@ def coca_vit_l_14() -> CoCaConfig:
                                     layers=12))
 
 
-COCA_CONFIGS = {"coca_ViT-B-32": coca_vit_b_32, "coca_ViT-L-14": coca_vit_l_14}
+def coca_tiny_test() -> CoCaConfig:
+    """CI-sized CoCa (not in the reference; mirrors ViT-tiny-test)."""
+    return CoCaConfig(
+        name="coca-tiny-test", embed_dim=64,
+        text=TextConfig(context_length=16, width=64, heads=2, layers=2,
+                        output_dim=64),
+        vision=VisionConfig(image_size=64, patch_size=16, width=64,
+                            layers=2, head_width=32, output_dim=64),
+        multimodal=MultimodalConfig(context_length=16, width=64, heads=2,
+                                    layers=2),
+        n_queries=8, attn_pooler_heads=2)
+
+
+COCA_CONFIGS = {"coca_ViT-B-32": coca_vit_b_32, "coca_ViT-L-14": coca_vit_l_14,
+                "coca-tiny-test": coca_tiny_test}
 
 
 def get_coca_config(name: str) -> CoCaConfig:

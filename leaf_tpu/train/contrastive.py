@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from leaf_tpu.models import clip as lclip
 from leaf_tpu.models.config import CLIPConfig
@@ -243,3 +243,52 @@ def evaluate_contrastive(params, cfg: CLIPConfig, loader, tokenizer,
     metrics["clip_val_loss"] = total_loss / n
     metrics["num_samples"] = n
     return metrics
+
+
+def make_coca_train_step(cfg, tx: optax.GradientTransformation, mesh=None,
+                         caption_loss_weight: float = 2.0,
+                         clip_loss_weight: float = 1.0,
+                         local_loss: bool = True, dtype=jnp.float32):
+    """Jitted CoCa training step: contrastive + captioning CE
+    (reference `open_clip_train/main.py` with a coca model +
+    `loss.py:134-178` CoCaLoss); with a mesh the loss runs under
+    shard_map over `data`."""
+    from leaf_tpu.models import coca as lcoca
+    from leaf_tpu.models.loss import coca_loss
+
+    def loss_fn(params, images, tokens, axis_name=None):
+        out = lcoca.forward(params, cfg, images, tokens, dtype)
+        c, cap = coca_loss(
+            out["image_features"].astype(jnp.float32),
+            out["text_features"].astype(jnp.float32),
+            out["logits"].astype(jnp.float32),
+            out["labels"],
+            out["logit_scale"].astype(jnp.float32),
+            caption_loss_weight=caption_loss_weight,
+            clip_loss_weight=clip_loss_weight,
+            pad_id=cfg.pad_id, axis_name=axis_name, local_loss=local_loss)
+        return c + cap
+
+    def loss_of(params, images, tokens):
+        if mesh is None:
+            return loss_fn(params, images, tokens)
+        return jax.shard_map(
+            lambda p, im, tk: loss_fn(p, im, tk, "data"),
+            mesh=mesh, in_specs=(P(), P("data"), P("data")),
+            out_specs=P())(params, images, tokens)
+
+    def step_fn(state: TrainState, images, tokens):
+        loss, grads = jax.value_and_grad(loss_of)(
+            state.text_params, images, tokens)
+        updates, opt_state = tx.update(grads, state.opt_state,
+                                       state.text_params)
+        params = optax.apply_updates(state.text_params, updates)
+        params = dict(params)
+        params["logit_scale"] = jnp.clip(params["logit_scale"], 0.0,
+                                         math.log(100.0))
+        return (TrainState(text_params=params, opt_state=opt_state,
+                           step=state.step + 1),
+                {"loss": loss,
+                 "logit_scale": jnp.exp(params["logit_scale"])})
+
+    return jax.jit(step_fn, donate_argnums=(0,))

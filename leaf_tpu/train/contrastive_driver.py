@@ -42,7 +42,6 @@ from leaf_tpu.models.loss import distill_clip_loss
 from leaf_tpu.parallel import create_mesh, replicate
 from leaf_tpu.train import checkpoint as ckpt
 from leaf_tpu.train.contrastive import (
-    contrastive_loss_fn,
     evaluate_contrastive,
     make_accum_contrastive_train_step,
     make_contrastive_train_step,
@@ -156,13 +155,23 @@ def main(args=None) -> Dict:
     if args.pretrained:
         from leaf_tpu.models.pretrained import resolve_pretrained
         pretrained = resolve_pretrained(args.model, args.pretrained)
-    model, _, _ = create_model_and_transforms(
-        args.model, pretrained, precision=precision, seed=args.seed,
-        force_quick_gelu=args.force_quick_gelu,
-        force_patch_dropout=args.force_patch_dropout)
-    cfg = model.cfg
-    params = replicate(model.params, mesh)
-    tokenizer = get_tokenizer(args.model)
+    # CoCa models train here too (the reference's main.py accepts
+    # coca_* model names and picks CoCaLoss via create_loss)
+    from leaf_tpu.models.coca import COCA_CONFIGS
+    is_coca = args.model in COCA_CONFIGS
+    if is_coca:
+        from leaf_tpu.models.coca import create_coca_model
+        raw_params, cfg = create_coca_model(args.model, pretrained,
+                                            seed=args.seed)
+        params = replicate(raw_params, mesh)
+    else:
+        model, _, _ = create_model_and_transforms(
+            args.model, pretrained, precision=precision, seed=args.seed,
+            force_quick_gelu=args.force_quick_gelu,
+            force_patch_dropout=args.force_patch_dropout)
+        cfg = model.cfg
+        params = replicate(model.params, mesh)
+    tokenizer = get_tokenizer(args.model if not is_coca else "")
 
     if not args.gather_with_grad:
         # lax.all_gather differentiates; the reference's no-grad gather
@@ -221,7 +230,17 @@ def main(args=None) -> Dict:
                         grad_clip_norm=args.grad_clip_norm)
     state = TrainState.create(jax.tree.map(jnp.copy, params), tx)
 
-    if teacher is not None:
+    if is_coca:
+        if teacher is not None or args.siglip or args.accum_freq > 1:
+            raise ValueError("CoCa training supports the plain "
+                             "contrastive+caption loss only")
+        from leaf_tpu.train.contrastive import make_coca_train_step
+        step_fn = make_coca_train_step(
+            cfg, tx, mesh=mesh,
+            caption_loss_weight=args.coca_caption_loss_weight,
+            clip_loss_weight=args.coca_contrastive_loss_weight,
+            local_loss=args.local_loss, dtype=dtype)
+    elif teacher is not None:
         step_fn = make_distill_train_step(cfg, teacher[0], tx, mesh=mesh,
                                           local_loss=args.local_loss,
                                           dtype=dtype)
@@ -279,6 +298,8 @@ def main(args=None) -> Dict:
 
     def run_eval(epoch: int) -> Dict[str, float]:
         metrics: Dict[str, float] = {}
+        if is_coca:
+            return metrics  # CoCa eval = captioning benchmark CLI
         if "val" in data:
             metrics.update(evaluate_contrastive(
                 eval_params(), cfg, data["val"].loader, tokenizer,
@@ -321,12 +342,16 @@ def main(args=None) -> Dict:
         end = time.time()
         for i, (images, texts) in enumerate(
                 _batch_iter(info.loader, args.accum_freq)):
+            ctx = cfg.text.context_length
             if args.accum_freq > 1:
-                tokens = np.stack([np.asarray(tokenizer(t)) for t in texts])
+                tokens = np.stack([
+                    np.asarray(tokenizer(t, context_length=ctx))
+                    for t in texts])
                 images_d = put_microbatched(np.asarray(images))
                 tokens_d = put_microbatched(tokens)
             else:
-                tokens_d = put_batch(np.asarray(tokenizer(texts)), mesh)
+                tokens_d = put_batch(
+                    np.asarray(tokenizer(texts, context_length=ctx)), mesh)
                 images_d = put_batch(np.asarray(images), mesh)
             if teacher is not None:
                 state, metrics = step_fn(state, teacher[1], images_d,

@@ -72,3 +72,17 @@ def test_contrastive_resume(tmp_path):
     assert int(out["state"].step) == 4
     epochs = [int(r["epoch"]) for r in out["results"]]
     assert epochs == sorted(set(epochs)), "resume must not duplicate rows"
+
+
+def test_contrastive_coca(tmp_path):
+    """CoCa trains through the vanilla driver (contrastive + caption
+    CE under shard_map) — the loss path the reference reaches via
+    main.py with a coca_* model."""
+    out = main(["--model", "coca-tiny-test", "--dataset-type", "synthetic",
+                "--train-num-samples", "16", "--batch-size", "8",
+                "--epochs", "1", "--lr", "1e-4", "--warmup", "2",
+                "--zeroshot-frequency", "0", "--log-every-n-steps", "1",
+                "--logs", str(tmp_path), "--name", "coca"])
+    assert int(out["state"].step) == 2
+    assert np.isfinite(float(out["results"][-1]["train_loss"]))
+    assert "cls_emb" in out["state"].text_params["text"]
