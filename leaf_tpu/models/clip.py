@@ -148,6 +148,9 @@ def init_clip(key, cfg: CLIPConfig) -> Params:
             image_size=cfg.resnet.image_size, heads=cfg.resnet.heads,
             output_dim=cfg.resnet.output_dim)
         visual = init_resnet(kv, rcfg)
+    elif cfg.convnext is not None:
+        from leaf_tpu.models.convnext import init_convnext
+        visual = init_convnext(kv, cfg.convnext)
     else:
         visual = init_vision_tower(kv, cfg.vision, cfg.quick_gelu)
     p = {
@@ -176,6 +179,10 @@ def encode_image_model(params: Params, cfg: CLIPConfig, images: jnp.ndarray,
             output_dim=cfg.resnet.output_dim)
         return encode_image_resnet(params["visual"], rcfg, images,
                                    normalize=normalize, dtype=dtype)
+    if cfg.convnext is not None:
+        from leaf_tpu.models.convnext import encode_image_convnext
+        return encode_image_convnext(params["visual"], cfg.convnext, images,
+                                     normalize=normalize, dtype=dtype)
     return encode_image(params["visual"], cfg.vision, images,
                         cfg.quick_gelu, normalize, dtype, remat,
                         dropout_key=dropout_key)

@@ -96,6 +96,9 @@ class CLIPConfig:
     init_logit_scale: float = 2.6592  # ln(1/0.07), reference model.py:229
     init_logit_bias: Optional[float] = None
     resnet: Optional[ResNetVisionSpec] = None  # set → ResNet vision tower
+    # set → ConvNeXt vision tower (models/convnext.ConvNeXtVisionSpec;
+    # typed loosely to keep config.py free of model-module imports)
+    convnext: Optional[object] = None
 
 
 def _cfg(name, embed_dim, v_layers, v_width, v_patch, t_width, t_heads, t_layers,
@@ -195,7 +198,20 @@ def config_from_open_clip_dict(name: str, d: dict) -> CLIPConfig:
     t = dict(d.get("text_cfg", {}))
     embed = d["embed_dim"]
     resnet = None
-    if v.get("timm_model_name"):
+    convnext = None
+    if str(v.get("timm_model_name", "")).startswith("convnext"):
+        from leaf_tpu.models.convnext import convnext_spec
+        convnext = convnext_spec(
+            v["timm_model_name"], embed,
+            image_size=v.get("image_size", 256),
+            proj=v.get("timm_proj", "linear") or "none")
+        # placeholder ViT config (carries image_size/output_dim only)
+        vision = VisionConfig(image_size=convnext.image_size,
+                              patch_size=32, width=convnext.dims[-1],
+                              layers=sum(convnext.depths),
+                              output_dim=embed)
+        layers = None
+    elif v.get("timm_model_name"):
         from leaf_tpu.models.timm_vision import timm_vision_config
         vision = timm_vision_config(
             v["timm_model_name"], embed,
@@ -244,7 +260,7 @@ def config_from_open_clip_dict(name: str, d: dict) -> CLIPConfig:
                       quick_gelu=bool(d.get("quick_gelu", False)),
                       init_logit_scale=d.get("init_logit_scale", 2.6592),
                       init_logit_bias=d.get("init_logit_bias"),
-                      resnet=resnet)
+                      resnet=resnet, convnext=convnext)
 
 
 def config_from_hf_dict(name: str, d: dict) -> CLIPConfig:
@@ -278,3 +294,43 @@ def config_from_hf_dict(name: str, d: dict) -> CLIPConfig:
     return CLIPConfig(name=name, embed_dim=embed, text=text, vision=vision,
                       quick_gelu=quick,
                       init_logit_scale=d.get("logit_scale_init_value", 2.6592))
+
+
+# -- ConvNeXt-family models ---------------------------------------------------
+# Registered through the open_clip JSON schema so the dicts below match
+# the reference `model_configs/convnext_*.json` field-for-field.
+def _register_convnext_models() -> None:
+    specs = {
+        # name: (timm trunk, embed, image, proj, t_width, t_heads, t_layers)
+        "convnext_base": ("convnext_base", 512, 224, "linear", 512, 8, 12),
+        "convnext_base_w": ("convnext_base", 640, 256, "linear", 640, 10, 12),
+        "convnext_base_w_320": ("convnext_base", 640, 320, "linear",
+                                640, 10, 12),
+        "convnext_large_d": ("convnext_large", 768, 256, "mlp", 768, 12, 16),
+        "convnext_large_d_320": ("convnext_large", 768, 320, "mlp",
+                                 768, 12, 16),
+        "convnext_xxlarge": ("convnext_xxlarge", 1024, 256, "linear",
+                             1024, 16, 24),
+    }
+    for name, (trunk, embed, image, proj, tw, th, tl) in specs.items():
+        register_model(config_from_open_clip_dict(name, {
+            "embed_dim": embed,
+            "vision_cfg": {"timm_model_name": trunk, "timm_pool": "",
+                           "timm_proj": proj, "image_size": image},
+            "text_cfg": {"context_length": 77, "vocab_size": 49408,
+                         "width": tw, "heads": th, "layers": tl},
+        }))
+    # CI-sized trunk (not in the reference)
+    from leaf_tpu.models.convnext import ConvNeXtVisionSpec
+    tiny_spec = ConvNeXtVisionSpec(depths=(1, 1, 2, 1), dims=(16, 32, 64, 128),
+                                   image_size=64, output_dim=64, proj="linear")
+    register_model(CLIPConfig(
+        name="convnext-tiny-test", embed_dim=64,
+        text=TextConfig(context_length=16, width=64, heads=2, layers=2,
+                        output_dim=64),
+        vision=VisionConfig(image_size=64, patch_size=32, width=128,
+                            layers=5, output_dim=64),
+        convnext=tiny_spec))
+
+
+_register_convnext_models()

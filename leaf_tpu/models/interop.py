@@ -181,8 +181,13 @@ def openclip_to_params(sd: Mapping[str, Any], cfg: CLIPConfig) -> Params:
     if any(k.startswith("visual.trunk.") for k in sd):
         # CustomTextCLIP with a timm vision trunk (timm_model.py);
         # its text tower lives under the `text.` prefix
-        from leaf_tpu.models.timm_vision import timm_vit_to_params
         tp = "text." if "text.token_embedding.weight" in sd else ""
+        if cfg.convnext is not None:
+            from leaf_tpu.models.convnext import timm_convnext_to_params
+            visual = timm_convnext_to_params(sd, cfg.convnext)
+        else:
+            from leaf_tpu.models.timm_vision import timm_vit_to_params
+            visual = timm_vit_to_params(sd, cfg.vision)
         return {
             "text": {
                 "token_embedding": _np(sd[tp + "token_embedding.weight"]),
@@ -194,7 +199,7 @@ def openclip_to_params(sd: Mapping[str, Any], cfg: CLIPConfig) -> Params:
                              "bias": _np(sd[tp + "ln_final.bias"])},
                 "text_projection": _np(sd[tp + "text_projection"]),
             },
-            "visual": timm_vit_to_params(sd, cfg.vision),
+            "visual": visual,
             "logit_scale": _np(sd["logit_scale"]).reshape(()),
         }
     conv = _np(sd["visual.conv1.weight"])

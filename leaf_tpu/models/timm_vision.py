@@ -10,8 +10,8 @@ runs through the same scan-stacked XLA forward as every other tower.
 Covered: `vit_{tiny,small,base,large,huge,giant}_patch{14,16,32}_*`
 trunks with pool ∈ {'tok', 'avg'} and proj ∈ {'linear', 'mlp',
 'none'} — the combinations open_clip model configs actually use.
-Convolutional timm trunks (convnext, resnet…) are out of scope here;
-the ModifiedResNet family has its own native tower (models/resnet.py).
+Convolutional timm trunks live elsewhere: convnext in
+models/convnext.py, the ModifiedResNet family in models/resnet.py.
 """
 from __future__ import annotations
 
@@ -44,8 +44,8 @@ def parse_timm_vit_name(model_name: str):
     if not m:
         raise ValueError(
             f"unsupported timm model {model_name!r}: only the ViT "
-            "family maps onto the native tower (convnext/resnet "
-            "trunks are out of scope)")
+            "family maps onto the native tower (convnext trunks are "
+            "handled by models/convnext.py, resnets by models/resnet.py)")
     width, layers, head_width = _VIT_DIMS[m.group(1)]
     patch = int(m.group(2))
     image = int(m.group(3)) if m.group(3) else None

@@ -32,8 +32,8 @@ def profile_model(model_name: str, batch_size: int = 1,
                         cfg.vision.image_size, 3), dtype)
 
     def image_fwd(p, x):
-        return lclip.encode_image(p, cfg.vision, x, cfg.quick_gelu,
-                                  dtype=dtype)
+        # dispatcher handles ViT / ResNet / ConvNeXt towers
+        return lclip.encode_image_model({"visual": p}, cfg, x, dtype=dtype)
 
     def text_fwd(p, t):
         return lclip.encode_text(p, cfg.text, t, cfg.quick_gelu,
