@@ -46,6 +46,11 @@ def params_to_openclip(params: Params, cfg: CLIPConfig) -> Dict[str, np.ndarray]
     if cfg.resnet is not None:
         _resnet_to_openclip(sd, v, put)
         towers = ((t, "transformer", cfg.text.layers),)
+    elif cfg.convnext is not None:
+        from leaf_tpu.models.convnext import params_to_timm_convnext
+        sd.update({k: np.asarray(w, np.float32) for k, w in
+                   params_to_timm_convnext(v, cfg.convnext).items()})
+        towers = ((t, "transformer", cfg.text.layers),)
     else:
         p = cfg.vision.patch_size
         conv = np.asarray(v["patch_embedding"]).reshape(
@@ -199,8 +204,9 @@ def verify_parity(params: Params, cfg: CLIPConfig, sd: Dict[str, np.ndarray],
         (2, cfg.vision.image_size, cfg.vision.image_size, 3)).astype(np.float32))
     for name, fn in (("text", lambda p: lclip.encode_text(
             p["text"], cfg.text, tokens, cfg.quick_gelu)),
-                     ("image", lambda p: lclip.encode_image(
-                         p["visual"], cfg.vision, images, cfg.quick_gelu))):
+                     # dispatcher handles ViT / ResNet / ConvNeXt towers
+                     ("image", lambda p: lclip.encode_image_model(
+                         p, cfg, images))):
         a = np.asarray(fn(params))
         b = np.asarray(fn(back))
         if not np.allclose(a, b, atol=atol):

@@ -130,35 +130,9 @@ def test_convnext_openclip_checkpoint_load():
 
     cfg = get_model_config("convnext-tiny-test")
     from leaf_tpu.models.clip import init_clip
+    from leaf_tpu.convert import params_to_openclip
     params = init_clip(jax.random.PRNGKey(1), cfg)
-    full_sd = dict(params_to_timm_convnext(params["visual"], cfg.convnext))
-    # text tower in openclip CLIP layout (inverse of
-    # interop._openclip_block_stack)
-    t = params["text"]
-    full_sd["token_embedding.weight"] = np.asarray(t["token_embedding"])
-    full_sd["positional_embedding"] = np.asarray(t["positional_embedding"])
-    full_sd["ln_final.weight"] = np.asarray(t["ln_final"]["scale"])
-    full_sd["ln_final.bias"] = np.asarray(t["ln_final"]["bias"])
-    full_sd["text_projection"] = np.asarray(t["text_projection"])
-    full_sd["logit_scale"] = np.asarray(params["logit_scale"])
-    b = t["blocks"]
-    for i in range(cfg.text.layers):
-        pre = f"transformer.resblocks.{i}."
-        full_sd[pre + "ln_1.weight"] = np.asarray(b["ln_1"]["scale"][i])
-        full_sd[pre + "ln_1.bias"] = np.asarray(b["ln_1"]["bias"][i])
-        full_sd[pre + "attn.in_proj_weight"] = np.asarray(
-            b["attn"]["qkv_w"][i]).T
-        full_sd[pre + "attn.in_proj_bias"] = np.asarray(b["attn"]["qkv_b"][i])
-        full_sd[pre + "attn.out_proj.weight"] = np.asarray(
-            b["attn"]["out_w"][i]).T
-        full_sd[pre + "attn.out_proj.bias"] = np.asarray(b["attn"]["out_b"][i])
-        full_sd[pre + "ln_2.weight"] = np.asarray(b["ln_2"]["scale"][i])
-        full_sd[pre + "ln_2.bias"] = np.asarray(b["ln_2"]["bias"][i])
-        full_sd[pre + "mlp.c_fc.weight"] = np.asarray(b["mlp"]["fc_w"][i]).T
-        full_sd[pre + "mlp.c_fc.bias"] = np.asarray(b["mlp"]["fc_b"][i])
-        full_sd[pre + "mlp.c_proj.weight"] = np.asarray(
-            b["mlp"]["proj_w"][i]).T
-        full_sd[pre + "mlp.c_proj.bias"] = np.asarray(b["mlp"]["proj_b"][i])
+    full_sd = params_to_openclip(params, cfg)
     back = openclip_to_params(full_sd, cfg)
     img = np.random.default_rng(3).standard_normal(
         (1, 64, 64, 3)).astype(np.float32)
