@@ -296,10 +296,19 @@ def load_state_dict_file(path: str) -> Dict[str, np.ndarray]:
         from safetensors.numpy import load_file
         return load_file(path)
     import torch
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        # OpenAI's released CLIP .pt files are TorchScript archives
+        # (reference `src/open_clip/openai.py:46-57` jit-load-then-
+        # state_dict path); plain torch.load cannot read them.
+        ckpt = torch.jit.load(path, map_location="cpu").state_dict()
+    except RuntimeError:
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(ckpt, dict) and "state_dict" in ckpt:
         ckpt = ckpt["state_dict"]
-    return {k: _np(v) for k, v in ckpt.items()}
+    # jit state dicts carry non-weight metadata tensors the reference
+    # pops in build_model_from_openai_state_dict (`model.py:404-412`)
+    skip = {"input_resolution", "context_length", "vocab_size"}
+    return {k: _np(v) for k, v in ckpt.items() if k not in skip}
 
 
 def load_pretrained(path: str, cfg: CLIPConfig) -> Params:

@@ -181,3 +181,31 @@ def test_create_model_from_hub_name(tmp_path, monkeypatch):
     assert model.cfg.text.layers == cfg.text.layers
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(model.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_load_torchscript_archive(tmp_path):
+    """OpenAI's released CLIP .pt files are TorchScript archives; the
+    loader must jit-load them and strip the metadata tensors
+    (reference `src/open_clip/openai.py:46-57`, `model.py:404-412`)."""
+    torch = pytest.importorskip("torch")
+    from leaf_tpu.models.interop import load_state_dict_file
+
+    class M(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.lin = torch.nn.Linear(4, 3)
+            self.register_buffer("input_resolution",
+                                 torch.tensor(224))
+
+        def forward(self, x):
+            return self.lin(x)
+
+    path = str(tmp_path / "jit_model.pt")
+    torch.jit.script(M()).save(path)
+    sd = load_state_dict_file(path)
+    assert "lin.weight" in sd and sd["lin.weight"].shape == (3, 4)
+    assert "input_resolution" not in sd
+    # plain (non-jit) torch checkpoints still load
+    plain = str(tmp_path / "plain.pt")
+    torch.save({"state_dict": {"w": torch.ones(2)}}, plain)
+    assert load_state_dict_file(plain)["w"].shape == (2,)
