@@ -38,25 +38,45 @@ class Prefetcher:
         q: queue.Queue = queue.Queue(maxsize=self.depth)
         _END = object()
         _ERR = object()
+        # set when the consumer abandons the iterator (e.g. the train
+        # loop stops after N steps) so the worker stops pulling from
+        # the source instead of racing interpreter shutdown
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for item in self.source:
-                    q.put((None, item))
+                    if not put((None, item)):
+                        return
             except BaseException as e:  # noqa: BLE001 — re-raised below
-                q.put((_ERR, e))
+                put((_ERR, e))
             finally:
-                q.put((_END, None))
+                try:
+                    q.put_nowait((_END, None))
+                except queue.Full:
+                    pass
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            tag, item = q.get()
-            if tag is _END:
-                break
-            if tag is _ERR:
-                raise item
-            yield item
+        try:
+            while True:
+                tag, item = q.get()
+                if tag is _END:
+                    break
+                if tag is _ERR:
+                    raise item
+                yield item
+        finally:
+            stop.set()
 
 
 def shuffle_buffer(it: Iterator, bufsize: int, initial: int, rng) -> Iterator:

@@ -140,7 +140,12 @@ def parallel_map_ordered(fn: Callable, it: Iterator, workers: int,
     with ThreadPoolExecutor(max_workers=workers) as ex:
         futs: collections.deque = collections.deque()
         for item in it:
-            futs.append(ex.submit(fn, item))
+            try:
+                futs.append(ex.submit(fn, item))
+            except RuntimeError:
+                # executor/interpreter shutting down mid-epoch (the
+                # consumer abandoned the pipeline) — stop cleanly
+                return
             if len(futs) >= depth:
                 yield futs.popleft().result()
         while futs:

@@ -130,8 +130,10 @@ def make_fare_attack(cfg: CLIPConfig, fcfg: FareConfig, dtype=jnp.float32):
         if fcfg.attack == "none":
             return images
         if fcfg.attack == "apgd":
+            # is_train=True → L1 starts at the sparser top-k fraction
+            # (reference `apgd_train.py:162` train-mode init)
             return apgd(loss_fn, images, norm=fcfg.norm, eps=fcfg.eps,
-                        n_iter=fcfg.iterations_adv)
+                        n_iter=fcfg.iterations_adv, is_train=True)
         # PGD with uniform init (reference passes a uniform perturbation)
         pert0 = fcfg.eps * (2 * jax.random.uniform(key, images.shape,
                                                    images.dtype) - 1)

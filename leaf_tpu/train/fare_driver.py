@@ -123,6 +123,7 @@ def main(argv=None):
                      checkpoint_fn=checkpoint_fn, mesh=mesh)
     LOG.info("FARE done: %d steps, final loss %.5g", out["steps"],
              out["final_loss"])
+    ckpt.wait_for_checkpoints()   # async Orbax commit must not race exit
     return out
 
 

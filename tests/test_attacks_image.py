@@ -176,3 +176,54 @@ def test_fare_driver_end_to_end(tmp_path):
         "--experiment-name", "smoke"])
     assert out["steps"] == 2
     assert np.isfinite(out["final_loss"])
+
+
+def test_l1_projection_matches_reference():
+    """leaf_tpu's bisection l1_projection == the reference's exact
+    sort-and-scan `L1_projection` (`apgd_train.py:25-78`), exec-
+    extracted as a torch oracle."""
+    import os
+    torch = pytest.importorskip("torch")
+    from leaf_tpu.attacks.apgd import l1_projection
+
+    src = open("/root/reference/src/robust_vlm/train/apgd_train.py").read()
+    start = src.index("def L1_projection")
+    end = src.index("def dlr_loss")
+    ns = {"torch": torch, "math": __import__("math")}
+    exec(src[start:end], ns)  # noqa: S102 — test-only oracle
+
+    rng = np.random.default_rng(0)
+    for eps in (0.5, 5.0, 50.0):
+        x = rng.uniform(0, 1, size=(4, 3, 8, 8)).astype(np.float32)
+        y = rng.normal(0, 0.3, size=x.shape).astype(np.float32)
+        ref = ns["L1_projection"](torch.from_numpy(x),
+                                  torch.from_numpy(y), eps).numpy()
+        ours = np.asarray(l1_projection(jnp.asarray(x), jnp.asarray(y),
+                                        eps))
+        d_ref = (y + ref).reshape(4, -1)
+        d_ours = (y + ours).reshape(4, -1)
+        # identical projected points (the deltas themselves agree too)
+        np.testing.assert_allclose(d_ours, d_ref, atol=3e-5)
+        assert (np.abs(d_ours).sum(-1) <= eps + 1e-3).all()
+        assert ((x.reshape(4, -1) + d_ours >= -1e-6)
+                & (x.reshape(4, -1) + d_ours <= 1 + 1e-6)).all()
+
+
+def test_apgd_l1_improves_loss_and_respects_ball(setup):
+    cfg, params, images = setup
+    anchors = encode_vision(params["visual"], cfg, images, False)
+    eps1 = 12.0
+
+    def loss_fn(x):
+        emb = encode_vision(params["visual"], cfg, x, False)
+        return jnp.square(emb - anchors).sum(-1)
+
+    adv = jax.jit(lambda im: apgd(loss_fn, im, norm="l1", eps=eps1,
+                                  n_iter=10))(images)
+    delta = np.asarray(adv - images).reshape(images.shape[0], -1)
+    assert (np.abs(delta).sum(-1) <= eps1 + 1e-2).all()
+    assert np.asarray(adv).min() >= -1e-6 and np.asarray(adv).max() <= 1 + 1e-6
+    assert float(loss_fn(adv).sum()) > float(loss_fn(images).sum())
+    # the L1 attack must actually be sparse (top-k sign steps)
+    sparsity = (np.abs(delta) > 1e-10).mean()
+    assert sparsity < 0.5
