@@ -60,10 +60,9 @@ class Prefetcher:
             except BaseException as e:  # noqa: BLE001 — re-raised below
                 put((_ERR, e))
             finally:
-                try:
-                    q.put_nowait((_END, None))
-                except queue.Full:
-                    pass
+                # must use the stop-aware put: dropping _END when the
+                # queue is momentarily full would hang the consumer
+                put((_END, None))
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()

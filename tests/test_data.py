@@ -239,3 +239,15 @@ def test_wds_parallel_decode_order(tmp_path):
     for (ia, ta), (ib, tb) in zip(*outs):
         assert ta == tb
         np.testing.assert_array_equal(ia, ib)
+
+
+def test_prefetcher_terminates_when_queue_saturated():
+    """Regression: the _END marker must be delivered even when the
+    queue is full at source exhaustion (a dropped marker hangs the
+    consumer forever), and abandoning the iterator must stop the
+    worker."""
+    from leaf_tpu.data.common import Prefetcher
+    assert list(Prefetcher(iter(range(100)), depth=2)) == list(range(100))
+    it = iter(Prefetcher(iter(range(1000)), depth=2))
+    assert next(it) == 0
+    it.close()  # must not deadlock or leave a spinning worker
