@@ -103,3 +103,93 @@ def eval_textfare(
         "textfare_adv": float(np.mean(adv_losses)) if adv_losses else 0.0,
         "n": len(clean_losses),
     }
+
+
+def _load_eval_samples(dataset: str, n_test: Optional[int]):
+    """'synthetic', a JSON file of [{'text':...},...], or a HF textcls
+    registry name (reference datasets: ag_news/sst2/imdb/yelp)."""
+    import json
+    import os
+    if dataset == "synthetic":
+        rng = np.random.default_rng(0)
+        words = ("stocks rally market team won cup government policy "
+                 "tech chip ancient fossil film review great terrible").split()
+        return [{"text": " ".join(rng.choice(words, size=8)), "label": 0}
+                for _ in range(n_test or 16)]
+    if os.path.exists(dataset):
+        with open(dataset) as f:
+            data = json.load(f)
+        return [{"text": d} if isinstance(d, str) else d for d in data]
+    from leaf_tpu.data.textcls import get_text_classification_dataset
+    return get_text_classification_dataset(dataset,
+                                           n_samples=n_test or 1000).samples
+
+
+def main(argv=None) -> Dict[str, float]:
+    """CLI (reference `eval_textfare.py:61-150`): attack the eval
+    model per sentence, measure clean/adv embedding drift from a clean
+    reference model, stream CSV."""
+    import argparse
+    import os
+
+    import jax.numpy as jnp
+
+    p = argparse.ArgumentParser("leaf_tpu TextFARE eval")
+    p.add_argument("--model", default="ViT-L-14")
+    p.add_argument("--pretrained", default=None,
+                   help="eval checkpoint (file/dir/registry tag)")
+    p.add_argument("--clean-pretrained", default=None,
+                   help="clean reference checkpoint; default = the "
+                        "eval model's init (fresh weights if none)")
+    p.add_argument("--dataset", default="ag_news",
+                   help="textcls name | JSON file | 'synthetic'")
+    p.add_argument("--attack_name", default="leaf",
+                   choices=["leaf", "charmer", "bruteforce"])
+    p.add_argument("--rho", type=int, default=50)
+    p.add_argument("--k", type=int, default=1)
+    p.add_argument("--n_test", type=int, default=100)
+    p.add_argument("--constrain", action="store_true")
+    p.add_argument("--attack-batch", type=int, default=32)
+    p.add_argument("--precision", default="fp32")
+    p.add_argument("--output-dir", default="results_textfare")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO)
+    from leaf_tpu.models.factory import create_model, get_tokenizer
+    from leaf_tpu.models.pretrained import resolve_pretrained
+
+    pretrained = (resolve_pretrained(args.model, args.pretrained)
+                  if args.pretrained else None)
+    clean_pre = (resolve_pretrained(args.model, args.clean_pretrained)
+                 if args.clean_pretrained else None)
+    model = create_model(args.model, pretrained, precision=args.precision)
+    clean = create_model(args.model, clean_pre, precision=args.precision)
+    tokenizer = get_tokenizer(args.model)
+    dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
+    scorer = CandidateScorer(model.cfg, dtype=dtype)
+    constraint = None
+    if args.constrain:
+        from leaf_tpu.attacks.constraint import WordConstraint
+        constraint = WordConstraint(tokenizer)
+
+    samples = _load_eval_samples(args.dataset, args.n_test)
+    os.makedirs(args.output_dir, exist_ok=True)
+    tag = args.model.split("/")[-1]
+    out_csv = os.path.join(
+        args.output_dir,
+        f"{tag}_{os.path.basename(args.dataset)}_{args.attack_name}"
+        f"_k{args.k}_rho_{args.rho}"
+        + ("_constrained" if args.constrain else "") + ".csv")
+    out = eval_textfare(
+        scorer, model.params["text"], clean.params["text"], tokenizer,
+        samples, attack_name=args.attack_name, rho=args.rho, k=args.k,
+        constraint=constraint, n_test=args.n_test, out_csv=out_csv,
+        seed=args.seed, attack_batch=args.attack_batch)
+    LOG.info("textfare %s: %s → %s", args.attack_name, out, out_csv)
+    print(out)
+    return out
+
+
+if __name__ == "__main__":
+    main()

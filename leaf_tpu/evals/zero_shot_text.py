@@ -78,3 +78,70 @@ def eval_zero_shot_text(
     if n == 0:
         return {"acc": 0.0, "acc_adv": 0.0, "n": 0}
     return {"acc": acc / n, "acc_adv": acc_adv / n, "n": n}
+
+
+def main(argv=None) -> Dict[str, float]:
+    """CLI (reference `eval_zero_shot_text.py:61-133`): zero-shot text
+    classification vs class anchors (image anchors by default, caption
+    anchors with --label-encoder text), with the batched Charmer
+    margin-loss attack; clean+adv accuracy CSV."""
+    import argparse
+    import logging
+    import os
+
+    p = argparse.ArgumentParser("leaf_tpu zero-shot text eval")
+    p.add_argument("--model", default="ViT-L-14")
+    p.add_argument("--pretrained", default=None)
+    p.add_argument("--dataset", default="ag_news",
+                   help="textcls registry name | 'synthetic'")
+    p.add_argument("--label-encoder", default="image",
+                   choices=["image", "text"])
+    p.add_argument("--rho", type=int, default=20)
+    p.add_argument("--k", type=int, default=1)
+    p.add_argument("--n_test", type=int, default=100)
+    p.add_argument("--precision", default="fp32")
+    p.add_argument("--output-dir", default="results_zeroshot_text")
+    args = p.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO)
+    from leaf_tpu.models.factory import (
+        create_model_and_transforms,
+        get_tokenizer,
+    )
+    from leaf_tpu.models.pretrained import resolve_pretrained
+
+    pretrained = (resolve_pretrained(args.model, args.pretrained)
+                  if args.pretrained else None)
+    model, _, preprocess = create_model_and_transforms(
+        args.model, pretrained, precision=args.precision)
+    tokenizer = get_tokenizer(args.model)
+    dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
+    scorer = CandidateScorer(model.cfg, dtype=dtype)
+
+    if args.dataset == "synthetic":
+        from leaf_tpu.evals.textfare import _load_eval_samples
+        samples = _load_eval_samples("synthetic", args.n_test)
+        textcls = TextClassificationData.from_samples("agnews", samples)
+    else:
+        from leaf_tpu.data.textcls import get_text_classification_dataset
+        textcls = get_text_classification_dataset(
+            args.dataset, n_samples=args.n_test or 1000)
+
+    label_features = class_anchor_features(
+        scorer, model.params, tokenizer, textcls,
+        label_encoder=args.label_encoder, preprocess=preprocess,
+        cfg=model.cfg)
+    os.makedirs(args.output_dir, exist_ok=True)
+    out_csv = os.path.join(
+        args.output_dir,
+        f"{args.model.split('/')[-1]}_{textcls.short_name}"
+        f"_k{args.k}_rho_{args.rho}_{args.label_encoder}.csv")
+    out = eval_zero_shot_text(scorer, model.params, tokenizer, textcls,
+                              label_features, rho=args.rho, k=args.k,
+                              n_test=args.n_test, out_csv=out_csv)
+    print(out)
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -147,3 +147,22 @@ def test_run_text_classification_batched(setup):
     acc, acc_adv = run_text_classification(
         scorer, params, tok, anchors, d, n_charmer=4, k=1, attack_batch=2)
     assert 0.0 <= acc <= 1.0 and 0.0 <= acc_adv <= 1.0
+
+
+def test_textfare_cli(tmp_path):
+    """Standalone TextFARE CLI (reference eval_textfare.py __main__)."""
+    from leaf_tpu.evals.textfare import main
+    out = main(["--model", "ViT-tiny-test", "--dataset", "synthetic",
+                "--n_test", "2", "--rho", "4", "--attack_name", "leaf",
+                "--output-dir", str(tmp_path)])
+    assert out["n"] == 2 and out["textfare_adv"] >= out["textfare_clean"]
+    assert any(f.suffix == ".csv" for f in tmp_path.iterdir())
+
+
+def test_zero_shot_text_cli(tmp_path):
+    """Standalone zero-shot text CLI (reference eval_zero_shot_text.py)."""
+    from leaf_tpu.evals.zero_shot_text import main
+    out = main(["--model", "ViT-tiny-test", "--dataset", "synthetic",
+                "--n_test", "2", "--rho", "4", "--label-encoder", "text",
+                "--output-dir", str(tmp_path)])
+    assert out["n"] == 2 and 0.0 <= out["acc_adv"] <= 1.0
