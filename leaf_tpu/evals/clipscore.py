@@ -110,3 +110,71 @@ def compute_clipscores_and_fid(params, cfg: CLIPConfig, tokenizer,
         result[f"fid_{fid_features}"] = compute_fid(
             np.asarray(real_images), np.asarray(gen_images), fn)
     return result
+
+
+def _load_image_dir(path: str, size: Optional[int] = None) -> np.ndarray:
+    """Sorted [N, H, W, 3] float array in [0,1] from an image folder."""
+    import os
+
+    from PIL import Image
+    files = sorted(os.path.join(path, f) for f in os.listdir(path)
+                   if f.lower().endswith((".png", ".jpg", ".jpeg")))
+    imgs = []
+    for f in files:
+        im = Image.open(f).convert("RGB")
+        if size:
+            im = im.resize((size, size))
+        imgs.append(np.asarray(im, np.float32) / 255.0)
+    return np.stack(imgs)
+
+
+def main(argv=None) -> Dict[str, object]:
+    """CLI (reference `compute_clipscores.py:14-185`): CLIPScore over
+    generated images vs captions (black/NSFW-blanked images filtered),
+    plus real-image scores and FID when a real dir is given."""
+    import argparse
+    import json
+    import logging
+
+    p = argparse.ArgumentParser("leaf_tpu CLIPScore/FID post-processing")
+    p.add_argument("--model", default="ViT-L-14")
+    p.add_argument("--pretrained", default=None)
+    p.add_argument("--gen-dir", required=True,
+                   help="folder of generated images (sorted order "
+                        "matches the captions file)")
+    p.add_argument("--real-dir", default=None)
+    p.add_argument("--captions", required=True,
+                   help="JSON list of captions")
+    p.add_argument("--fid-features", default="clip",
+                   choices=["clip", "inception"])
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--output", default=None, help="results JSON path")
+    args = p.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO)
+    from leaf_tpu.models.factory import create_model, get_tokenizer
+    from leaf_tpu.models.pretrained import resolve_pretrained
+
+    pretrained = (resolve_pretrained(args.model, args.pretrained)
+                  if args.pretrained else None)
+    model = create_model(args.model, pretrained)
+    tokenizer = get_tokenizer(args.model)
+    with open(args.captions) as f:
+        captions = json.load(f)
+    size = model.cfg.vision.image_size
+    gen = _load_image_dir(args.gen_dir, size)
+    real = _load_image_dir(args.real_dir, size) if args.real_dir else None
+    n = min(len(captions), len(gen), *( [len(real)] if real is not None else [] ))
+    out = compute_clipscores_and_fid(
+        model.params, model.cfg, tokenizer, captions[:n], gen[:n],
+        real[:n] if real is not None else None,
+        batch_size=args.batch_size, fid_features=args.fid_features)
+    if args.output:
+        with open(args.output, "w") as f:
+            json.dump(out, f, indent=2)
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -99,3 +99,91 @@ def generate_images(captions: Sequence[str], sd_model_path: str,
                    generator=gen, output_type="np")
         images.append(out.images[0])
     return np.stack(images)
+
+
+def main(argv=None):
+    """CLI (reference `eval_text_to_image.py:33-242`): stage 1 attacks
+    the captions with Charmer (optionally dual-encoder), stage 2
+    generates images when local SD weights are available, stage 3
+    scores with CLIPScore/FID (`leaf_tpu.evals.clipscore`).  Without
+    `--sd-model-path` only stage 1 runs — the scoring stage is a
+    separate CLI over the generated folders."""
+    import argparse
+    import json
+    import logging
+    import os
+
+    import jax.numpy as jnp
+
+    p = argparse.ArgumentParser("leaf_tpu text-to-image eval")
+    p.add_argument("--model", default="ViT-L-14")
+    p.add_argument("--pretrained", default=None)
+    p.add_argument("--model2", default=None,
+                   help="second text encoder (SDXL dual-tower attack)")
+    p.add_argument("--pretrained2", default=None)
+    p.add_argument("--captions", required=True, help="JSON list")
+    p.add_argument("--rho", type=int, default=10)
+    p.add_argument("--k", type=int, default=2)
+    p.add_argument("--objective", default="l2")
+    p.add_argument("--sd-model-path", default=None)
+    p.add_argument("--robust-text-encoder-hf-dir", default=None)
+    p.add_argument("--num-inference-steps", type=int, default=50)
+    p.add_argument("--precision", default="fp32")
+    p.add_argument("--output-dir", default="results_t2i")
+    args = p.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO)
+    from leaf_tpu.attacks.engine import CandidateScorer
+    from leaf_tpu.models.factory import create_model, get_tokenizer
+    from leaf_tpu.models.pretrained import resolve_pretrained
+
+    pretrained = (resolve_pretrained(args.model, args.pretrained)
+                  if args.pretrained else None)
+    model = create_model(args.model, pretrained, precision=args.precision)
+    tokenizer = get_tokenizer(args.model)
+    dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
+    scorer = CandidateScorer(model.cfg, dtype=dtype)
+    text_params2 = None
+    if args.model2:
+        pre2 = (resolve_pretrained(args.model2, args.pretrained2)
+                if args.pretrained2 else None)
+        text_params2 = create_model(args.model2, pre2,
+                                    precision=args.precision
+                                    ).params["text"]
+
+    with open(args.captions) as f:
+        captions = json.load(f)
+    os.makedirs(args.output_dir, exist_ok=True)
+    adv = attack_captions(
+        scorer, model.params["text"], tokenizer, captions,
+        rho=args.rho, k=args.k, objective=args.objective,
+        text_params2=text_params2,
+        out_csv=os.path.join(args.output_dir, "captions_adv.csv"))
+    with open(os.path.join(args.output_dir, "captions_adv.json"),
+              "w") as f:
+        json.dump(adv, f, indent=2)
+
+    if args.sd_model_path:
+        for name, caps in (("clean", captions), ("adv", adv)):
+            imgs = generate_images(
+                caps, args.sd_model_path,
+                robust_text_encoder_hf_dir=args.robust_text_encoder_hf_dir,
+                num_inference_steps=args.num_inference_steps)
+            d = os.path.join(args.output_dir, f"gen_{name}")
+            os.makedirs(d, exist_ok=True)
+            from PIL import Image
+            for i, im in enumerate(imgs):
+                Image.fromarray((im * 255).astype("uint8")).save(
+                    os.path.join(d, f"{i:05d}.png"))
+    else:
+        logging.getLogger(__name__).info(
+            "no --sd-model-path: wrote attacked captions only; generate "
+            "with a local SD pipeline, then score via "
+            "`python -m leaf_tpu.evals.clipscore`")
+    print(json.dumps({"n": len(adv),
+                      "output_dir": args.output_dir}))
+    return adv
+
+
+if __name__ == "__main__":
+    main()

@@ -166,3 +166,40 @@ def test_zero_shot_text_cli(tmp_path):
                 "--n_test", "2", "--rho", "4", "--label-encoder", "text",
                 "--output-dir", str(tmp_path)])
     assert out["n"] == 2 and 0.0 <= out["acc_adv"] <= 1.0
+
+
+def test_clipscore_cli(tmp_path):
+    """Standalone CLIPScore/FID CLI (reference compute_clipscores.py)."""
+    import json
+    from PIL import Image
+    from leaf_tpu.evals.clipscore import main
+    rng = np.random.default_rng(0)
+    for d in ("gen", "real"):
+        (tmp_path / d).mkdir()
+        for i in range(3):
+            Image.fromarray(rng.integers(0, 255, (64, 64, 3),
+                                         dtype=np.uint8)).save(
+                tmp_path / d / f"{i}.png")
+    caps = tmp_path / "caps.json"
+    caps.write_text(json.dumps(["a cat", "a dog", "a car"]))
+    out = main(["--model", "ViT-tiny-test", "--gen-dir",
+                str(tmp_path / "gen"), "--real-dir", str(tmp_path / "real"),
+                "--captions", str(caps),
+                "--output", str(tmp_path / "r.json")])
+    assert out["n"] == 3 and "fid_clip" in out
+    assert (tmp_path / "r.json").exists()
+
+
+def test_text_to_image_cli_attack_stage(tmp_path):
+    """T2I CLI stage 1 (reference eval_text_to_image.py without SD
+    weights): attacked captions JSON+CSV."""
+    import json
+    from leaf_tpu.evals.text_to_image import main
+    caps = tmp_path / "caps.json"
+    caps.write_text(json.dumps(["a cat on a mat"]))
+    adv = main(["--model", "ViT-tiny-test", "--captions", str(caps),
+                "--rho", "4", "--k", "1",
+                "--output-dir", str(tmp_path / "out")])
+    assert len(adv) == 1 and adv[0] != "a cat on a mat"
+    assert (tmp_path / "out" / "captions_adv.json").exists()
+    assert (tmp_path / "out" / "captions_adv.csv").exists()
