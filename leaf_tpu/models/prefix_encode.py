@@ -21,6 +21,17 @@ with per-block gathered prefix KV.
 
 No reference counterpart — the reference re-encodes all B·ρ candidates
 full-length each round (`utils_attacks.py:297-393`).
+
+Status: exact (fp32-tight equivalence tests) but NOT wired into the
+fused step.  Measured on the v5e (ViT-L text, 6400 candidates,
+2026-08-16): packed full encode 182 ms; this path 331 ms single-bucket
+/ 264 ms two-bucket.  The GEMM-FLOP saving is real, but per-block
+prefix K/V doubles the attention key width and the per-row additive
+masks materialize ~100 MB read per layer — and the full encode is
+GEMM-bound, not attention-bound, so the trade loses.  Winning would
+need ragged (un-padded) prefix gathers inside a flash-style fused
+attention kernel (extend `ops/flash_attention.py`) — recorded as the
+next perf lever, not taken.
 """
 from __future__ import annotations
 
@@ -180,3 +191,86 @@ def suffix_split(cand_tokens: np.ndarray, clean_tokens: np.ndarray,
     suffix = np.where(valid, np.take_along_axis(
         cand_tokens, np.minimum(idx, S - 1), axis=1), 0)
     return suffix.astype(cand_tokens.dtype), prefix_len
+
+
+def _packed_suffix_masks(T: int, S: int, G: int):
+    """Static parts of the packed mask: block-diagonal causal
+    suffix↔suffix [G·T, G·T] and the block-selector [G·T, G·S] pattern
+    (query block g may see only key block g; per-row prefix-length
+    validity is applied dynamically)."""
+    within = np.tril(np.ones((T, T), bool))
+    suf = np.where(np.kron(np.eye(G, dtype=bool), within), 0.0,
+                   -np.inf).astype(np.float32)
+    blocksel = np.kron(np.eye(G, dtype=bool),
+                       np.ones((T, S), bool))          # [G·T, G·S]
+    return jnp.asarray(suf), jnp.asarray(blocksel)
+
+
+def encode_text_suffix_packed(params: Params, cfg: TextConfig,
+                              suffix_tokens: jnp.ndarray,  # [N, T]
+                              sent_idx: jnp.ndarray,       # [N]
+                              prefix_len: jnp.ndarray,     # [N]
+                              ks: jnp.ndarray, vs: jnp.ndarray,
+                              quick_gelu: bool = False,
+                              normalize: bool = False,
+                              dtype=jnp.float32,
+                              target: int = 128) -> jnp.ndarray:
+    """Packed variant of `encode_text_suffix`: G = target//T suffixes
+    concatenate into one row (the `clip.packed_block_mask` trick), and
+    each block's clean-prefix K/V are gathered into a per-row prefix
+    bundle.  Exact: same key sets per query as the full encode.
+    N must be divisible by G (pad with copies and drop the results)."""
+    N, T = suffix_tokens.shape
+    S, D = ks.shape[2], ks.shape[3]
+    G = max(1, target // T)
+    while G > 1 and N % G:
+        G -= 1
+    if G <= 1:
+        return encode_text_suffix(params, cfg, suffix_tokens, sent_idx,
+                                  prefix_len, ks, vs, quick_gelu,
+                                  normalize, dtype)
+    R = N // G
+    act = _act(quick_gelu)
+
+    from leaf_tpu.models.clip import embed_tokens
+
+    pos = prefix_len[:, None] + jnp.arange(T)[None, :]
+    pos = jnp.minimum(pos, params["positional_embedding"].shape[0] - 1)
+    x = embed_tokens(params, suffix_tokens, dtype)
+    x = x + params["positional_embedding"].astype(dtype)[pos]
+    x = x.reshape(R, G * T, D)
+
+    suf_mask, blocksel = _packed_suffix_masks(T, S, G)
+    # per-key validity: key j of block g is real iff j < prefix_len
+    valid = (jnp.arange(S)[None, :]
+             < prefix_len.reshape(R, G)[:, :, None])      # [R, G, S]
+    valid = valid.reshape(R, 1, G * S)
+    pre_mask = jnp.where(blocksel[None] & valid, 0.0, -jnp.inf)  # [R,GT,GS]
+    mask = jnp.concatenate(
+        [pre_mask, jnp.broadcast_to(suf_mask[None], (R, G * T, G * T))],
+        axis=-1)                                          # [R, GT, GS+GT]
+
+    def body(h, layer):
+        p, k_pre_l, v_pre_l = layer
+        x_ln = layers.layer_norm(p["ln_1"], h, cfg.ln_eps)
+        qkv = (x_ln @ p["attn"]["qkv_w"].astype(dtype)
+               + p["attn"]["qkv_b"].astype(dtype))
+        q, k_suf, v_suf = jnp.split(qkv, 3, axis=-1)
+        k_pre = k_pre_l[sent_idx].astype(dtype).reshape(R, G * S, D)
+        v_pre = v_pre_l[sent_idx].astype(dtype).reshape(R, G * S, D)
+        k = jnp.concatenate([k_pre, k_suf], axis=1)
+        v = jnp.concatenate([v_pre, v_suf], axis=1)
+        attn = _mha(q, k, v, mask, cfg.heads, p["attn"], dtype)
+        h = h + attn
+        h = h + layers.mlp(p["mlp"], layers.layer_norm(p["ln_2"], h,
+                                                       cfg.ln_eps), act)
+        return h, None
+
+    x, _ = jax.lax.scan(body, x, (params["blocks"], ks, vs))
+    x = layers.layer_norm(params["ln_final"], x, cfg.ln_eps)
+    x = x.reshape(N, T, D)
+    pooled = text_pool(x, suffix_tokens, cfg.pool_type)
+    pooled = pooled @ params["text_projection"].astype(dtype)
+    if "text_projection_bias" in params:
+        pooled = pooled + params["text_projection_bias"].astype(dtype)
+    return l2_normalize(pooled) if normalize else pooled

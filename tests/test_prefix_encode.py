@@ -90,3 +90,28 @@ def test_suffix_split_bucket_padding(setup):
     cand = bucket_tokens(cand)
     suffix, _ = suffix_split(cand, clean, sent_idx, bucket=4)
     assert suffix.shape[1] % 4 == 0
+
+
+def test_suffix_encode_packed_matches_full(setup):
+    cfg, params, tok, texts, rng = setup
+    from leaf_tpu.models.prefix_encode import encode_text_suffix_packed
+    clean = bucket_tokens(np.asarray(tok(texts)))
+    cand, sent_idx = _attack_candidates(texts, tok, rng)
+    cand = bucket_tokens(cand)
+    # drop the +1 identical row so N divides evenly into pack groups
+    n = (cand.shape[0] // 8) * 8
+    cand, sent_idx = cand[:n], sent_idx[:n]
+
+    full = np.asarray(lclip.encode_text(
+        params["text"], cfg.text, jnp.asarray(cand), cfg.quick_gelu,
+        True, jnp.float32))
+    suffix, prefix_len = suffix_split(cand, clean, sent_idx, bucket=4)
+    ks, vs = clean_kv(params["text"], cfg.text, jnp.asarray(clean),
+                      cfg.quick_gelu, jnp.float32)
+    ours = np.asarray(jax.jit(
+        lambda p, s, si, pl, k, v: encode_text_suffix_packed(
+            p, cfg.text, s, si, pl, k, v, cfg.quick_gelu, True,
+            jnp.float32, target=32))(
+        params["text"], jnp.asarray(suffix), jnp.asarray(sent_idx),
+        jnp.asarray(prefix_len), ks, vs))
+    np.testing.assert_allclose(ours, full, atol=2e-5, rtol=1e-5)
