@@ -35,15 +35,18 @@ def _logits_fn(params, cfg: CLIPConfig, classifier):
     return f
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_iter", "n_targets"))
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "n_iter", "n_targets", "norm"))
 def _apgd_attack_batch(params, cfg: CLIPConfig, classifier, images, labels,
-                       eps, n_iter: int = 100, n_targets: int = 3):
+                       eps, n_iter: int = 100, n_targets: int = 3,
+                       norm: str = "linf"):
     """AutoAttack-style cascade: APGD-CE, then targeted APGD-DLR
-    against the top-k wrong classes; keeps the first fooling point."""
+    against the top-k wrong classes; keeps the first fooling point.
+    `norm` ∈ {linf, l2, l1} — the reference AutoAttack presets."""
     logits_fn = _logits_fn(params, cfg, classifier)
 
     def run(loss_fn):
-        return apgd(loss_fn, images, norm="linf", eps=eps, n_iter=n_iter)
+        return apgd(loss_fn, images, norm=norm, eps=eps, n_iter=n_iter)
 
     adv = run(ce_loss_fn(logits_fn, labels))
     fooled = jnp.argmax(logits_fn(adv), -1) != labels

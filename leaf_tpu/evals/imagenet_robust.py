@@ -31,7 +31,11 @@ def main(argv=None):
     p.add_argument("--imagenet-root", type=str, required=True)
     p.add_argument("--n-samples", type=int, default=1000)
     p.add_argument("--batch-size", type=int, default=50)
-    p.add_argument("--eps", type=float, default=2.0, help="/255 units")
+    p.add_argument("--eps", type=float, default=2.0,
+                   help="/255 units for linf/l2; absolute for l1 "
+                        "(AutoAttack L1 preset uses 75)")
+    p.add_argument("--norm", default="linf",
+                   choices=["linf", "l2", "l1"])
     p.add_argument("--attack-iters", type=int, default=100)
     p.add_argument("--n-targets", type=int, default=3)
     p.add_argument("--square", action="store_true", default=False,
@@ -87,10 +91,11 @@ def main(argv=None):
         logits = np.asarray(logits_fn(images_j))
         correct = logits.argmax(-1) == labels
         clean1 += int(correct.sum())
+        eps = args.eps if args.norm == "l1" else args.eps / 255.0
         adv, fooled = _apgd_attack_batch(
             model.params, cfg, classifier, images_j, jnp.asarray(labels),
-            args.eps / 255.0, n_iter=args.attack_iters,
-            n_targets=args.n_targets)
+            eps, n_iter=args.attack_iters,
+            n_targets=args.n_targets, norm=args.norm)
         fooled = np.asarray(fooled)
         if args.square and (~fooled).any():
             from leaf_tpu.attacks.square import (

@@ -227,3 +227,31 @@ def test_apgd_l1_improves_loss_and_respects_ball(setup):
     # the L1 attack must actually be sparse (top-k sign steps)
     sparsity = (np.abs(delta) > 1e-10).mean()
     assert sparsity < 0.5
+
+
+def test_apgd_cascade_l1_norm(setup):
+    """AutoAttack-style cascade under the L1 preset (reference
+    AutoAttack norm='L1'): ball + box respected, cascade runs CE +
+    targeted stages."""
+    from leaf_tpu.benchmark.zeroshot_classification import (
+        _apgd_attack_batch,
+    )
+    from leaf_tpu.models.zero_shot import build_zero_shot_classifier
+    from leaf_tpu.attacks.engine import CandidateScorer
+    from leaf_tpu.tokenizer import get_tokenizer
+    cfg, params, images = setup
+    tok = get_tokenizer(context_length=cfg.text.context_length)
+    scorer = CandidateScorer(cfg)
+    classifier = build_zero_shot_classifier(
+        lambda t: scorer.encode_text(params["text"], t), tok,
+        ["cat", "dog", "bird"], ["a photo of a {}."])
+    labels = jnp.asarray([0, 1])
+    eps1 = 10.0
+    adv, fooled = _apgd_attack_batch(
+        params, cfg, classifier, images, labels, eps1, n_iter=6,
+        n_targets=1, norm="l1")
+    delta = np.asarray(adv - images).reshape(2, -1)
+    assert (np.abs(delta).sum(-1) <= eps1 + 1e-2).all()
+    assert np.asarray(adv).min() >= -1e-6
+    assert np.asarray(adv).max() <= 1 + 1e-6
+    assert fooled.shape == (2,)
