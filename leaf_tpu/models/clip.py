@@ -210,10 +210,11 @@ def encode_text_embedding(params: Params, cfg: TextConfig, embeds: jnp.ndarray,
     graph for both paths."""
     dtype = embeds.dtype
     x = embeds + params["positional_embedding"][:embeds.shape[1]].astype(dtype)
-    mask = None if cfg.no_causal_mask else causal_mask(embeds.shape[1])
+    S = embeds.shape[1]
+    mask = None if cfg.no_causal_mask else causal_mask(S)
     x = layers.transformer_stack(
         params["blocks"], x, mask, cfg.heads, _act(quick_gelu), cfg.ln_eps,
-        remat=remat)
+        remat=remat, packed=(S, not cfg.no_causal_mask))
     x = layers.layer_norm(params["ln_final"], x, cfg.ln_eps)
     pooled = text_pool(x, tokens, cfg.pool_type)
     pooled = pooled @ params["text_projection"].astype(dtype)
@@ -248,7 +249,7 @@ def encode_text(params: Params, cfg: TextConfig, tokens: jnp.ndarray,
     mask = packed_block_mask(S, G, causal=not cfg.no_causal_mask)
     x = layers.transformer_stack(
         params["blocks"], x, mask, cfg.heads, _act(quick_gelu), cfg.ln_eps,
-        remat=remat)
+        remat=remat, packed=(S, not cfg.no_causal_mask))
     x = layers.layer_norm(params["ln_final"], x, cfg.ln_eps)
     x = x.reshape(B, S, x.shape[-1])
     pooled = text_pool(x, tokens, cfg.pool_type)

@@ -89,12 +89,28 @@ def gelu(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def attention(p: Params, x: jnp.ndarray, mask: Optional[jnp.ndarray],
-              n_heads: int) -> jnp.ndarray:
+              n_heads: int, packed=None) -> jnp.ndarray:
     """Multi-head self-attention.
 
     x: [B, S, D]; mask: additive [S, S] (or None), applied in fp32.
     Matches torch nn.MultiheadAttention used at `transformer.py:225,250-252`.
+
+    `packed=(group_len, causal)` declares that `mask` is the standard
+    block-diagonal (or plain causal, group_len == S) pattern; when the
+    Pallas packed-attention kernel is enabled (single-device TPU, see
+    `leaf_tpu/ops/packed_attention.py`), attention runs fused in VMEM
+    with no head transposes and no HBM logits — same numerics.
     """
+    if packed is not None:
+        from leaf_tpu.ops.packed_attention import enabled, packed_attention
+        if enabled():
+            group_len, causal = packed
+            qkv = x @ p["qkv_w"].astype(x.dtype) + p["qkv_b"].astype(x.dtype)
+            out = packed_attention(
+                qkv, n_heads, group_len, causal,
+                jax.default_backend() != "tpu")
+            return out @ p["out_w"].astype(x.dtype) \
+                + p["out_b"].astype(x.dtype)
     B, S, D = x.shape
     head_dim = D // n_heads
     qkv = x @ p["qkv_w"].astype(x.dtype) + p["qkv_b"].astype(x.dtype)
@@ -125,18 +141,20 @@ def mlp(p: Params, x: jnp.ndarray, act) -> jnp.ndarray:
 
 
 def residual_block(p: Params, x: jnp.ndarray, mask, n_heads: int, act,
-                   ln_eps: float) -> jnp.ndarray:
+                   ln_eps: float, packed=None) -> jnp.ndarray:
     """Pre-LN residual attention block (`transformer.py:254-265`)."""
-    x = x + attention(p["attn"], layer_norm(p["ln_1"], x, ln_eps), mask, n_heads)
+    x = x + attention(p["attn"], layer_norm(p["ln_1"], x, ln_eps), mask,
+                      n_heads, packed=packed)
     x = x + mlp(p["mlp"], layer_norm(p["ln_2"], x, ln_eps), act)
     return x
 
 
 def transformer_stack(p: Params, x: jnp.ndarray, mask, n_heads: int, act,
-                      ln_eps: float, remat: bool = False) -> jnp.ndarray:
+                      ln_eps: float, remat: bool = False,
+                      packed=None) -> jnp.ndarray:
     """Run L stacked residual blocks via lax.scan (layer axis = 0)."""
     block = functools.partial(residual_block, mask=mask, n_heads=n_heads,
-                              act=act, ln_eps=ln_eps)
+                              act=act, ln_eps=ln_eps, packed=packed)
     if remat:
         block = jax.checkpoint(block)
 

@@ -1,0 +1,125 @@
+"""Parity tests for the Pallas packed-attention kernel (interpret mode).
+
+The kernel must be bit-compatible (up to fp reassociation) with the
+XLA path `layers.attention` + `packed_block_mask` for every (S, G,
+causal) combination the encoder produces, including the padded
+single-group 77-token case, and its custom_vjp gradient must match.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from leaf_tpu.models import clip as lclip
+from leaf_tpu.models import layers
+from leaf_tpu.ops.packed_attention import _reference, packed_attention
+
+
+def _mk_qkv(rng, R, L, D3, dtype=jnp.float32):
+    return jnp.asarray(rng.standard_normal((R, L, D3)) * 0.1, dtype)
+
+
+@pytest.mark.parametrize("S,G,causal", [
+    (16, 8, True),    # the bucketed-candidate hot case
+    (16, 8, False),
+    (32, 4, True),
+    (77, 1, True),    # unpacked clean-token case (row padded 77 -> 128)
+    (13, 3, True),    # L=39: padding + odd group length
+])
+def test_kernel_matches_xla_attention(S, G, causal):
+    rng = np.random.default_rng(0)
+    R, H, hd = 3, 4, 16
+    D = H * hd
+    L = G * S
+    qkv = _mk_qkv(rng, R, L, 3 * D)
+
+    out = packed_attention(qkv, H, S, causal, interpret=True)
+
+    # oracle 1: the token-major einsum reference
+    ref = _reference(qkv, H, S, causal)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+    # oracle 2: layers.attention with the additive packed mask, fed the
+    # same qkv by zeroing the projection weights appropriately
+    p = {"qkv_w": jnp.eye(D, 3 * D), "qkv_b": jnp.zeros(3 * D),
+         "out_w": jnp.eye(D), "out_b": jnp.zeros(D)}
+    # x such that x @ qkv_w == qkv requires inverting; instead compare
+    # attention cores directly: build mask and run the einsum core
+    mask = lclip.packed_block_mask(S, G, causal)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(t):
+        return t.reshape(R, L, H, hd).transpose(0, 2, 1, 3)
+
+    logits = jnp.einsum("bhqd,bhkd->bhqk", heads(q), heads(k),
+                        preferred_element_type=jnp.float32) * (hd ** -0.5)
+    logits = logits + jnp.asarray(mask)
+    probs = jax.nn.softmax(logits, axis=-1).astype(qkv.dtype)
+    core = jnp.einsum("bhqk,bhkd->bhqd", probs, heads(v))
+    core = core.transpose(0, 2, 1, 3).reshape(R, L, D)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(core),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_kernel_bf16_close():
+    rng = np.random.default_rng(1)
+    qkv = _mk_qkv(rng, 2, 64, 3 * 64, jnp.bfloat16)
+    out = packed_attention(qkv, 4, 16, True, interpret=True)
+    ref = _reference(qkv, 4, 16, True)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=2e-2)
+
+
+def test_gradient_matches_reference():
+    rng = np.random.default_rng(2)
+    qkv = _mk_qkv(rng, 2, 32, 3 * 32)
+
+    def f_kernel(t):
+        return jnp.sum(jnp.sin(packed_attention(t, 2, 8, True,
+                                                interpret=True)))
+
+    def f_ref(t):
+        return jnp.sum(jnp.sin(_reference(t, 2, 8, True)))
+
+    g1 = jax.grad(f_kernel)(qkv)
+    g2 = jax.grad(f_ref)(qkv)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_encode_text_kernel_path_equivalent(monkeypatch):
+    """encode_text with the kernel forced on (interpret on CPU) must
+    reproduce the default XLA path — packed and unpacked branches."""
+    from leaf_tpu.models import create_model
+
+    monkeypatch.delenv("LEAF_TPU_PACKED_ATTN", raising=False)
+    model = create_model("ViT-tiny-test")
+    cfg = model.cfg
+    rng = np.random.default_rng(3)
+    C = cfg.text.context_length
+    tokens = rng.integers(1, cfg.text.vocab_size - 2,
+                          size=(8, 16)).astype(np.int32)
+    tokens[:, 0] = cfg.text.vocab_size - 2
+    tokens[:, -1] = cfg.text.vocab_size - 1
+
+    base = lclip.encode_text(model.params["text"], cfg.text,
+                             jnp.asarray(tokens), cfg.quick_gelu)
+    monkeypatch.setenv("LEAF_TPU_PACKED_ATTN", "1")
+    kern = lclip.encode_text(model.params["text"], cfg.text,
+                             jnp.asarray(tokens), cfg.quick_gelu)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(kern),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_enabled_flag(monkeypatch):
+    from leaf_tpu.ops.packed_attention import enabled
+
+    monkeypatch.setenv("LEAF_TPU_PACKED_ATTN", "0")
+    assert not enabled()
+    monkeypatch.setenv("LEAF_TPU_PACKED_ATTN", "1")
+    assert enabled()
+    monkeypatch.delenv("LEAF_TPU_PACKED_ATTN")
+    # auto mode on the CPU test backend: off
+    assert not enabled()
