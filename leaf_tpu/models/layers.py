@@ -143,8 +143,19 @@ def mlp(p: Params, x: jnp.ndarray, act) -> jnp.ndarray:
 def residual_block(p: Params, x: jnp.ndarray, mask, n_heads: int, act,
                    ln_eps: float, packed=None) -> jnp.ndarray:
     """Pre-LN residual attention block (`transformer.py:254-265`)."""
-    x = x + attention(p["attn"], layer_norm(p["ln_1"], x, ln_eps), mask,
-                      n_heads, packed=packed)
+    fused = False
+    if packed is not None:
+        from leaf_tpu.ops.packed_attention import (
+            enabled, fused_attention_block, fused_block_supported)
+        if enabled() and fused_block_supported(x.shape[-1], x.dtype):
+            x = fused_attention_block(
+                {"ln_1": p["ln_1"], "attn": p["attn"]}, x, n_heads,
+                packed[0], packed[1], ln_eps,
+                jax.default_backend() != "tpu")
+            fused = True
+    if not fused:
+        x = x + attention(p["attn"], layer_norm(p["ln_1"], x, ln_eps), mask,
+                          n_heads, packed=packed)
     x = x + mlp(p["mlp"], layer_norm(p["ln_2"], x, ln_eps), act)
     return x
 

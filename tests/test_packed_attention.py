@@ -123,3 +123,80 @@ def test_enabled_flag(monkeypatch):
     monkeypatch.delenv("LEAF_TPU_PACKED_ATTN")
     # auto mode on the CPU test backend: off
     assert not enabled()
+
+
+@pytest.mark.parametrize("S,G,causal", [(16, 8, True), (13, 3, False),
+                                        (77, 1, True)])
+def test_fused_block_matches_reference(S, G, causal):
+    from leaf_tpu.ops.packed_attention import (_block_reference,
+                                               fused_attention_block)
+
+    rng = np.random.default_rng(4)
+    R, H, hd = 4, 4, 16
+    D = H * hd
+    L = G * S
+    x = jnp.asarray(rng.standard_normal((R, L, D)) * 0.1, jnp.float32)
+    p = {"ln_1": {"scale": jnp.asarray(1 + 0.1 * rng.standard_normal(D),
+                                       jnp.float32),
+                  "bias": jnp.asarray(0.1 * rng.standard_normal(D),
+                                      jnp.float32)},
+         "attn": {"qkv_w": jnp.asarray(0.1 * rng.standard_normal((D, 3 * D)),
+                                       jnp.float32),
+                  "qkv_b": jnp.asarray(0.1 * rng.standard_normal(3 * D),
+                                       jnp.float32),
+                  "out_w": jnp.asarray(0.1 * rng.standard_normal((D, D)),
+                                       jnp.float32),
+                  "out_b": jnp.asarray(0.1 * rng.standard_normal(D),
+                                       jnp.float32)}}
+    out = fused_attention_block(p, x, H, S, causal, 1e-5, interpret=True)
+    ref = _block_reference(p, x, H, S, causal, 1e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-4)
+
+    # and against layers.residual_block's attention half
+    from leaf_tpu.models import clip as lclip
+    from leaf_tpu.models import layers
+    mask = lclip.packed_block_mask(S, G, causal)
+    half = x + layers.attention(p["attn"],
+                                layers.layer_norm(p["ln_1"], x, 1e-5),
+                                jnp.asarray(mask), H)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(half),
+                               atol=1e-5, rtol=1e-4)
+
+
+def test_fused_block_gradients():
+    from leaf_tpu.ops.packed_attention import (_block_reference,
+                                               fused_attention_block)
+
+    rng = np.random.default_rng(5)
+    H, hd, S, G, R = 2, 8, 8, 4, 2
+    D = H * hd
+    L = G * S
+    x = jnp.asarray(rng.standard_normal((R, L, D)) * 0.1, jnp.float32)
+    p = {"ln_1": {"scale": jnp.ones(D), "bias": jnp.zeros(D)},
+         "attn": {"qkv_w": jnp.asarray(0.1 * rng.standard_normal((D, 3 * D)),
+                                       jnp.float32),
+                  "qkv_b": jnp.zeros(3 * D),
+                  "out_w": jnp.asarray(0.1 * rng.standard_normal((D, D)),
+                                       jnp.float32),
+                  "out_b": jnp.zeros(D)}}
+
+    def f_kernel(p_, x_):
+        return jnp.sum(jnp.sin(fused_attention_block(p_, x_, H, S, True,
+                                                     1e-5, interpret=True)))
+
+    def f_ref(p_, x_):
+        return jnp.sum(jnp.sin(_block_reference(p_, x_, H, S, True, 1e-5)))
+
+    g1 = jax.grad(f_kernel, argnums=(0, 1))(p, x)
+    g2 = jax.grad(f_ref, argnums=(0, 1))(p, x)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4), g1, g2)
+
+
+def test_fused_block_supported_cutoff():
+    from leaf_tpu.ops.packed_attention import fused_block_supported
+
+    assert fused_block_supported(768, jnp.bfloat16)
+    assert fused_block_supported(1024, jnp.bfloat16)
+    assert not fused_block_supported(1280, jnp.float32)
