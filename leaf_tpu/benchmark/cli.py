@@ -55,12 +55,13 @@ def _expand_datasets(specs: List[str]) -> List[str]:
     return out
 
 
-def run_one(args, dataset_name: str) -> dict:
+def run_one(args, dataset_name: str, model_name: str,
+            pretrained: str) -> dict:
     from leaf_tpu.benchmark.builder import build_dataset
     from leaf_tpu.models import create_model, get_tokenizer
     from leaf_tpu.models.preprocess import image_transform
 
-    model = create_model(args.model, args.pretrained or None,
+    model = create_model(model_name, pretrained or None,
                          precision=args.precision)
     cfg = model.cfg
     params = model.params
@@ -70,7 +71,7 @@ def run_one(args, dataset_name: str) -> dict:
         from leaf_tpu.models.interop import load_pretrained
         other = load_pretrained(args.interpolate_ckpt, cfg)
         params = _interpolate(params, other, args.beta)
-    tokenizer = get_tokenizer(args.model)
+    tokenizer = get_tokenizer(model_name)
     preprocess = image_transform(cfg.vision.image_size, do_normalize=False)
 
     task = args.task
@@ -104,8 +105,8 @@ def run_one(args, dataset_name: str) -> dict:
 
         from leaf_tpu.benchmark.captioning import evaluate_captioning
         from leaf_tpu.models.coca import create_coca_model
-        coca, coca_cfg = create_coca_model(args.model,
-                                           args.pretrained or None)
+        coca, coca_cfg = create_coca_model(model_name,
+                                           pretrained or None)
         metrics = evaluate_captioning(coca, coca_cfg, tokenizer, ds,
                                       jax.random.PRNGKey(args.seed))
     elif task == "linear_probe":
@@ -127,14 +128,16 @@ def run_one(args, dataset_name: str) -> dict:
     else:
         raise ValueError(f"unknown task {task}")
 
-    result = {"model": args.model, "pretrained": args.pretrained,
+    result = {"model": model_name, "pretrained": pretrained,
               "task": task, "dataset": dataset_name,
-              "language": args.language, "metrics": metrics}
+              "language": args.language, "attack": args.attack or "none",
+              "eps": args.eps, "iterations_adv": args.attack_iters,
+              "metrics": metrics}
     if args.output:
         out = args.output.format(dataset=dataset_name.replace("/", "-"),
-                                 model=args.model.replace("/", "-"),
+                                 model=model_name.replace("/", "-"),
                                  pretrained=os.path.basename(
-                                     args.pretrained or "scratch"),
+                                     pretrained or "scratch"),
                                  task=task, language=args.language)
         with open(out, "w") as f:
             json.dump(result, f, indent=2, default=float)
@@ -144,7 +147,10 @@ def run_one(args, dataset_name: str) -> dict:
 
 
 def run_eval(args) -> List[dict]:
-    return [run_one(args, name)
+    from leaf_tpu.benchmark.model_collection import expand_models
+    models = expand_models(args.model, args.pretrained)
+    return [run_one(args, name, m, p)
+            for (m, p) in models
             for name in _expand_datasets(args.dataset)]
 
 
@@ -152,12 +158,13 @@ def run_build(args):
     """Merge result JSONs into one CSV (`cli.py` build subcommand)."""
     import csv
     rows = []
-    fields: List[str] = ["model", "pretrained", "task", "dataset",
-                         "language"]
+    meta = ["model", "pretrained", "task", "dataset", "language",
+            "attack", "eps", "iterations_adv"]
+    fields: List[str] = list(meta)
     for path in args.files:
         with open(path) as f:
             r = json.load(f)
-        row = {k: r.get(k) for k in fields[:5]}
+        row = {k: r.get(k) for k in meta}
         for k, v in r.get("metrics", {}).items():
             row[k] = v
             if k not in fields:
@@ -171,11 +178,34 @@ def run_build(args):
     return rows
 
 
+def run_reformat(args):
+    """Pivot a merged CSV into a models × datasets accuracy table
+    (reference `src/clip_benchmark/reformat_csv.py`: acc1 → %, dataset
+    prefixes stripped, rows indexed by model/pretrained/attack/eps)."""
+    import pandas as pd
+
+    df = pd.read_csv(args.input)
+    df["acc1"] = (df["acc1"] * 100).round(2)
+    df["dataset"] = df["dataset"].str.replace(r"^(wds/vtab/|wds/)", "",
+                                              regex=True)
+    index_cols = [c for c in ("model", "pretrained", "attack", "eps",
+                              "iterations_adv") if c in df.columns]
+    pivot = df.pivot_table(values="acc1", index=index_cols,
+                           columns=["dataset"]).reset_index()
+    pivot.to_csv(args.output, index=False)
+    print(pivot.to_csv(index=False))
+    LOG.info("wrote %s", args.output)
+    return pivot
+
+
 def main(argv: List[str] | None = None):
     p = argparse.ArgumentParser("leaf_tpu benchmark")
     sub = p.add_subparsers(dest="command", required=True)
     e = sub.add_parser("eval")
-    e.add_argument("--model", required=True)
+    e.add_argument("--model", required=True, nargs="+",
+                   help="model name(s), `model,pretrained` pairs, a "
+                        "collection (openclip_base, openai, leaf, fare, "
+                        "openclip_all), or a .txt file of pairs")
     e.add_argument("--pretrained", default="")
     e.add_argument("--precision", default="fp32")
     e.add_argument("--task", default="auto",
@@ -209,10 +239,15 @@ def main(argv: List[str] | None = None):
     b = sub.add_parser("build")
     b.add_argument("files", nargs="+")
     b.add_argument("--output", default="benchmark.csv")
+    r = sub.add_parser("reformat")
+    r.add_argument("input")
+    r.add_argument("--output", default="pivoted.csv")
     args = p.parse_args(argv)
     setup_logging()
     if args.command == "eval":
         return run_eval(args)
+    if args.command == "reformat":
+        return run_reformat(args)
     return run_build(args)
 
 

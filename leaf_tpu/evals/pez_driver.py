@@ -51,9 +51,14 @@ def run_one_inversion(caption: str, params, cfg, tokenizer, args) -> dict:
                           prompt_len=prompt_len, iters=args.iter,
                           lr=args.lr, weight_decay=args.weight_decay,
                           loss_weight=args.loss_weight, seed=args.seed)
-    reconstructed = tokenizer.decode([int(i) for i in np.asarray(out["ids"])])
+    rec_ids = [int(i) for i in np.asarray(out["ids"])]
+    reconstructed = tokenizer.decode(rec_ids)
     return {"original": caption, "reconstructed": reconstructed,
-            "cosine_sim": float(out["sim"]), "prompt_len": prompt_len}
+            "cosine_sim": float(out["sim"]), "prompt_len": prompt_len,
+            # token ids for pez_metrics (reference compute_metrics.py
+            # token accuracy needs ids_orig/ids_rec)
+            "ids_orig": [int(i) for i in np.asarray(tokens)[0]],
+            "ids_rec": rec_ids}
 
 
 def main(argv: Optional[List[str]] = None) -> dict:

@@ -235,3 +235,48 @@ def test_linear_probe_fewshot(tmp_path):
     m = evaluate_linear_probe(model.params, model.cfg, tr, te, n_classes=2,
                               epochs=5, fewshot_k=2)
     assert m["n_train"] == 4  # 2 classes × k=2
+
+
+def test_model_collections(tmp_path):
+    from leaf_tpu.benchmark.model_collection import (
+        MODEL_COLLECTIONS, expand_models, get_model_collection_from_file)
+
+    assert ("ViT-L-14", "openai") in MODEL_COLLECTIONS["openai"]
+    # bare name + default pretrained
+    assert expand_models(["ViT-B-32"], "ckpt.pt") == [("ViT-B-32", "ckpt.pt")]
+    # inline pair
+    assert expand_models(["ViT-L-14,fare2"]) == [("ViT-L-14", "fare2")]
+    # collection name
+    assert expand_models(["openai"]) == MODEL_COLLECTIONS["openai"]
+    # openclip_all enumerates the pretrained registry
+    allm = expand_models(["openclip_all"])
+    assert len(allm) >= 5 and all(len(t) == 2 for t in allm)
+    # file format: "model,pretrained" lines with comments
+    f = tmp_path / "models.txt"
+    f.write_text("# comment\nViT-B-32,laion2b\nRN50,openai\n")
+    assert get_model_collection_from_file(str(f)) == [
+        ("ViT-B-32", "laion2b"), ("RN50", "openai")]
+    assert expand_models([str(f)]) == [("ViT-B-32", "laion2b"),
+                                       ("RN50", "openai")]
+
+
+def test_reformat_subcommand(tmp_path):
+    from leaf_tpu.benchmark.cli import main
+    files = []
+    for i, (ds, acc) in enumerate((("wds/cifar10", 0.81),
+                                   ("wds/vtab/flowers", 0.62))):
+        path = tmp_path / f"r{i}.json"
+        with open(path, "w") as f:
+            json.dump({"model": "ViT-B-32", "pretrained": "p", "task": "t",
+                       "dataset": ds, "language": "en", "attack": "none",
+                       "eps": 2.0, "iterations_adv": 100,
+                       "metrics": {"acc1": acc}}, f)
+        files.append(str(path))
+    merged = tmp_path / "bench.csv"
+    main(["build", *files, "--output", str(merged)])
+    out = tmp_path / "pivot.csv"
+    main(["reformat", str(merged), "--output", str(out)])
+    head, row = open(out).read().strip().splitlines()
+    # dataset prefixes stripped, one column per dataset, acc1 in %
+    assert "cifar10" in head and "flowers" in head and "wds/" not in head
+    assert "81.0" in row and "62.0" in row

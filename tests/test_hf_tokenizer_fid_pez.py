@@ -117,3 +117,55 @@ def test_pez_driver_config_merge(tmp_path):
                  "--model", "ViT-tiny-test", "--captions", str(caps),
                  "--n-samples", "1", "--output", str(tmp_path / "res2")])
     assert out2["config"]["iter"] == 2
+
+
+def test_pez_metrics(tmp_path):
+    from leaf_tpu.evals.pez_metrics import evaluate_results, main
+
+    payload = {
+        "config": {},
+        "results": [
+            {"original": "a photo of a cat",
+             "reconstructed": "photo cat a a",
+             "cosine_sim": 0.9,
+             "ids_orig": [49406, 320, 1125, 539, 320, 2368, 49407, 0, 0],
+             "ids_rec": [1125, 2368, 320, 320]},
+            {"original": "dog on grass",
+             "reconstructed": "cat in house",
+             "cosine_sim": 0.5,
+             "ids_orig": [49406, 7, 8, 9, 49407, 0],
+             "ids_rec": [1, 2, 3]},
+        ],
+    }
+    m = evaluate_results(payload)
+    assert m["n"] == 2
+    assert m["mean_cosine_sim"] == pytest.approx(0.7)
+    # row 1: 4 rec words, refs present: photo yes, cat yes, a yes, of no,
+    # a counted again -> 4/... word acc = (sum over refs in rec)/len(rec)
+    # row 1: refs [a,photo,of,a,cat] -> in rec: a,photo,a,cat = 4; len(rec)=4
+    # row 2: 0/3 -> total 4/7
+    assert m["word_accuracy"] == pytest.approx(4 / 7)
+    # token acc: row1 ref=[320,1125,539,320,2368], in rec: 320,1125,320,2368
+    # -> 4, len(rec)=4; row2 0/3 -> 4/7
+    assert m["token_accuracy"] == pytest.approx(4 / 7)
+    assert "bleu" in m and m["bleu"] >= 0.0
+
+    # CLI over a directory of results files
+    import json as _json
+    d = tmp_path / "inv"
+    d.mkdir()
+    (d / "results-2smpls-3iters-m.json").write_text(_json.dumps(payload))
+    out = main([str(d)])
+    assert "results-2smpls-3iters-m.json" in out
+
+
+def test_pez_driver_records_ids(tmp_path):
+    from leaf_tpu.evals.pez_driver import main
+    caps = tmp_path / "caps.txt"
+    caps.write_text("a photo of a cat\n")
+    out = main(["--model", "ViT-tiny-test", "--iter", "2",
+                "--captions", str(caps), "--n-samples", "1",
+                "--output", str(tmp_path / "res")])
+    r = out["results"][0]
+    assert len(r["ids_rec"]) == r["prompt_len"]
+    assert r["ids_orig"][0] > 0
