@@ -103,7 +103,11 @@ def attention(p: Params, x: jnp.ndarray, mask: Optional[jnp.ndarray],
     """
     if packed is not None:
         from leaf_tpu.ops.packed_attention import enabled, packed_attention
-        if enabled():
+        # measured: without the full block fusion, the standalone kernel
+        # only beats XLA when rows need no padding (row-padded 77-token
+        # encodes were slower than XLA; the fused block in
+        # residual_block wins in both cases)
+        if enabled() and x.shape[1] % 128 == 0:
             group_len, causal = packed
             qkv = x @ p["qkv_w"].astype(x.dtype) + p["qkv_b"].astype(x.dtype)
             out = packed_attention(
