@@ -38,12 +38,13 @@ LOG = logging.getLogger(__name__)
 
 
 def encode_vision(visual_params, cfg: CLIPConfig, images, output_normalize,
-                  dtype=jnp.float32):
+                  dtype=jnp.float32, remat: bool = False):
     """Images in [0,1] → embedding (normalisation folded in, reference
     ClipVisionModel `adversarial_training_clip.py:263-281`)."""
     return lclip.encode_image(visual_params, cfg.vision,
                               _normalize_images(images), cfg.quick_gelu,
-                              normalize=output_normalize, dtype=dtype)
+                              normalize=output_normalize, dtype=dtype,
+                              remat=remat)
 
 
 def embedding_loss(loss_str: str, embedding, embedding_orig, targets=None,
@@ -95,6 +96,11 @@ class FareConfig:
     grad_clip: bool = False
     log_freq: int = 10
     eval_freq: int = 50
+    # rematerialise residual blocks in differentiated encodes.  Without
+    # it, the PGD backward through a ViT-L at the canonical bs=128
+    # saves 24 layers of fp32 attention probs (~20 GB) and cannot fit a
+    # 16 GB v5e chip; remat trades ~1 extra forward per backward.
+    remat: bool = True
 
 
 def make_fare_optimizer(fcfg: FareConfig) -> optax.GradientTransformation:
@@ -122,7 +128,8 @@ def make_fare_attack(cfg: CLIPConfig, fcfg: FareConfig, dtype=jnp.float32):
                key):
         def loss_fn(x_adv):
             emb = encode_vision(visual_params, cfg, x_adv,
-                                fcfg.output_normalize, dtype)
+                                fcfg.output_normalize, dtype,
+                                remat=fcfg.remat)
             return embedding_loss(
                 fcfg.inner_loss, emb, embedding_orig, targets, classifier,
                 reduction="mean" if fcfg.attack == "pgd" else "none")
@@ -158,14 +165,16 @@ def make_fare_train_step(cfg: CLIPConfig, fcfg: FareConfig,
 
         def loss_fn(visual_params):
             emb_clean = encode_vision(visual_params, cfg, images,
-                                      fcfg.output_normalize, dtype)
+                                      fcfg.output_normalize, dtype,
+                                      remat=fcfg.remat)
             loss_clean = jnp.zeros(())
             if fcfg.clean_weight > 0:
                 loss_clean = embedding_loss(fcfg.loss_clean, emb_clean,
                                             embedding_orig, targets,
                                             classifier)
             emb_adv = encode_vision(visual_params, cfg, adv_images,
-                                    fcfg.output_normalize, dtype)
+                                    fcfg.output_normalize, dtype,
+                                    remat=fcfg.remat)
             anchor = (jax.lax.stop_gradient(emb_clean) if fcfg.trades
                       else embedding_orig)
             loss_adv = embedding_loss(fcfg.loss, emb_adv, anchor, targets,

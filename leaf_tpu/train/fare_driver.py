@@ -60,6 +60,10 @@ def parse_args(argv=None):
     p.add_argument("--stepsize-adv", type=float, default=1.0,
                    help="in /255 units")
     p.add_argument("--precision", type=str, default="bf16")
+    p.add_argument("--no-remat", dest="remat", action="store_false",
+                   default=True,
+                   help="disable block rematerialisation in the attack/"
+                        "train backwards (needs >16GB HBM at bs=128)")
     p.add_argument("--output-dir", type=str, default="./fare_out")
     p.add_argument("--experiment-name", type=str, default="FARE")
     p.add_argument("--log-freq", type=int, default=10)
@@ -105,7 +109,7 @@ def main(argv=None):
         loss=args.loss, loss_clean=args.loss_clean,
         clean_weight=args.clean_weight, trades=args.trades,
         output_normalize=args.output_normalize, log_freq=args.log_freq,
-        eval_freq=args.eval_freq)
+        eval_freq=args.eval_freq, remat=args.remat)
 
     out_dir = os.path.join(args.output_dir, args.experiment_name)
     os.makedirs(out_dir, exist_ok=True)
