@@ -316,9 +316,14 @@ def encode_image(params: Params, cfg: VisionConfig, images: jnp.ndarray,
         x = patch_dropout(x, rate, dropout_key)
     if "ln_pre" in params:              # absent in timm ViT towers
         x = layers.layer_norm(params["ln_pre"], x, cfg.ln_eps)
+    # under remat (FARE's differentiated encodes) the Pallas path is a
+    # net loss: the checkpoint recompute runs the kernel forward AND the
+    # custom_vjp recomputes attention again in XLA for the gradient —
+    # measured slower than plain XLA.  Forward-only/eval encodes take
+    # the kernel (222 → 193 ms at ViT-L bs=128).
     x = layers.transformer_stack(
         params["blocks"], x, None, cfg.heads, _act(quick_gelu), cfg.ln_eps,
-        remat=remat)
+        remat=remat, packed=None if remat else (x.shape[1], False))
     x = layers.layer_norm(params["ln_post"], x, cfg.ln_eps)
     if cfg.pool_type == "tok":
         pooled = x[:, 0]

@@ -104,10 +104,12 @@ def attention(p: Params, x: jnp.ndarray, mask: Optional[jnp.ndarray],
     if packed is not None:
         from leaf_tpu.ops.packed_attention import enabled, packed_attention
         # measured: without the full block fusion, the standalone kernel
-        # only beats XLA when rows need no padding (row-padded 77-token
-        # encodes were slower than XLA; the fused block in
-        # residual_block wins in both cases)
-        if enabled() and x.shape[1] % 128 == 0:
+        # beats XLA when rows need no padding, or when rows are long
+        # enough that XLA's HBM logits dominate (vision's 257 tokens:
+        # kernel 196 ms vs XLA 222).  Row-padded *short* rows (77-token
+        # text) were slower than XLA; the fused block in residual_block
+        # wins in every case.
+        if enabled() and (x.shape[1] % 128 == 0 or x.shape[1] >= 192):
             group_len, causal = packed
             qkv = x @ p["qkv_w"].astype(x.dtype) + p["qkv_b"].astype(x.dtype)
             out = packed_attention(
