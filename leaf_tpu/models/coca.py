@@ -228,7 +228,7 @@ def encode_image_coca(params: Params, cfg: CoCaConfig, images: jnp.ndarray,
     x = layers.layer_norm(p["ln_pre"], x, vc.ln_eps)
     act = layers.quick_gelu if cfg.quick_gelu else layers.gelu
     x = layers.transformer_stack(p["blocks"], x, None, vc.heads, act,
-                                 vc.ln_eps)
+                                 vc.ln_eps, packed=(x.shape[1], False))
     x = attentional_pool(p["attn_pool"], x, cfg.attn_pooler_heads)
     x = layers.layer_norm(p["ln_post"], x, vc.ln_eps)
     pooled, tokens = x[:, 0], x[:, 1:]
