@@ -165,10 +165,11 @@ def main(args=None) -> Dict:
     anchor_encode = make_anchor_encode(cfg, normalize=args.normalize_fare,
                                        dtype=dtype)
     fused_step = None
-    if args.k_adv == 1 and not args.use_charmer:
-        # the 2-dispatch fused path covers the canonical recipes,
-        # INCLUDING --constrain (validity masks are applied to the
-        # candidate token buffer host-side)
+    if not args.use_charmer:
+        # the fused path covers every leaf-attack recipe, INCLUDING
+        # --constrain (validity masks are applied to the candidate
+        # token buffer host-side) and k_adv > 1 (2 dispatches per edit
+        # round, train update fused into the last)
         from leaf_tpu.train.fused import FusedLeafStep
         fused_step = FusedLeafStep(cfg, tx, tokenizer, rho=args.rho,
                                    vocab=vocab,
@@ -177,7 +178,8 @@ def main(args=None) -> Dict:
                                    remat=args.grad_checkpointing,
                                    mesh=mesh, constraint=constraint,
                                    objective=args.attack_objective,
-                                   w_fare_text=args.w_fare_text)
+                                   w_fare_text=args.w_fare_text,
+                                   k=args.k_adv)
 
     # ledger/file writes are master-only (the reference gates on
     # is_master, `train_AT_text_only.py:498-513`); concurrent same-path

@@ -1,7 +1,9 @@
-"""Fused attack+train step for the k=1 LEAF configuration.
+"""Fused attack+train step for the LEAF training attack.
 
 The released LEAF models all train with k_adv=1 (BASELINE.md).  For
-that case the per-step device round-trips collapse from four to two:
+that case the per-step device round-trips collapse from four to two
+(k>1 runs the same two dispatches per edit round, with the train
+update fused into the last round):
 
   dispatch A (one jit): frozen-tower anchor encode + phase-1 probe
     scoring → best probe index per sentence  (the only hard host sync —
@@ -145,10 +147,16 @@ class FusedLeafStep:
                  vocab=edits.DEFAULT_VOCAB, normalize: bool = False,
                  dtype=jnp.float32, remat: bool = False, mesh=None,
                  cache_anchors: bool = True, constraint=None,
-                 objective: str = "l2", w_fare_text: float = 1.0):
+                 objective: str = "l2", w_fare_text: float = 1.0,
+                 k: int = 1):
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.rho = rho
+        # edit rounds: rounds 0..k-2 score candidates and return the
+        # winner to host (the next round's edits retokenise the winning
+        # string); only the final round fuses the train update, so a
+        # k-round step is 2k dispatches
+        self.k = k
         self.vocab = np.asarray(vocab, np.int32)
         self.vocab_list = list(vocab)
         # word-validity constraint (`--constrain`, the released-model
@@ -203,70 +211,98 @@ class FusedLeafStep:
                 len(texts), self.rho, -1)
         return toks
 
-    def __call__(self, state: TrainState, frozen_text, texts,
-                 rng: np.random.Generator
-                 ) -> Tuple[TrainState, dict]:
-        B = len(texts)
-        n = self.rho
-
-        positions = np.stack([edits.sample_positions(len(S), n, rng=rng)
-                              for S in texts])
-        probe_raw = self._probe_tokens(texts, positions)
-        clean_raw = None
-        if self.constraint is not None:
-            clean_raw = np.asarray(self.tokenizer(texts))
-            space = np.full(positions.shape, ord(" "), np.int32)
-            valid = self.constraint.valid_edits_batch(texts, positions,
-                                                      space)
-            probe_raw = _filter_tokens(probe_raw, clean_raw, valid)
-        probe_tokens = bucket_tokens(probe_raw)
-        from leaf_tpu.parallel.sharding import host_local_batch
-        cache = self.anchor_cache
-        if cache is not None and all(t in cache for t in texts):
-            anchors = self._put(np.stack([cache[t] for t in texts]))
-            best_probe = self.phase1_cached(
-                state.text_params, self._put(probe_tokens), anchors)
-        else:
-            if clean_raw is None:
-                clean_raw = np.asarray(self.tokenizer(texts))
-            anchors, best_probe = self.phase1(
-                frozen_text, state.text_params,
-                self._put(bucket_tokens(clean_raw)),
-                self._put(probe_tokens))
-            if cache is not None \
-                    and len(cache) < self.MAX_CACHED_ANCHORS:
-                for t, a in zip(texts, host_local_batch(anchors, self.mesh)):
-                    cache[t] = a
-        best_probe = host_local_batch(best_probe, self.mesh)  # the hard sync
-        best_pos = [int(positions[i][best_probe[i]]) for i in range(B)]
-
-        us = np.stack([rng.choice(len(self.vocab_list), size=n,
-                                  replace=(n > len(self.vocab_list)))
-                       for _ in range(B)])
-        cand_raw = self._cand_tokens(texts, best_pos, us)
-        if self.constraint is not None:
-            zs = np.repeat(np.asarray(best_pos, np.int32)[:, None], n, axis=1)
-            valid = self.constraint.valid_edits_batch(texts, zs,
-                                                      self.vocab[us])
-            cand_raw = _filter_tokens(cand_raw, clean_raw, valid)
-        cand_tokens = bucket_tokens(cand_raw)
-        state, best, metrics = self.phase2(state, self._put(cand_tokens),
-                                           anchors)
-        info = {"best_pos": best_pos, "best_char_idx": best, "us": us,
-                "metrics": metrics}
-        return state, info
-
-    def adv_sentences(self, texts, info):
-        """Reconstruct the winning adversarial strings (logging only)."""
-        from leaf_tpu.parallel.sharding import host_local_batch
-        best = host_local_batch(info["best_char_idx"], self.mesh)
+    def _apply_winners(self, texts, best_pos, us, best_idx):
+        """Apply each row's winning (position, char) edit on the host;
+        constraint-filtered winners resolve to the unchanged sentence
+        (their token rows were replaced by the clean tokens)."""
         out = []
         for i, S in enumerate(texts):
-            adv = edits.apply_edit(S, info["best_pos"][i],
-                                   int(info["us"][i][best[i]]),
+            adv = edits.apply_edit(S, best_pos[i],
+                                   int(us[i][best_idx[i]]),
                                    self.vocab_list, alternative=-1)
             if self.constraint is not None \
                     and not self.constraint.valid(S, adv)[0]:
-                adv = S  # filtered candidate == the original
+                adv = S
             out.append(adv)
         return out
+
+    def __call__(self, state: TrainState, frozen_text, texts,
+                 rng: np.random.Generator
+                 ) -> Tuple[TrainState, dict]:
+        from leaf_tpu.parallel.sharding import host_local_batch
+
+        B = len(texts)
+        n = self.rho
+        texts_cur = list(texts)
+        anchors = None
+
+        for r in range(self.k):
+            positions = np.stack([edits.sample_positions(len(S), n, rng=rng)
+                                  for S in texts_cur])
+            probe_raw = self._probe_tokens(texts_cur, positions)
+            clean_raw = None
+            if self.constraint is not None:
+                clean_raw = np.asarray(self.tokenizer(texts_cur))
+                space = np.full(positions.shape, ord(" "), np.int32)
+                valid = self.constraint.valid_edits_batch(
+                    texts_cur, positions, space)
+                probe_raw = _filter_tokens(probe_raw, clean_raw, valid)
+            probe_tokens = bucket_tokens(probe_raw)
+            cache = self.anchor_cache
+            if anchors is not None:
+                best_probe = self.phase1_cached(
+                    state.text_params, self._put(probe_tokens), anchors)
+            elif cache is not None and all(t in cache for t in texts_cur):
+                anchors = self._put(np.stack([cache[t] for t in texts_cur]))
+                best_probe = self.phase1_cached(
+                    state.text_params, self._put(probe_tokens), anchors)
+            else:
+                if clean_raw is None:
+                    clean_raw = np.asarray(self.tokenizer(texts_cur))
+                anchors, best_probe = self.phase1(
+                    frozen_text, state.text_params,
+                    self._put(bucket_tokens(clean_raw)),
+                    self._put(probe_tokens))
+                if cache is not None \
+                        and len(cache) < self.MAX_CACHED_ANCHORS:
+                    for t, a in zip(texts_cur,
+                                    host_local_batch(anchors, self.mesh)):
+                        cache[t] = a
+            best_probe = host_local_batch(best_probe, self.mesh)  # hard sync
+            best_pos = [int(positions[i][best_probe[i]]) for i in range(B)]
+
+            us = np.stack([rng.choice(len(self.vocab_list), size=n,
+                                      replace=(n > len(self.vocab_list)))
+                           for _ in range(B)])
+            cand_raw = self._cand_tokens(texts_cur, best_pos, us)
+            if self.constraint is not None:
+                zs = np.repeat(np.asarray(best_pos, np.int32)[:, None], n,
+                               axis=1)
+                valid = self.constraint.valid_edits_batch(texts_cur, zs,
+                                                          self.vocab[us])
+                cand_raw = _filter_tokens(cand_raw, clean_raw, valid)
+            cand_tokens = bucket_tokens(cand_raw)
+            if r < self.k - 1:
+                # intermediate round: pick the winner, edit on host
+                best = host_local_batch(
+                    self.phase1_cached(state.text_params,
+                                       self._put(cand_tokens), anchors),
+                    self.mesh)
+                texts_cur = self._apply_winners(texts_cur, best_pos, us,
+                                                best)
+            else:
+                state, best, metrics = self.phase2(
+                    state, self._put(cand_tokens), anchors)
+
+        info = {"best_pos": best_pos, "best_char_idx": best, "us": us,
+                "base_texts": texts_cur, "metrics": metrics}
+        return state, info
+
+    def adv_sentences(self, texts, info):
+        """Reconstruct the winning adversarial strings (logging only).
+        `texts` is the ORIGINAL batch; for k>1 the final round's base
+        strings are carried in `info`."""
+        from leaf_tpu.parallel.sharding import host_local_batch
+        best = host_local_batch(info["best_char_idx"], self.mesh)
+        return self._apply_winners(info.get("base_texts", texts),
+                                   info["best_pos"], info["us"], best)

@@ -129,3 +129,41 @@ def test_anchor_cache_is_exact(setup):
     for a, b in zip(jax.tree.leaves(outs[0][0].text_params),
                     jax.tree.leaves(outs[1][0].text_params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("constrained", [False, True])
+def test_fused_k2_equals_unfused(setup, constrained):
+    """k_adv=2 through the fused path: two edit rounds, train update
+    fused into the last — identical selection and update to the unfused
+    k=2 attack + train step."""
+    from leaf_tpu.attacks.constraint import WordConstraint
+
+    cfg, params, tok, tx = setup
+    rho = 6
+    frozen = jax.tree.map(jnp.copy, params["text"])
+    wc = WordConstraint() if constrained else None
+
+    scorer = CandidateScorer(cfg)
+    anchor_encode = make_anchor_encode(cfg)
+    train_step = make_train_step(cfg, tx, donate=False)
+    state_a = TrainState.create(jax.tree.map(jnp.copy, params["text"]), tx)
+    rng_a = np.random.default_rng(13)
+    clean = bucket_tokens(tok(TEXTS))
+    anchors = anchor_encode(frozen, clean)
+    _, adv_texts = attack_text_leaf(scorer, state_a.text_params, tok,
+                                    list(TEXTS), anchors, objective="l2",
+                                    n=rho, k=2, constraint=wc, rng=rng_a)
+    adv_tokens = bucket_tokens(tok(adv_texts))
+    state_a, metrics_a = train_step(state_a, adv_tokens, anchors)
+
+    state_b = TrainState.create(jax.tree.map(jnp.copy, params["text"]), tx)
+    fused = FusedLeafStep(cfg, tx, tok, rho=rho, constraint=wc, k=2)
+    rng_b = np.random.default_rng(13)
+    state_b, info = fused(state_b, frozen, list(TEXTS), rng_b)
+
+    assert fused.adv_sentences(list(TEXTS), info) == adv_texts
+    np.testing.assert_allclose(float(info["metrics"]["loss"]),
+                               float(metrics_a["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(state_a.text_params),
+                    jax.tree.leaves(state_b.text_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
