@@ -2,11 +2,19 @@
 
 Re-expression of the reference's `src/clip_benchmark/datasets/
 builder.py` (820 LoC of torchvision download wrappers) for an
-offline-first TPU host: every dataset resolves to one of four local
+offline-first TPU host: every dataset resolves to one of five local
 layouts —
 
+  * **torchvision-native** (named datasets: cifar10/100, mnist, svhn,
+    stl10, food101, dtd, pets, flowers, fgvc_aircraft, gtsrb, eurosat,
+    country211, renderedsst2, sun397, caltech101): the dataset's own
+    file format read directly (`tv_datasets.py`) — torchvision itself
+    is not required,
   * **imagefolder**: `root/<class_dir>/*.jpg` (torchvision
-    ImageFolder layout; class order = sorted dir names),
+    ImageFolder layout; class order = sorted dir names); WordNet-id
+    dirs map to imagenet1k classnames, incl. the ImageNet-A/R/O
+    200-class subsets, and numeric dirs (imagenetv2) are remapped to
+    the lexical folder order,
   * **wds**: `root/{split}/{split}-{0000..NNNN}.tar` webdataset shards
     with `cls` (classification) or `txt` (retrieval) members, plus an
     optional `root/classnames.txt` (the clip_benchmark
@@ -63,6 +71,37 @@ _CLASSNAME_ALIASES = {
     "imagenet-r": "imagenet1k",
     "imagenet-o": "imagenet1k",
 }
+
+
+@functools.lru_cache()
+def load_imagenet_wnids() -> Dict[str, List[str]]:
+    """WordNet-id tables: `all` = the 1000 imagenet1k wnids in class
+    order; `imagenet-a`/`-r`/`-o` = the 200-class subsets those
+    benchmarks cover (public constants from the Hendrycks ImageNet-A/R/O
+    releases; reference `datasets/builder.py:173,184,201,818`)."""
+    with open(os.path.join(ASSETS, "imagenet_wnids.json")) as f:
+        return json.load(f)
+
+
+def imagenet_wnid_classnames(folder_classes: Sequence[str],
+                             language: str = "en") -> Optional[List[str]]:
+    """Classnames for a WordNet-id folder layout (imagenet1k val,
+    imagenet_sketch, and the 200-class ImageNet-A/R/O subsets —
+    reference `builder.py:162-203` builds the classifier over the
+    masked classname list).  Returns None unless every class dir is a
+    known imagenet1k wnid; labels follow the folder's sorted-dir order,
+    so names are mapped per-dir (robust to partial subsets)."""
+    wnids = load_imagenet_wnids()
+    table = {}
+    if os.path.exists(os.path.join(ASSETS, f"{language}_classnames.json")):
+        table = load_language_classnames(language)
+    full = table.get("imagenet1k") \
+        or load_language_classnames("en")["imagenet1k"]
+    wnid2name = dict(zip(wnids["all"], full))
+    if not folder_classes \
+            or not all(c in wnid2name for c in folder_classes):
+        return None
+    return [wnid2name[c] for c in folder_classes]
 
 
 @functools.lru_cache()
@@ -272,6 +311,51 @@ class CaptionSelectionDataset:
             yield np.stack(images), caption_lists
 
 
+class TorchClassificationDataset:
+    """Batched iterator over a torchvision map-style classification
+    dataset (the reference consumes them through a torch DataLoader,
+    `builder.py:102-414`; here: host-side batching + prefetch, images
+    out as float32 NHWC)."""
+
+    def __init__(self, ds, preprocess, batch_size: int = 64,
+                 classes: Optional[List[str]] = None):
+        self.ds = ds
+        self.preprocess = preprocess
+        self.batch_size = batch_size
+        cls = classes if classes is not None else getattr(ds, "classes", [])
+        self.classes = [str(c).replace("_", " ") for c in cls]
+
+    def __len__(self):
+        return len(self.ds)
+
+    @property
+    def num_batches(self) -> int:
+        return -(-len(self.ds) // self.batch_size)
+
+    def __iter__(self):
+        import numpy as np
+
+        from leaf_tpu.data.common import Prefetcher
+
+        def batches():
+            n = len(self.ds)
+            for b in range(self.num_batches):
+                idx = range(b * self.batch_size,
+                            min((b + 1) * self.batch_size, n))
+                imgs, labels = [], []
+                for i in idx:
+                    img, label = self.ds[i]
+                    imgs.append(self.preprocess(img))
+                    labels.append(int(label))
+                yield np.stack(imgs), np.asarray(labels)
+
+        return iter(Prefetcher(batches()))
+
+
+def _numeric_class_order(classes: List[str]) -> bool:
+    return bool(classes) and all(c.isdigit() for c in classes)
+
+
 def build_dataset(name: str, root: str, preprocess, split: str = "test",
                   batch_size: int = 64, language: str = "en",
                   annotation_file: str = ""):
@@ -310,10 +394,34 @@ def build_dataset(name: str, root: str, preprocess, split: str = "test",
             base, language, fallback_classes=ds.classes or None)
         return ds, task, classnames, templates
 
+    from leaf_tpu.benchmark.tv_datasets import (NATIVE_DATASETS,
+                                                load_native_dataset)
+    if name in NATIVE_DATASETS:
+        nat = load_native_dataset(name, root, split)
+        ds = TorchClassificationDataset(nat, preprocess, batch_size)
+        classnames, templates = classnames_and_templates(
+            name, language, fallback_classes=ds.classes or None)
+        return ds, task, classnames, templates
+
     from leaf_tpu.data.imagenet import ImageFolderDataset
     sub = os.path.join(root, split)
     ds = ImageFolderDataset(sub if os.path.isdir(sub) else root, preprocess,
                             batch_size=batch_size)
+    if _numeric_class_order(ds.classes):
+        # imagenetv2-style layout: class dirs "0".."999"; sorted-dir
+        # label order is lexical, the classname table's is numeric
+        # (reference `datasets/imagenetv2.py`) — remap the classnames
+        # to the folder's label order
+        base_names, templates = classnames_and_templates(name, language)
+        classnames = [base_names[int(c)] for c in ds.classes]
+        return ds, task, classnames, templates
+    wnid_names = imagenet_wnid_classnames(ds.classes, language)
+    if wnid_names is not None and len(wnid_names) < 1000:
+        # wnid-dir layout covering a proper subset: the ImageNet-A/R/O
+        # 200-class benchmarks.  (A full 1000-dir layout falls through
+        # to the table path, which also handles babel languages.)
+        _, templates = classnames_and_templates("imagenet1k", language)
+        return ds, task, wnid_names, templates
     classnames, templates = classnames_and_templates(
         name, language, fallback_classes=ds.classes)
     key = _CLASSNAME_ALIASES.get(name, name)

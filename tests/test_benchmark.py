@@ -280,3 +280,127 @@ def test_reformat_subcommand(tmp_path):
     # dataset prefixes stripped, one column per dataset, acc1 in %
     assert "cifar10" in head and "flowers" in head and "wds/" not in head
     assert "81.0" in row and "62.0" in row
+
+
+def _write_fake_cifar10(root):
+    """Minimal valid cifar-10-batches-py layout (3 test images)."""
+    import pickle
+    rng = np.random.default_rng(0)
+    d = root / "cifar-10-batches-py"
+    d.mkdir(parents=True)
+    batch = {b"data": rng.integers(0, 255, (3, 3072), dtype=np.uint8),
+             b"labels": [0, 3, 7]}
+    with open(d / "test_batch", "wb") as f:
+        pickle.dump(batch, f)
+    with open(d / "data_batch_1", "wb") as f:
+        pickle.dump(batch, f)
+    meta = {b"label_names": [n.encode() for n in
+                             ("airplane automobile bird cat deer dog frog "
+                              "horse ship truck").split()]}
+    with open(d / "batches.meta", "wb") as f:
+        pickle.dump(meta, f)
+
+
+def test_torchvision_builder_cifar10(tmp_path):
+    from leaf_tpu.benchmark.builder import build_dataset
+    from leaf_tpu.models.preprocess import image_transform
+
+    _write_fake_cifar10(tmp_path)
+    pre = image_transform(32, do_normalize=False)
+    ds, task, classnames, templates = build_dataset(
+        "cifar10", str(tmp_path), pre, split="test", batch_size=2)
+    assert task == "zeroshot_classification"
+    assert classnames[0] == "airplane" and len(classnames) == 10
+    batches = list(ds)
+    imgs, labels = batches[0]
+    assert imgs.shape == (2, 32, 32, 3) and imgs.dtype == np.float32
+    assert list(labels) == [0, 3]
+    assert sum(len(l) for _, l in batches) == 3
+
+
+def test_torchvision_builder_missing_data_message(tmp_path):
+    from leaf_tpu.benchmark.builder import build_dataset
+    from leaf_tpu.models.preprocess import image_transform
+
+    with pytest.raises(FileNotFoundError, match="torchvision-native"):
+        build_dataset("food101", str(tmp_path),
+                      image_transform(32, do_normalize=False))
+
+
+def test_imagenet_a_subset_classnames(tmp_path):
+    from leaf_tpu.benchmark.builder import (build_dataset,
+                                            load_imagenet_wnids)
+    from leaf_tpu.models.preprocess import image_transform
+    from PIL import Image
+
+    wn = load_imagenet_wnids()
+    assert len(wn["all"]) == 1000 and len(wn["imagenet-a"]) == 200
+    # fake imagenet-a folder: 3 of the subset's wnid dirs
+    for wnid in wn["imagenet-a"][:3]:
+        d = tmp_path / wnid
+        d.mkdir(parents=True)
+        Image.new("RGB", (8, 8)).save(d / "x.jpg")
+    ds, task, classnames, templates = build_dataset(
+        "imagenet-a", str(tmp_path), image_transform(32, do_normalize=False),
+        batch_size=4)
+    assert len(classnames) == 3
+    # first subset wnid n01498041 is 'stingray' in imagenet1k
+    full = json.load(open("leaf_tpu/benchmark/assets/en_classnames.json"))
+    idx = wn["all"].index(wn["imagenet-a"][0])
+    assert classnames[0] == full["imagenet1k"][idx]
+
+
+def test_imagenetv2_numeric_dir_order(tmp_path):
+    from leaf_tpu.benchmark.builder import build_dataset
+    from leaf_tpu.models.preprocess import image_transform
+    from PIL import Image
+
+    # numeric dirs sort lexically: 0, 10, 2 — classnames must follow
+    for c in ("0", "2", "10"):
+        d = tmp_path / c
+        d.mkdir(parents=True)
+        Image.new("RGB", (8, 8)).save(d / "x.jpg")
+    ds, task, classnames, _ = build_dataset(
+        "imagenetv2", str(tmp_path), image_transform(32, do_normalize=False),
+        batch_size=4)
+    full = json.load(open(
+        "leaf_tpu/benchmark/assets/en_classnames.json"))["imagenet1k"]
+    assert ds.classes == ["0", "10", "2"]       # lexical folder order
+    assert classnames == [full[0], full[10], full[2]]
+
+
+def test_native_mnist_builder(tmp_path):
+    import gzip
+    import struct
+
+    from leaf_tpu.benchmark.builder import build_dataset
+    from leaf_tpu.models.preprocess import image_transform
+
+    rng = np.random.default_rng(0)
+    d = tmp_path / "MNIST" / "raw"
+    d.mkdir(parents=True)
+    imgs = rng.integers(0, 255, (4, 28, 28), dtype=np.uint8)
+    labels = np.array([1, 0, 7, 7], np.uint8)
+    with gzip.open(d / "t10k-images-idx3-ubyte.gz", "wb") as f:
+        f.write(struct.pack(">I", 0x00000803) + struct.pack(">III", 4, 28, 28)
+                + imgs.tobytes())
+    with gzip.open(d / "t10k-labels-idx1-ubyte.gz", "wb") as f:
+        f.write(struct.pack(">I", 0x00000801) + struct.pack(">I", 4)
+                + labels.tobytes())
+    ds, task, classnames, _ = build_dataset(
+        "mnist", str(tmp_path), image_transform(28, do_normalize=False),
+        batch_size=3)
+    assert len(classnames) == 10
+    batches = list(ds)
+    assert batches[0][0].shape == (3, 28, 28, 3)
+    assert list(batches[0][1]) == [1, 0, 7] and list(batches[1][1]) == [7]
+
+
+def test_native_registry_breadth():
+    from leaf_tpu.benchmark.tv_datasets import NATIVE_DATASETS
+
+    expected = {"cifar10", "cifar100", "mnist", "svhn", "stl10", "food101",
+                "dtd", "pets", "flowers", "fgvc_aircraft", "gtsrb",
+                "eurosat", "country211", "renderedsst2", "sun397",
+                "caltech101"}
+    assert expected <= set(NATIVE_DATASETS)
