@@ -346,10 +346,49 @@ class TorchClassificationDataset:
                 for i in idx:
                     img, label = self.ds[i]
                     imgs.append(self.preprocess(img))
-                    labels.append(int(label))
+                    # int for single-label, a 0/1 vector for multilabel
+                    labels.append(label)
                 yield np.stack(imgs), np.asarray(labels)
 
         return iter(Prefetcher(batches()))
+
+
+def build_objectnet(root: str):
+    """ObjectNet restricted to its ImageNet-overlapping classes
+    (reference `datasets/objectnet.py`, adapted from wise-ft): the
+    mapping JSONs ship WITH the dataset (`root/mappings/` or `root/`);
+    classnames are the lowercased ObjectNet label names, samples are
+    the image-folder dirs that map to an ImageNet class."""
+    from leaf_tpu.benchmark.tv_datasets import NativeDataset
+    from leaf_tpu.data.imagenet import list_image_folder
+
+    def load_mapping(fn):
+        for d in (root, os.path.join(root, "mappings"),
+                  os.path.join(root, "objectnet-1.0", "mappings")):
+            path = os.path.join(d, fn)
+            if os.path.exists(path):
+                with open(path) as f:
+                    return json.load(f)
+        raise FileNotFoundError(
+            f"objectnet: mapping file {fn!r} not found under {root!r} "
+            "(ships with the dataset)")
+
+    folder_to_label = load_mapping("folder_to_objectnet_label.json")
+    overlap = load_mapping("objectnet_to_imagenet_1k.json")
+    label_to_folder = {v: k for k, v in folder_to_label.items()}
+    folders = sorted(label_to_folder[name] for name in overlap)
+    classes = [folder_to_label[f].lower() for f in folders]
+    label_map = {f: i for i, f in enumerate(folders)}
+
+    img_root = os.path.join(root, "objectnet-1.0", "images")
+    if not os.path.isdir(img_root):
+        img_root = os.path.join(root, "images") \
+            if os.path.isdir(os.path.join(root, "images")) else root
+    paths, labels, dir_classes = list_image_folder(img_root)
+    samples = [(p, label_map[dir_classes[l]])
+               for p, l in zip(paths, labels)
+               if dir_classes[l] in label_map]
+    return NativeDataset(samples, classes)
 
 
 def _numeric_class_order(classes: List[str]) -> bool:
@@ -402,6 +441,25 @@ def build_dataset(name: str, root: str, preprocess, split: str = "test",
         classnames, templates = classnames_and_templates(
             name, language, fallback_classes=ds.classes or None)
         return ds, task, classnames, templates
+
+    if name in ("voc2007", "voc2007_multilabel"):
+        from leaf_tpu.benchmark.voc2007 import (Voc2007Cropped,
+                                                Voc2007Multilabel)
+        cls = Voc2007Multilabel if name.endswith("multilabel") \
+            else Voc2007Cropped
+        nat = cls(root, "train" if split == "train" else "test")
+        ds = TorchClassificationDataset(nat, preprocess, batch_size)
+        classnames, templates = classnames_and_templates(
+            "voc2007", language, fallback_classes=ds.classes)
+        return ds, task, classnames, templates
+
+    if name == "objectnet":
+        nat = build_objectnet(root)
+        ds = TorchClassificationDataset(nat, preprocess, batch_size,
+                                        classes=nat.classes)
+        templates = classnames_and_templates(
+            "imagenet1k", language)[1]
+        return ds, task, ds.classes, templates
 
     from leaf_tpu.data.imagenet import ImageFolderDataset
     sub = os.path.join(root, split)

@@ -64,6 +64,24 @@ def _apgd_attack_batch(params, cfg: CLIPConfig, classifier, images, labels,
     return best, fooled
 
 
+def average_precision_per_class(scores: np.ndarray,
+                                targets: np.ndarray) -> np.ndarray:
+    """Per-class average precision for multilabel classification
+    (reference `zeroshot_classification.py:182-231`): for each class,
+    rank samples by score and average precision@i over the positives."""
+    N, C = scores.shape
+    rank = np.arange(1, N + 1, dtype=np.float64)
+    ap = np.zeros(C)
+    for c in range(C):
+        order = np.argsort(-scores[:, c], kind="stable")
+        truth = targets[order, c] > 0
+        if not truth.any():
+            continue
+        precision = np.cumsum(truth) / rank
+        ap[c] = precision[truth].mean()
+    return ap
+
+
 def evaluate_zeroshot_classification(
     params,
     cfg: CLIPConfig,
@@ -86,10 +104,18 @@ def evaluate_zeroshot_classification(
     robust1 = 0
     per_class_correct = np.zeros(n_cls)
     per_class_count = np.zeros(n_cls)
+    ml_logits, ml_targets = [], []
     for images, labels in loader:
         images = jnp.asarray(images)
         labels_np = np.asarray(labels)
         logits = np.asarray(logits_fn(images))
+        if labels_np.ndim == 2:
+            # multilabel targets (voc2007_multilabel): mAP at the end
+            # (reference `zeroshot_classification.py:275-285`)
+            ml_logits.append(logits)
+            ml_targets.append(labels_np)
+            n += len(labels_np)
+            continue
         rank = (-logits).argsort(-1)
         correct1 = rank[:, 0] == labels_np
         top1 += correct1.sum()
@@ -102,6 +128,11 @@ def evaluate_zeroshot_classification(
                 eps, n_iter=n_iter)
             robust1 += int((~np.asarray(fooled) & correct1).sum())
         n += len(labels_np)
+
+    if ml_logits:
+        ap = average_precision_per_class(np.concatenate(ml_logits),
+                                         np.concatenate(ml_targets))
+        return {"mean_average_precision": float(ap.mean()), "n": n}
 
     seen = per_class_count > 0
     out = {

@@ -404,3 +404,104 @@ def test_native_registry_breadth():
                 "eurosat", "country211", "renderedsst2", "sun397",
                 "caltech101"}
     assert expected <= set(NATIVE_DATASETS)
+
+
+def _write_fake_voc(root, ids_objects):
+    """ids_objects: {image_id: [(category, box), ...]}"""
+    from PIL import Image
+    d = root / "VOCdevkit" / "VOC2007"
+    (d / "JPEGImages").mkdir(parents=True)
+    (d / "Annotations").mkdir()
+    (d / "ImageSets" / "Main").mkdir(parents=True)
+    with open(d / "ImageSets" / "Main" / "test.txt", "w") as f:
+        f.write("\n".join(ids_objects) + "\n")
+    for image_id, objs in ids_objects.items():
+        Image.new("RGB", (64, 64)).save(d / "JPEGImages" / f"{image_id}.jpg")
+        parts = "".join(
+            f"<object><name>{c}</name><bndbox><xmin>{b[0]}</xmin>"
+            f"<ymin>{b[1]}</ymin><xmax>{b[2]}</xmax><ymax>{b[3]}</ymax>"
+            f"</bndbox></object>" for c, b in objs)
+        (d / "Annotations" / f"{image_id}.xml").write_text(
+            f"<annotation>{parts}</annotation>")
+
+
+def test_voc2007_builders(tmp_path):
+    from leaf_tpu.benchmark.builder import build_dataset
+    from leaf_tpu.models.preprocess import image_transform
+
+    _write_fake_voc(tmp_path, {
+        "000001": [("dog", (1, 1, 32, 32)), ("person", (10, 10, 50, 50))],
+        "000002": [("cat", (2, 2, 40, 40))],
+    })
+    pre = image_transform(32, do_normalize=False)
+    # cropped single-label variant: one sample per bounding box
+    ds, task, classnames, _ = build_dataset("voc2007", str(tmp_path), pre,
+                                            batch_size=4)
+    assert task == "zeroshot_classification"
+    assert classnames[:2] == ["aeroplane", "bicycle"]
+    imgs, labels = next(iter(ds))
+    assert imgs.shape[0] == 3
+    assert sorted(labels.tolist()) == [7, 11, 14]   # cat, dog, person
+
+    # multilabel variant: one sample per image, 0/1 vector targets
+    ds, _, _, _ = build_dataset("voc2007_multilabel", str(tmp_path), pre,
+                                batch_size=4)
+    imgs, targets = next(iter(ds))
+    assert targets.shape == (2, 20)
+    assert targets[0, 11] == 1 and targets[0, 14] == 1 and targets[0, 7] == 0
+    assert targets[1, 7] == 1 and targets[1].sum() == 1
+
+
+def test_average_precision_per_class():
+    from leaf_tpu.benchmark.zeroshot_classification import (
+        average_precision_per_class)
+
+    scores = np.array([[0.9, 0.1], [0.8, 0.4], [0.1, 0.3], [0.2, 0.2]])
+    targets = np.array([[1, 0], [0, 1], [1, 0], [0, 0]])
+    ap = average_precision_per_class(scores, targets)
+    # class 0: positives ranked 1 and 4 -> (1/1 + 2/4)/2
+    assert ap[0] == pytest.approx(0.75)
+    # class 1: positive ranked 1 -> 1.0
+    assert ap[1] == pytest.approx(1.0)
+
+
+def test_multilabel_eval_reports_map(tmp_path):
+    from leaf_tpu.benchmark.builder import build_dataset
+    from leaf_tpu.benchmark import evaluate_zeroshot_classification
+    from leaf_tpu.models import create_model, get_tokenizer
+    from leaf_tpu.models.preprocess import image_transform
+
+    _write_fake_voc(tmp_path, {"000001": [("dog", (1, 1, 32, 32))]})
+    model = create_model("ViT-tiny-test")
+    pre = image_transform(model.cfg.vision.image_size, do_normalize=False)
+    ds, task, classnames, templates = build_dataset(
+        "voc2007_multilabel", str(tmp_path), pre, batch_size=2)
+    m = evaluate_zeroshot_classification(
+        model.params, model.cfg, get_tokenizer(), ds, classnames, templates)
+    assert "mean_average_precision" in m and 0.0 <= m[
+        "mean_average_precision"] <= 1.0
+
+
+def test_objectnet_builder(tmp_path):
+    import json as _json
+    from PIL import Image
+    from leaf_tpu.benchmark.builder import build_dataset
+    from leaf_tpu.models.preprocess import image_transform
+
+    (tmp_path / "mappings").mkdir()
+    (tmp_path / "mappings" / "folder_to_objectnet_label.json").write_text(
+        _json.dumps({"chair_dir": "Chair", "banana_dir": "Banana",
+                     "weird_dir": "Weird Thing"}))
+    (tmp_path / "mappings" / "objectnet_to_imagenet_1k.json").write_text(
+        _json.dumps({"Chair": "folding chair", "Banana": "banana"}))
+    img_root = tmp_path / "objectnet-1.0" / "images"
+    for d in ("chair_dir", "banana_dir", "weird_dir"):
+        (img_root / d).mkdir(parents=True)
+        Image.new("RGB", (8, 8)).save(img_root / d / "x.png")
+    ds, task, classnames, _ = build_dataset(
+        "objectnet", str(tmp_path),
+        image_transform(32, do_normalize=False), batch_size=4)
+    # only the imagenet-overlapping classes survive; names lowercased
+    assert classnames == ["banana", "chair"]
+    imgs, labels = next(iter(ds))
+    assert len(labels) == 2 and sorted(labels.tolist()) == [0, 1]
