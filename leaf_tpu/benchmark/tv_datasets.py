@@ -272,6 +272,47 @@ def _gtsrb(root: str, split: str) -> NativeDataset:
     return NativeDataset(samples, classes)
 
 
+def _pcam(root: str, split: str) -> NativeDataset:
+    """PatchCamelyon h5 pairs (`camelyonpatch_level_2_split_<s>_{x,y}.h5`)."""
+    import h5py
+
+    d = os.path.join(root, "pcam")
+    if not os.path.isdir(d):
+        d = root
+    xs = os.path.join(d, f"camelyonpatch_level_2_split_{split}_x.h5")
+    ys = os.path.join(d, f"camelyonpatch_level_2_split_{split}_y.h5")
+    if not os.path.exists(xs):
+        _missing("pcam", xs)
+    with h5py.File(xs) as f:
+        imgs = np.asarray(f["x"])
+    with h5py.File(ys) as f:
+        labels = np.asarray(f["y"]).ravel().astype(int)
+    classes = ["lymph node", "lymph node containing metastatic tumor tissue"]
+    return NativeDataset(list(zip(imgs, labels.tolist())), classes)
+
+
+def _fer2013(root: str, split: str) -> NativeDataset:
+    """FER-2013 csv (48×48 grayscale pixels as a space-separated str)."""
+    import csv
+
+    d = os.path.join(root, "fer2013")
+    if not os.path.isdir(d):
+        d = root
+    path = os.path.join(d, f"{'train' if split == 'train' else 'test'}.csv")
+    if not os.path.exists(path):
+        _missing("fer2013", path)
+    samples = []
+    with open(path, newline="") as f:
+        reader = csv.DictReader(f)
+        for row in reader:
+            img = np.asarray(row["pixels"].split(), np.uint8)
+            img = np.repeat(img.reshape(48, 48, 1), 3, axis=-1)
+            samples.append((img, int(row.get("emotion", 0))))
+    classes = ["angry", "disgust", "fear", "happy", "sad", "surprise",
+               "neutral"]
+    return NativeDataset(samples, classes)
+
+
 def _imagefolder_like(name: str, subdir: str = ""):
     """Datasets whose native layout is (a subdir of) an image folder
     (EuroSAT, Country211, RenderedSST2, SUN397, Caltech101)."""
@@ -305,6 +346,8 @@ NATIVE_DATASETS = {
     "flowers": _flowers102,
     "fgvc_aircraft": _fgvc_aircraft,
     "gtsrb": _gtsrb,
+    "pcam": _pcam,
+    "fer2013": _fer2013,
     "eurosat": _imagefolder_like("eurosat", "2750"),
     "country211": _imagefolder_like("country211", "country211"),
     "renderedsst2": _imagefolder_like("renderedsst2", "rendered-sst2"),

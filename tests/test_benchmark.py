@@ -505,3 +505,33 @@ def test_objectnet_builder(tmp_path):
     assert classnames == ["banana", "chair"]
     imgs, labels = next(iter(ds))
     assert len(labels) == 2 and sorted(labels.tolist()) == [0, 1]
+
+
+def test_native_pcam_and_fer2013(tmp_path):
+    import h5py
+    from leaf_tpu.benchmark.builder import build_dataset
+    from leaf_tpu.models.preprocess import image_transform
+
+    rng = np.random.default_rng(0)
+    with h5py.File(tmp_path / "camelyonpatch_level_2_split_test_x.h5",
+                   "w") as f:
+        f["x"] = rng.integers(0, 255, (3, 96, 96, 3), dtype=np.uint8)
+    with h5py.File(tmp_path / "camelyonpatch_level_2_split_test_y.h5",
+                   "w") as f:
+        f["y"] = np.array([0, 1, 1], np.uint8).reshape(3, 1, 1, 1)
+    pre = image_transform(32, do_normalize=False)
+    ds, _, classnames, _ = build_dataset("pcam", str(tmp_path), pre,
+                                         batch_size=4)
+    imgs, labels = next(iter(ds))
+    assert imgs.shape == (3, 32, 32, 3) and list(labels) == [0, 1, 1]
+    assert len(classnames) == 2
+
+    fer = tmp_path / "fer2013"
+    fer.mkdir()
+    px = " ".join(["128"] * (48 * 48))
+    (fer / "test.csv").write_text(f"emotion,pixels\n3,{px}\n0,{px}\n")
+    ds, _, classnames, _ = build_dataset("fer2013", str(tmp_path), pre,
+                                         batch_size=4)
+    imgs, labels = next(iter(ds))
+    assert imgs.shape == (2, 32, 32, 3) and list(labels) == [3, 0]
+    assert classnames[3] == "happy"
