@@ -388,7 +388,16 @@ def build_objectnet(root: str):
     samples = [(p, label_map[dir_classes[l]])
                for p, l in zip(paths, labels)
                if dir_classes[l] in label_map]
-    return NativeDataset(samples, classes)
+
+    def loader(path):
+        # every ObjectNet image has a ~2px red frame; the reference
+        # (wise-ft adaptation) crops it before preprocessing
+        from PIL import Image
+        img = Image.open(path).convert("RGB")
+        w, h = img.size
+        return img.crop((2, 2, w - 2, h - 2))
+
+    return NativeDataset(samples, classes, loader=loader)
 
 
 def _numeric_class_order(classes: List[str]) -> bool:
@@ -465,7 +474,8 @@ def build_dataset(name: str, root: str, preprocess, split: str = "test",
     sub = os.path.join(root, split)
     ds = ImageFolderDataset(sub if os.path.isdir(sub) else root, preprocess,
                             batch_size=batch_size)
-    if _numeric_class_order(ds.classes):
+    if _numeric_class_order(ds.classes) \
+            and _CLASSNAME_ALIASES.get(name) == "imagenet1k":
         # imagenetv2-style layout: class dirs "0".."999"; sorted-dir
         # label order is lexical, the classname table's is numeric
         # (reference `datasets/imagenetv2.py`) — remap the classnames

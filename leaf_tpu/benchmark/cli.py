@@ -55,9 +55,9 @@ def _expand_datasets(specs: List[str]) -> List[str]:
     return out
 
 
-def run_one(args, dataset_name: str, model_name: str,
-            pretrained: str) -> dict:
-    from leaf_tpu.benchmark.builder import build_dataset
+def _load_model(args, model_name: str, pretrained: str):
+    """Create (params, cfg, tokenizer, preprocess) once per model —
+    shared across every dataset of an eval run."""
     from leaf_tpu.models import create_model, get_tokenizer
     from leaf_tpu.models.preprocess import image_transform
 
@@ -73,6 +73,16 @@ def run_one(args, dataset_name: str, model_name: str,
         params = _interpolate(params, other, args.beta)
     tokenizer = get_tokenizer(model_name)
     preprocess = image_transform(cfg.vision.image_size, do_normalize=False)
+    return params, cfg, tokenizer, preprocess
+
+
+def run_one(args, dataset_name: str, model_name: str, pretrained: str,
+            loaded=None) -> dict:
+    from leaf_tpu.benchmark.builder import build_dataset
+
+    params, cfg, tokenizer, preprocess = \
+        loaded if loaded is not None \
+        else _load_model(args, model_name, pretrained)
 
     task = args.task
     ds, default_task, classnames, templates = build_dataset(
@@ -149,9 +159,20 @@ def run_one(args, dataset_name: str, model_name: str,
 def run_eval(args) -> List[dict]:
     from leaf_tpu.benchmark.model_collection import expand_models
     models = expand_models(args.model, args.pretrained)
-    return [run_one(args, name, m, p)
-            for (m, p) in models
-            for name in _expand_datasets(args.dataset)]
+    if len(models) > 1 and args.output and "{model}" not in args.output \
+            and "{pretrained}" not in args.output:
+        # without a model placeholder every model would overwrite the
+        # same result file
+        head, tail = os.path.split(args.output)
+        args.output = os.path.join(head, "{model}_{pretrained}_" + tail)
+        LOG.warning("multiple models with a model-less --output template; "
+                    "using %s", args.output)
+    out = []
+    for (m, p) in models:
+        loaded = _load_model(args, m, p)
+        out.extend(run_one(args, name, m, p, loaded=loaded)
+                   for name in _expand_datasets(args.dataset))
+    return out
 
 
 def run_build(args):

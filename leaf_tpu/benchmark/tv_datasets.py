@@ -273,22 +273,29 @@ def _gtsrb(root: str, split: str) -> NativeDataset:
 
 
 def _pcam(root: str, split: str) -> NativeDataset:
-    """PatchCamelyon h5 pairs (`camelyonpatch_level_2_split_<s>_{x,y}.h5`)."""
+    """PatchCamelyon h5 pairs (`camelyonpatch_level_2_split_<s>_{x,y}.h5`).
+    Images are read lazily per index (the train split's X is ~7 GB)."""
     import h5py
 
     d = os.path.join(root, "pcam")
     if not os.path.isdir(d):
         d = root
-    xs = os.path.join(d, f"camelyonpatch_level_2_split_{split}_x.h5")
-    ys = os.path.join(d, f"camelyonpatch_level_2_split_{split}_y.h5")
+    s = {"val": "valid"}.get(split, split)
+    xs = os.path.join(d, f"camelyonpatch_level_2_split_{s}_x.h5")
+    ys = os.path.join(d, f"camelyonpatch_level_2_split_{s}_y.h5")
     if not os.path.exists(xs):
         _missing("pcam", xs)
-    with h5py.File(xs) as f:
-        imgs = np.asarray(f["x"])
     with h5py.File(ys) as f:
         labels = np.asarray(f["y"]).ravel().astype(int)
+    x = h5py.File(xs)["x"]          # kept open; closed with the process
     classes = ["lymph node", "lymph node containing metastatic tumor tissue"]
-    return NativeDataset(list(zip(imgs, labels.tolist())), classes)
+
+    def loader(i):
+        from PIL import Image
+        return Image.fromarray(np.asarray(x[int(i)]))
+
+    return NativeDataset(list(zip(range(len(labels)), labels.tolist())),
+                         classes, loader=loader)
 
 
 def _fer2013(root: str, split: str) -> NativeDataset:
@@ -304,12 +311,41 @@ def _fer2013(root: str, split: str) -> NativeDataset:
     samples = []
     with open(path, newline="") as f:
         reader = csv.DictReader(f)
+        if reader.fieldnames is None or "emotion" not in reader.fieldnames:
+            raise ValueError(
+                "fer2013: csv has no 'emotion' column — the Kaggle "
+                "unlabeled test split cannot be evaluated; use the "
+                "labeled csv (icml face data) instead")
         for row in reader:
             img = np.asarray(row["pixels"].split(), np.uint8)
             img = np.repeat(img.reshape(48, 48, 1), 3, axis=-1)
-            samples.append((img, int(row.get("emotion", 0))))
+            samples.append((img, int(row["emotion"])))
     classes = ["angry", "disgust", "fear", "happy", "sad", "surprise",
                "neutral"]
+    return NativeDataset(samples, classes)
+
+
+def _sun397(root: str) -> NativeDataset:
+    """SUN397: images at SUN397/<letter>/<class...>/sun_*.jpg (classes
+    listed in ClassName.txt, possibly nested, e.g. /t/tent/outdoor)."""
+    d = os.path.join(root, "SUN397")
+    if not os.path.isdir(d):
+        d = root
+    listing = os.path.join(d, "ClassName.txt")
+    if not os.path.exists(listing):
+        _missing("sun397", listing)
+    with open(listing) as f:
+        rels = [l.strip() for l in f if l.strip()]
+    classes = [" ".join(r.lstrip("/").split("/")[1:]).replace("_", " ")
+               for r in rels]
+    samples = []
+    for ci, rel in enumerate(rels):
+        cdir = os.path.join(d, rel.lstrip("/"))
+        if not os.path.isdir(cdir):
+            continue
+        samples.extend(
+            (os.path.join(cdir, fn), ci) for fn in sorted(os.listdir(cdir))
+            if fn.lower().endswith((".jpg", ".jpeg", ".png")))
     return NativeDataset(samples, classes)
 
 
@@ -351,7 +387,7 @@ NATIVE_DATASETS = {
     "eurosat": _imagefolder_like("eurosat", "2750"),
     "country211": _imagefolder_like("country211", "country211"),
     "renderedsst2": _imagefolder_like("renderedsst2", "rendered-sst2"),
-    "sun397": _imagefolder_like("sun397", "SUN397"),
+    "sun397": lambda r, s: _sun397(r),
     "caltech101": _imagefolder_like(
         "caltech101", os.path.join("caltech101", "101_ObjectCategories")),
 }

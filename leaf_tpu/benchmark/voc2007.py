@@ -47,8 +47,8 @@ def read_split(root: str, split: str) -> List[str]:
 
 
 def read_objects(root: str, image_id: str
-                 ) -> List[Tuple[int, Tuple[int, int, int, int]]]:
-    """[(category index, (left, top, right, bottom)), ...]."""
+                 ) -> List[Tuple[int, Tuple[int, int, int, int], bool]]:
+    """[(category index, (left, top, right, bottom), difficult), ...]."""
     d = _voc_dir(root)
     xml = ET.parse(os.path.join(d, "Annotations", image_id + ".xml"))
     out = []
@@ -57,7 +57,8 @@ def read_objects(root: str, image_id: str
         bb = obj.find("bndbox")
         box = tuple(int(float(bb.find(k).text))
                     for k in ("xmin", "ymin", "xmax", "ymax"))
-        out.append((c, box))
+        diff = obj.find("difficult")
+        out.append((c, box, diff is not None and diff.text.strip() == "1"))
     return out
 
 
@@ -70,7 +71,7 @@ class Voc2007Cropped:
         self.classes = list(OBJECT_CATEGORIES)
         self.samples = []
         for image_id in read_split(root, split):
-            for label, box in read_objects(root, image_id):
+            for label, box, _ in read_objects(root, image_id):
                 self.samples.append((image_id, box, label))
 
     def __len__(self):
@@ -94,8 +95,12 @@ class Voc2007Multilabel:
         self.samples = []
         for image_id in read_split(root, split):
             target = np.zeros(len(OBJECT_CATEGORIES), np.float32)
-            for label, _ in read_objects(root, image_id):
-                target[label] = 1.0
+            for label, _, difficult in read_objects(root, image_id):
+                # `difficult` objects are neither positive nor negative
+                # in the reference's CSV encoding — excluded from mAP
+                # positives (reference voc2007.py write_object_labels_csv)
+                if not difficult:
+                    target[label] = 1.0
             self.samples.append((image_id, target))
 
     def __len__(self):

@@ -112,6 +112,11 @@ def evaluate_zeroshot_classification(
         if labels_np.ndim == 2:
             # multilabel targets (voc2007_multilabel): mAP at the end
             # (reference `zeroshot_classification.py:275-285`)
+            if attack:
+                raise ValueError(
+                    "adversarial evaluation is not defined for "
+                    "multilabel datasets (the APGD cascade needs a "
+                    "single ground-truth class)")
             ml_logits.append(logits)
             ml_targets.append(labels_np)
             n += len(labels_np)

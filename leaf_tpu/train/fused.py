@@ -137,8 +137,9 @@ def _filter_tokens(tokens: np.ndarray, clean: np.ndarray,
 
 
 class FusedLeafStep:
-    """Orchestrates the 2-dispatch fused step; falls back on callers for
-    k>1 / charmer / constrained configurations."""
+    """Orchestrates the fused step (2 dispatches per edit round):
+    covers k >= 1 and the constrained recipe; only the per-sentence
+    charmer configuration falls back to the unfused path."""
 
     # anchor cache size guard: 1M captions × 768 bf16 ≈ 1.5 GB host RAM
     MAX_CACHED_ANCHORS = 1_000_000
