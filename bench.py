@@ -85,8 +85,14 @@ def main():
 
         def gen():
             while True:
+                got = 0
                 for _, batch_texts in info.loader:
+                    got += 1
                     yield list(batch_texts)
+                if not got:
+                    raise RuntimeError(
+                        f"BENCH_TARS={os.environ['BENCH_TARS']!r} yielded "
+                        "no batches — empty/mismatched shards?")
         batch_iter = gen()
 
     def one_step(state, step_rng):

@@ -24,8 +24,10 @@ from leaf_tpu.models.config import CLIPConfig
 def extract_features(params, cfg: CLIPConfig, loader) -> Tuple[np.ndarray,
                                                                np.ndarray]:
     feats, labels = [], []
-    enc = jax.jit(lambda im: lclip.encode_image_model(
-        params, cfg, _normalize_images(im)))
+    enc_jit = jax.jit(
+        lambda p, im: lclip.encode_image_model(p, cfg,
+                                               _normalize_images(im)))
+    enc = lambda im: enc_jit(params, im)  # params as arg, not constant
     for images, lab in loader:
         feats.append(np.asarray(enc(jnp.asarray(images))))
         labels.append(np.asarray(lab))

@@ -35,29 +35,54 @@ def _logits_fn(params, cfg: CLIPConfig, classifier):
     return f
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("cfg", "n_iter", "n_targets", "norm"))
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _logits_jit(params, cfg: CLIPConfig, classifier, images):
+    """Zero-shot logits with params/classifier as ARGUMENTS — never
+    close large arrays into a jitted callable: they become inline
+    module constants (~100s of MB for a full tower), which wastes
+    compile-cache space and overflows compile-RPC limits on tunneled
+    devices (HTTP 413)."""
+    return _logits_fn(params, cfg, classifier)(images)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_iter", "norm"))
+def _apgd_ce(params, cfg: CLIPConfig, classifier, images, labels, eps,
+             n_iter: int, norm: str):
+    logits_fn = _logits_fn(params, cfg, classifier)
+    adv = apgd(ce_loss_fn(logits_fn, labels), images, norm=norm, eps=eps,
+               n_iter=n_iter)
+    fooled = jnp.argmax(logits_fn(adv), -1) != labels
+    return adv, fooled, jnp.argsort(-logits_fn(images), axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_iter", "norm"))
+def _apgd_targeted(params, cfg: CLIPConfig, classifier, images, labels,
+                   target, eps, n_iter: int, norm: str):
+    logits_fn = _logits_fn(params, cfg, classifier)
+    adv = apgd(dlr_targeted_loss_fn(logits_fn, labels, target), images,
+               norm=norm, eps=eps, n_iter=n_iter)
+    return adv, jnp.argmax(logits_fn(adv), -1) != labels
+
+
 def _apgd_attack_batch(params, cfg: CLIPConfig, classifier, images, labels,
                        eps, n_iter: int = 100, n_targets: int = 3,
                        norm: str = "linf"):
     """AutoAttack-style cascade: APGD-CE, then targeted APGD-DLR
     against the top-k wrong classes; keeps the first fooling point.
-    `norm` ∈ {linf, l2, l1} — the reference AutoAttack presets."""
-    logits_fn = _logits_fn(params, cfg, classifier)
+    `norm` ∈ {linf, l2, l1} — the reference AutoAttack presets.
 
-    def run(loss_fn):
-        return apgd(loss_fn, images, norm=norm, eps=eps, n_iter=n_iter)
-
-    adv = run(ce_loss_fn(logits_fn, labels))
-    fooled = jnp.argmax(logits_fn(adv), -1) != labels
+    The cascade runs as one CE program plus one targeted program reused
+    per target (the target class is data, not a constant) — a single
+    fully-inlined cascade compiles a 4×-tower-backward module that can
+    exceed compile-RPC limits on tunneled devices, for zero runtime
+    benefit on an eval path."""
+    adv, fooled, ranked = _apgd_ce(params, cfg, classifier, images, labels,
+                                   eps, n_iter, norm)
     best = jnp.where(fooled.reshape(-1, 1, 1, 1), adv, images)
-
-    clean_logits = logits_fn(images)
-    ranked = jnp.argsort(-clean_logits, axis=-1)
     for t in range(1, n_targets + 1):
-        target = ranked[:, t]
-        adv_t = run(dlr_targeted_loss_fn(logits_fn, labels, target))
-        fooled_t = jnp.argmax(logits_fn(adv_t), -1) != labels
+        adv_t, fooled_t = _apgd_targeted(params, cfg, classifier, images,
+                                         labels, ranked[:, t], eps, n_iter,
+                                         norm)
         take = fooled_t & ~fooled
         best = jnp.where(take.reshape(-1, 1, 1, 1), adv_t, best)
         fooled = fooled | fooled_t
@@ -97,7 +122,7 @@ def evaluate_zeroshot_classification(
         lambda t: lclip.encode_text(params["text"], cfg.text,
                                     jnp.asarray(t), cfg.quick_gelu),
         tokenizer, classnames, templates, num_classes_per_batch=10)
-    logits_fn = jax.jit(_logits_fn(params, cfg, classifier))
+    logits_fn = lambda im: _logits_jit(params, cfg, classifier, im)  # noqa: E731
 
     n_cls = len(classnames)
     top1 = top5 = n = 0

@@ -110,7 +110,10 @@ def decode_sample(sample: dict, preprocess: Optional[Callable],
         if ext in sample:
             img_bytes = sample[ext]
             break
-    if img_bytes is None:
+    if img_bytes is None and not text_only:
+        # reference filter_no_caption_or_no_image (`data_AT.py:279-282`)
+        # requires both; text-only training also accepts caption-only
+        # tars (no image member at all)
         return None
     try:
         text = sample["txt"].decode("utf-8")

@@ -14,6 +14,7 @@ instability); the feature extractor is pluggable:
 """
 from __future__ import annotations
 
+import functools
 import logging
 from typing import Callable, Optional, Tuple
 
@@ -62,11 +63,14 @@ def make_clip_feature_fn(params, cfg, batch_size: int = 64) -> Callable:
     from leaf_tpu.attacks.image import _normalize_images
     from leaf_tpu.models import clip as lclip
 
-    @jax.jit
-    def enc(images):
+    @functools.partial(jax.jit, static_argnames=("cfg",))
+    def enc_jit(params, cfg, images):
+        # params as an argument, not a baked-in module constant
         return lclip.encode_image_model(params, cfg,
                                         _normalize_images(images),
                                         normalize=False)
+
+    enc = lambda images: enc_jit(params, cfg, images)  # noqa: E731
 
     def features(images: np.ndarray) -> np.ndarray:
         out = []

@@ -53,7 +53,7 @@ def main(argv=None):
 
     from leaf_tpu.benchmark.zeroshot_classification import (
         _apgd_attack_batch,
-        _logits_fn,
+        _logits_jit,
     )
     from leaf_tpu.data.imagenet import get_imagenet
     from leaf_tpu.models import create_model, get_tokenizer
@@ -81,8 +81,11 @@ def main(argv=None):
     data = get_imagenet(args.imagenet_root, preprocess, "val",
                         batch_size=args.batch_size, n_val=args.n_samples,
                         seed=args.seed)
-    import jax
-    logits_fn = jax.jit(_logits_fn(model.params, cfg, classifier))
+    # params/classifier stay jit ARGUMENTS (closing over them bakes
+    # ~100s of MB of constants into the module --- overflows tunneled
+    # compile RPCs)
+    logits_fn = lambda im: _logits_jit(  # noqa: E731
+        model.params, cfg, classifier, im)
 
     n = clean1 = robust1 = 0
     adv_batches = []

@@ -72,25 +72,29 @@ def optimize_prompt(
     tokens[0, 0] = 49406
     tokens[0, prompt_len + 1] = 49407
     tokens = jnp.asarray(tokens)
-    sot = table[jnp.asarray([49406])]
-    eot = table[jnp.asarray([49407])]
-    pad = table[jnp.asarray([0])]
     n_pad = tcfg.context_length - prompt_len - 2
 
     tx = optax.adamw(lr, weight_decay=weight_decay)
     opt_state = tx.init(prompt_embeds)
 
-    def forward_sim(slot_embeds):
-        full = jnp.concatenate(
-            [sot[None], slot_embeds,
-             eot[None], jnp.tile(pad[None], (1, n_pad, 1))], axis=1)
-        feats = lclip.encode_text_embedding(
-            text_params, tcfg, full, tokens, cfg.quick_gelu, normalize=True)
-        return feats @ target.T  # [1, N]
-
+    # text_params/target are jit ARGUMENTS (closing over them would
+    # bake the whole tower into the module as constants)
     @jax.jit
-    def step(prompt_embeds, opt_state):
+    def step(text_params, target, prompt_embeds, opt_state):
+        table = text_params["token_embedding"]
+        sot = table[jnp.asarray([49406])]
+        eot = table[jnp.asarray([49407])]
+        pad = table[jnp.asarray([0])]
         projected, ids = nn_project(prompt_embeds, table)
+
+        def forward_sim(slot_embeds):
+            full = jnp.concatenate(
+                [sot[None], slot_embeds,
+                 eot[None], jnp.tile(pad[None], (1, n_pad, 1))], axis=1)
+            feats = lclip.encode_text_embedding(
+                text_params, tcfg, full, tokens, cfg.quick_gelu,
+                normalize=True)
+            return feats @ target.T  # [1, N]
 
         def loss_fn(slot_embeds):
             sims = forward_sim(slot_embeds)
@@ -106,7 +110,8 @@ def optimize_prompt(
     best_ids = None
     history = []
     for _ in range(iters):
-        prompt_embeds, opt_state, ids, sim = step(prompt_embeds, opt_state)
+        prompt_embeds, opt_state, ids, sim = step(text_params, target,
+                                                  prompt_embeds, opt_state)
         sim = float(sim)
         history.append(sim)
         if sim > best_sim:

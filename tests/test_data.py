@@ -251,3 +251,31 @@ def test_prefetcher_terminates_when_queue_saturated():
     it = iter(Prefetcher(iter(range(1000)), depth=2))
     assert next(it) == 0
     it.close()  # must not deadlock or leave a spinning worker
+
+
+def test_text_only_tar_without_images(tmp_path):
+    """A caption-only tar (no image members at all) must feed the
+    text_only pipeline; non-text_only mode still drops such samples."""
+    import io
+    import tarfile
+
+    from leaf_tpu.data.wds import WdsConfig, get_wds_dataset
+
+    path = tmp_path / "cap-0000.tar"
+    with tarfile.open(path, "w") as tf:
+        for i in range(6):
+            data = f"caption number {i}".encode()
+            info = tarfile.TarInfo(f"{i:05d}.txt")
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+
+    info = get_wds_dataset(
+        WdsConfig(urls=str(path), batch_size=3, is_train=True,
+                  num_samples=6, text_only=True), preprocess=None)
+    texts = [t for _, batch in info.loader for t in batch]
+    assert len(texts) == 6 and all(t.startswith("caption") for t in texts)
+
+    info2 = get_wds_dataset(
+        WdsConfig(urls=str(path), batch_size=3, is_train=False,
+                  num_samples=6), preprocess=None)
+    assert sum(1 for _ in info2.loader) == 0
