@@ -257,7 +257,7 @@ def _pick_rows(R: int, L: int, D: int, itemsize: int) -> int:
         if R % rows:
             continue
         acts = itemsize * rows * L * (2 * D + 3 * D) * 2   # in/out dbl-buf + qkv
-        if weights + acts < 12 * 1024 * 1024:
+        if weights + acts < 13 * 1024 * 1024:
             return rows
     return 1
 
