@@ -80,8 +80,10 @@ def make_contrastive_train_step(cfg: CLIPConfig,
                                        "data", local_loss, siglip, dtype,
                                        dropout_key)
 
+        # check_vma=False: the towers may lower to pallas_call whose
+        # out_shape avals carry no varying-mesh-axes info
         return jax.shard_map(
-            inner, mesh=mesh,
+            inner, mesh=mesh, check_vma=False,
             in_specs=(P(), P("data"), P("data")), out_specs=P())(
                 params, images, tokens)
 
@@ -274,7 +276,8 @@ def make_coca_train_step(cfg, tx: optax.GradientTransformation, mesh=None,
             return loss_fn(params, images, tokens)
         return jax.shard_map(
             lambda p, im, tk: loss_fn(p, im, tk, "data"),
-            mesh=mesh, in_specs=(P(), P("data"), P("data")),
+            mesh=mesh, check_vma=False,
+            in_specs=(P(), P("data"), P("data")),
             out_specs=P())(params, images, tokens)
 
     def step_fn(state: TrainState, images, tokens):

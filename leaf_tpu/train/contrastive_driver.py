@@ -91,7 +91,8 @@ def make_distill_train_step(cfg, teacher_cfg, tx, mesh=None,
             return inner(params, teacher_params, images, tokens)
         return jax.shard_map(
             lambda p, tp, im, tk: inner(p, tp, im, tk, "data"),
-            mesh=mesh, in_specs=(P(), P(), P("data"), P("data")),
+            mesh=mesh, check_vma=False,
+            in_specs=(P(), P(), P("data"), P("data")),
             out_specs=P())(params, teacher_params, images, tokens)
 
     def step_fn(state: TrainState, teacher_params, images, tokens):
