@@ -17,14 +17,42 @@ import numpy as np
 from leaf_tpu.data.common import DataInfo, Prefetcher
 
 
+def load_retrieval_annotations(annotation_file: str):
+    """Read retrieval annotations into the Karpathy-JSON structure
+    `[{"image": ..., "caption": [...]}, ...]`.
+
+    Accepts either the Karpathy JSON itself or the Kaggle
+    flickr30k/flickr8k `captions.txt` format — a header line then
+    `img.jpg,caption` rows, several per image (reference
+    `datasets/flickr.py:26-35`: split on ".jpg," because captions can
+    contain commas)."""
+    if annotation_file.endswith(".json"):
+        with open(annotation_file) as f:
+            return json.load(f)
+    by_image: Dict[str, List[str]] = {}
+    order: List[str] = []
+    with open(annotation_file) as f:
+        f.readline()                      # header
+        for line in f:
+            line = line.strip()
+            if not line or ".jpg," not in line:
+                continue
+            img, caption = line.split(".jpg,", 1)
+            img = img + ".jpg"
+            if img not in by_image:
+                by_image[img] = []
+                order.append(img)
+            by_image[img].append(caption)
+    return [{"image": img, "caption": by_image[img]} for img in order]
+
+
 class CocoRetrievalDataset:
     def __init__(self, root_dir: str, annotation_file: str,
                  image_preprocess: Optional[Callable] = None,
                  max_words: int = 50, num_samples: int = -1,
                  batch_size: int = 25):
         from leaf_tpu.evals.retrieval import pre_caption
-        with open(annotation_file) as f:
-            annotation = json.load(f)
+        annotation = load_retrieval_annotations(annotation_file)
         if num_samples and num_samples > 0:
             annotation = annotation[:num_samples]
         self.root_dir = root_dir

@@ -203,3 +203,21 @@ def test_text_to_image_cli_attack_stage(tmp_path):
     assert len(adv) == 1 and adv[0] != "a cat on a mat"
     assert (tmp_path / "out" / "captions_adv.json").exists()
     assert (tmp_path / "out" / "captions_adv.csv").exists()
+
+
+def test_flickr_captions_txt_annotations(tmp_path):
+    """Kaggle flickr-style captions.txt parses into the Karpathy
+    structure (reference datasets/flickr.py split-on-'.jpg,')."""
+    from leaf_tpu.data.coco import load_retrieval_annotations
+
+    (tmp_path / "captions.txt").write_text(
+        "image,caption\n"
+        "a.jpg,A dog runs, quickly, on grass\n"
+        "a.jpg,Another view of the dog\n"
+        "b.jpg,A cat sits\n")
+    ann = load_retrieval_annotations(str(tmp_path / "captions.txt"))
+    assert ann == [
+        {"image": "a.jpg", "caption": ["A dog runs, quickly, on grass",
+                                       "Another view of the dog"]},
+        {"image": "b.jpg", "caption": ["A cat sits"]},
+    ]
