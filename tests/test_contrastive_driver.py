@@ -86,3 +86,14 @@ def test_contrastive_coca(tmp_path):
     assert int(out["state"].step) == 2
     assert np.isfinite(float(out["results"][-1]["train_loss"]))
     assert "cls_emb" in out["state"].text_params["text"]
+
+
+def test_contrastive_with_forced_kernels(tmp_path, monkeypatch):
+    """Pallas kernels forced on (interpret mode) under the 8-device CPU
+    mesh: the shard_map'd loss must trace a pallas_call without tripping
+    the varying-mesh-axes check (regression: the contrastive driver
+    failed on single-chip TPU where the kernels auto-enable)."""
+    monkeypatch.setenv("LEAF_TPU_PACKED_ATTN", "1")
+    out = run(tmp_path, [], "kernels")
+    assert int(out["state"].step) == 2
+    assert np.isfinite(float(out["results"][-1]["train_loss"]))
