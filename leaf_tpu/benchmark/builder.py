@@ -440,6 +440,13 @@ def build_dataset(name: str, root: str, preprocess, split: str = "test",
         base = name[len("wds/"):]
         classnames, templates = classnames_and_templates(
             base, language, fallback_classes=ds.classes or None)
+        if _CLASSNAME_ALIASES.get(base) == "imagenet1k" \
+                and language not in ("en", "cn", "it", "jp", "ar"):
+            babel = load_babel_imagenet(language)
+            if babel is not None:
+                # babel translates a class SUBSET: remap labels like the
+                # imagefolder branch does
+                ds = BabelSubsetDataset(ds, babel[0])
         return ds, task, classnames, templates
 
     from leaf_tpu.benchmark.tv_datasets import (NATIVE_DATASETS,

@@ -80,6 +80,30 @@ def run_one(args, dataset_name: str, model_name: str, pretrained: str,
             loaded=None) -> dict:
     from leaf_tpu.benchmark.builder import build_dataset
 
+    if args.task == "captioning":
+        # captioning needs a CoCa model (its own config registry and
+        # param layout) — skip the CLIP bundle entirely
+        import jax
+
+        from leaf_tpu.benchmark.captioning import evaluate_captioning
+        from leaf_tpu.models import get_tokenizer
+        from leaf_tpu.models.coca import create_coca_model
+        from leaf_tpu.models.preprocess import image_transform
+
+        coca, coca_cfg = create_coca_model(model_name, pretrained or None)
+        tokenizer = get_tokenizer()
+        preprocess = image_transform(coca_cfg.vision.image_size,
+                                     do_normalize=False)
+        ds, _, _, _ = build_dataset(
+            dataset_name, args.dataset_root, preprocess, split=args.split,
+            batch_size=args.batch_size, language=args.language,
+            annotation_file=args.annotation_file)
+        metrics = evaluate_captioning(
+            coca, coca_cfg, tokenizer, _captioning_batches(ds),
+            jax.random.PRNGKey(args.seed))
+        return _emit_result(args, dataset_name, model_name, pretrained,
+                            "captioning", metrics)
+
     params, cfg, tokenizer, preprocess = \
         loaded if loaded is not None \
         else _load_model(args, model_name, pretrained)
@@ -100,9 +124,8 @@ def run_one(args, dataset_name: str, model_name: str, pretrained: str,
             n_iter=args.attack_iters)
     elif task == "zeroshot_retrieval":
         from leaf_tpu.benchmark import evaluate_zeroshot_retrieval
-        image_loader = (imgs for imgs, _ in ds)
         metrics = evaluate_zeroshot_retrieval(
-            params, cfg, tokenizer, image_loader, ds.text, ds.img2txt,
+            params, cfg, tokenizer, ds.image_batches(), ds.text, ds.img2txt,
             recall_ks=tuple(args.recall_k))
     elif task == "image_caption_selection":
         from leaf_tpu.benchmark.image_caption_selection import (
@@ -110,15 +133,6 @@ def run_one(args, dataset_name: str, model_name: str, pretrained: str,
         )
         metrics = evaluate_image_caption_selection(params, cfg, tokenizer,
                                                    ds)
-    elif task == "captioning":
-        import jax
-
-        from leaf_tpu.benchmark.captioning import evaluate_captioning
-        from leaf_tpu.models.coca import create_coca_model
-        coca, coca_cfg = create_coca_model(model_name,
-                                           pretrained or None)
-        metrics = evaluate_captioning(coca, coca_cfg, tokenizer, ds,
-                                      jax.random.PRNGKey(args.seed))
     elif task == "linear_probe":
         from leaf_tpu.benchmark import evaluate_linear_probe
         from leaf_tpu.data.imagenet import ImageFolderDataset
@@ -138,6 +152,25 @@ def run_one(args, dataset_name: str, model_name: str, pretrained: str,
     else:
         raise ValueError(f"unknown task {task}")
 
+    return _emit_result(args, dataset_name, model_name, pretrained, task,
+                        metrics)
+
+
+def _captioning_batches(ds):
+    """Adapt a retrieval-style dataset (image_batches + text/img2txt)
+    into the (images, per-image caption lists) batches
+    `evaluate_captioning` consumes."""
+    img_id = 0
+    for images in ds.image_batches():
+        refs = []
+        for _ in range(len(images)):
+            refs.append([ds.text[t] for t in ds.img2txt[img_id]])
+            img_id += 1
+        yield images, refs
+
+
+def _emit_result(args, dataset_name: str, model_name: str, pretrained: str,
+                 task: str, metrics: dict) -> dict:
     result = {"model": model_name, "pretrained": pretrained,
               "task": task, "dataset": dataset_name,
               "language": args.language, "attack": args.attack or "none",
@@ -169,7 +202,8 @@ def run_eval(args) -> List[dict]:
                     "using %s", args.output)
     out = []
     for (m, p) in models:
-        loaded = _load_model(args, m, p)
+        loaded = None if args.task == "captioning" \
+            else _load_model(args, m, p)
         out.extend(run_one(args, name, m, p, loaded=loaded)
                    for name in _expand_datasets(args.dataset))
     return out

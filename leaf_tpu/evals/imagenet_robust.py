@@ -87,6 +87,12 @@ def main(argv=None):
     logits_fn = lambda im: _logits_jit(  # noqa: E731
         model.params, cfg, classifier, im)
 
+    if args.square and args.norm != "linf":
+        # the square stage implemented here searches the Linf ball;
+        # running it inside an L1/L2 evaluation would count
+        # out-of-threat-model perturbations as robustness failures
+        raise ValueError("--square is only defined for --norm linf")
+
     n = clean1 = robust1 = 0
     adv_batches = []
     for images, labels in data.loader:

@@ -25,8 +25,13 @@ from leaf_tpu.utils.logging_utils import setup_logging
 
 LOG = logging.getLogger(__name__)
 
+# every flag default lives HERE so the merge order (defaults < json <
+# explicitly-passed CLI flags) actually holds — argparse defaults are
+# all None and only user-passed values override the JSON config
 DEFAULTS = dict(seed=0, prompt_len="match", lr=0.1, weight_decay=0.1,
-                loss_weight=1.0, iter=3000, batch_size=1)
+                loss_weight=1.0, iter=3000, batch_size=1,
+                model="ViT-L-14", pretrained="", n_samples=10,
+                output="./results_inversions")
 
 
 def run_one_inversion(caption: str, params, cfg, tokenizer, args) -> dict:
@@ -65,18 +70,18 @@ def main(argv: Optional[List[str]] = None) -> dict:
     p = argparse.ArgumentParser("leaf_tpu PEZ inversion")
     p.add_argument("--config", default=None,
                    help="JSON config; CLI flags override its values")
-    p.add_argument("--model", default="ViT-L-14")
-    p.add_argument("--pretrained", default="")
+    p.add_argument("--model", default=None)
+    p.add_argument("--pretrained", default=None)
     p.add_argument("--captions", required=True,
                    help="text file, one caption per line")
-    p.add_argument("--n-samples", type=int, default=10)
+    p.add_argument("--n-samples", type=int, default=None)
     p.add_argument("--iter", type=int, default=None)
     p.add_argument("--prompt-len", dest="prompt_len", default=None)
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--weight-decay", type=float, default=None)
     p.add_argument("--loss-weight", type=float, default=None)
     p.add_argument("--seed", type=int, default=None)
-    p.add_argument("--output", default="./results_inversions")
+    p.add_argument("--output", default=None)
     cli = p.parse_args(argv)
 
     # merge order (reference run_coco.py:90-93): defaults < json < CLI

@@ -56,8 +56,11 @@ class CLIPModel:
         return self.params["logit_scale"]
 
 
-def _config_from_hub(model_name: str):
-    """hf-hub: model name → (CLIPConfig, local snapshot dir)."""
+def _config_from_hub(model_name: str, config_only: bool = False):
+    """hf-hub: model name → (CLIPConfig, local snapshot dir).
+
+    `config_only` fetches just the config JSON (tokenizer selection
+    must not download a multi-GB checkpoint)."""
     import json
 
     from leaf_tpu.models.config import (
@@ -65,7 +68,8 @@ def _config_from_hub(model_name: str):
         config_from_open_clip_dict,
     )
     from leaf_tpu.models.pretrained import download_pretrained_from_hf
-    snapshot = download_pretrained_from_hf(model_name)
+    snapshot = download_pretrained_from_hf(model_name,
+                                           config_only=config_only)
     oc = os.path.join(snapshot, "open_clip_config.json")
     hf = os.path.join(snapshot, "config.json")
     if os.path.exists(oc):
@@ -159,7 +163,7 @@ def get_tokenizer(model_name: str = "", context_length=None, **kwargs):
             context_length=context_length or 64)
     cfg = None
     if model_name.startswith("hf-hub:"):
-        cfg, _ = _config_from_hub(model_name)
+        cfg, _ = _config_from_hub(model_name, config_only=True)
     elif model_name:
         try:
             cfg = get_model_config(model_name)

@@ -187,7 +187,12 @@ def openclip_to_params(sd: Mapping[str, Any], cfg: CLIPConfig) -> Params:
             visual = timm_convnext_to_params(sd, cfg.convnext)
         else:
             from leaf_tpu.models.timm_vision import timm_vit_to_params
-            visual = timm_vit_to_params(sd, cfg.vision)
+            # auto-detect the projection head kind from the state dict
+            # (VisionConfig carries no timm_proj field): an MLP head
+            # lives under visual.head.mlp.*
+            proj = "mlp" if any(k.startswith("visual.head.mlp.")
+                                for k in sd) else "linear"
+            visual = timm_vit_to_params(sd, cfg.vision, proj=proj)
         return {
             "text": {
                 "token_embedding": _np(sd[tp + "token_embedding.weight"]),

@@ -208,6 +208,7 @@ def download_pretrained_from_hf(
     hf_id: str,
     cache_dir: Optional[str] = None,
     hf_download: Optional[Callable[[str, str, str], str]] = None,
+    config_only: bool = False,
 ) -> str:
     """Resolve an `hf-hub:org/repo` id to a local snapshot directory
     holding the checkpoint (and config, when present).
@@ -224,15 +225,26 @@ def download_pretrained_from_hf(
     os.makedirs(local, exist_ok=True)
     if any(os.path.exists(os.path.join(local, f)) for f in HF_WEIGHT_FILES):
         return local
+    if config_only and any(os.path.exists(os.path.join(local, f))
+                           for f in HF_CONFIG_FILES):
+        return local
 
     fetch = hf_download or _default_hf_download
     errors = []
     for f in HF_CONFIG_FILES:        # config is optional but preferred
         try:
             fetch(repo, f, local)
+            if config_only:
+                # tokenizer selection etc. needs only the config — do
+                # not pull a multi-GB checkpoint for it
+                return local
             break
         except Exception as e:  # noqa: BLE001
             errors.append(e)
+    if config_only:
+        raise RuntimeError(
+            f"could not fetch any of {HF_CONFIG_FILES} from "
+            f"hf-hub:{repo} (last errors: {errors[-2:]})")
     for f in HF_WEIGHT_FILES:
         try:
             fetch(repo, f, local)

@@ -535,3 +535,53 @@ def test_native_pcam_and_fer2013(tmp_path):
     imgs, labels = next(iter(ds))
     assert imgs.shape == (2, 32, 32, 3) and list(labels) == [3, 0]
     assert classnames[3] == "happy"
+
+
+def _make_retrieval_data(tmp_path, n=4):
+    rng = np.random.default_rng(5)
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    ann = []
+    for i in range(n):
+        fn = f"{i}.jpg"
+        _img(rng).save(img_dir / fn)
+        ann.append({"image": fn, "caption": [f"caption one {i}",
+                                             f"caption two {i}"]})
+    ann_file = tmp_path / "karpathy.json"
+    with open(ann_file, "w") as f:
+        json.dump(ann, f)
+    return img_dir, ann_file
+
+
+def test_cli_retrieval_task(tmp_path):
+    """Regression: the CLI retrieval path iterated a non-iterable
+    dataset; it must run end to end over image_batches()."""
+    from leaf_tpu.benchmark.cli import main
+
+    img_dir, ann_file = _make_retrieval_data(tmp_path)
+    res = main(["eval", "--model", "ViT-tiny-test",
+                "--dataset", "mscoco_captions",
+                "--dataset-root", str(img_dir),
+                "--annotation-file", str(ann_file),
+                "--batch-size", "2"])
+    m = res[0]["metrics"]
+    assert res[0]["task"] == "zeroshot_retrieval"
+    assert 0.0 <= m["image_retrieval_recall@1"] <= 1.0 \
+        or any("recall" in k for k in m)
+
+
+def test_cli_captioning_task(tmp_path):
+    """Regression: --task captioning must load a CoCa model (not the
+    CLIP registry) and feed (images, caption-list) batches."""
+    from leaf_tpu.benchmark.cli import main
+
+    img_dir, ann_file = _make_retrieval_data(tmp_path, n=2)
+    res = main(["eval", "--model", "coca-tiny-test",
+                "--task", "captioning",
+                "--dataset", "mscoco_captions",
+                "--dataset-root", str(img_dir),
+                "--annotation-file", str(ann_file),
+                "--batch-size", "2"])
+    m = res[0]["metrics"]
+    assert m["num_samples"] == 2
+    assert np.isfinite(m["bleu4"])
