@@ -51,6 +51,20 @@ def save_checkpoint(ckpt_dir: str, epoch: int, payload: Dict[str, Any],
         ckptr.wait_until_finished()
 
 
+def save_named(ckpt_dir: str, name: str, payload: Dict[str, Any]):
+    """One-off named sidecar checkpoint (e.g. the frozen anchor tower,
+    saved once instead of inside every epoch payload)."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    path = os.path.join(os.path.abspath(ckpt_dir), name)
+    ckptr = _async_checkpointer()
+    ckptr.wait_until_finished()
+    ckptr.save(path, payload, force=True)
+
+
+def load_named(ckpt_dir: str, name: str) -> Dict[str, Any]:
+    return load_checkpoint(os.path.join(os.path.abspath(ckpt_dir), name))
+
+
 LATEST_NAME = "epoch_latest"
 
 

@@ -208,24 +208,30 @@ def main(args=None) -> Dict:
         payload = ckpt.load_checkpoint(
             path, like={"text_params": state.text_params,
                         "opt_state": state.opt_state,
-                        "step": state.step,
-                        "frozen_text_params": frozen_text_params})
+                        "step": state.step})
         state = TrainState(text_params=payload["text_params"],
                            opt_state=payload["opt_state"],
                            step=payload["step"])
-        frozen_text_params = payload["frozen_text_params"]
+        # the frozen anchor tower never changes: it lives in a one-off
+        # `frozen` sidecar, not in every epoch payload (a ViT-L text
+        # tower is ~340 MB of redundant device→host + disk traffic per
+        # epoch otherwise)
+        frozen_text_params = ckpt.load_named(
+            ckpt_dir, "frozen")["frozen_text_params"]
         # checkpoint names record *completed* epochs; training epoch
         # indices are 0-based, so the next epoch to run == epoch_done
         start_epoch = epoch_done
         if results is not None:
             results.truncate_to_epoch(epoch_done)
+    elif master:
+        ckpt.save_named(ckpt_dir, "frozen",
+                        {"frozen_text_params": frozen_text_params})
 
     def payload():
         return {
             "text_params": state.text_params,
             "opt_state": state.opt_state,
             "step": state.step,
-            "frozen_text_params": frozen_text_params,
         }
 
     def save(epoch: int):
