@@ -221,3 +221,23 @@ def test_flickr_captions_txt_annotations(tmp_path):
                                        "Another view of the dog"]},
         {"image": "b.jpg", "caption": ["A cat sits"]},
     ]
+
+
+def test_imagenet_robust_square_requires_linf(tmp_path):
+    """--square searches the Linf ball; combining it with l1/l2 would
+    count out-of-threat-model perturbations as robustness failures."""
+    import os
+
+    from PIL import Image
+
+    from leaf_tpu.evals.imagenet_robust import main
+
+    d = tmp_path / "val" / "n01440764"
+    d.mkdir(parents=True)
+    Image.new("RGB", (8, 8)).save(d / "x.jpg")
+    with pytest.raises(ValueError, match="linf"):
+        main(["--model", "ViT-tiny-test",
+              "--imagenet-root", str(tmp_path / "val"),
+              "--n-samples", "1", "--batch-size", "1",
+              "--attack-iters", "1", "--norm", "l1", "--eps", "75",
+              "--square", "--output", str(tmp_path / "out")])
