@@ -281,7 +281,9 @@ def main(args=None) -> Dict:
     if start_epoch == 0:
         metrics = run_eval(0)
         LOG.info("epoch 0 eval: %s", metrics)
-        record(0, float("nan"), metrics)
+        # the reference writes train_loss=-1 for the pre-training
+        # epoch-0 row (`train_AT_text_only.py:501`)
+        record(0, -1.0, metrics)
         if "train" in data:
             save(0)
 
