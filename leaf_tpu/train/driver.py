@@ -215,9 +215,18 @@ def main(args=None) -> Dict:
         # the frozen anchor tower never changes: it lives in a one-off
         # `frozen` sidecar, not in every epoch payload (a ViT-L text
         # tower is ~340 MB of redundant device→host + disk traffic per
-        # epoch otherwise)
-        frozen_text_params = ckpt.load_named(
-            ckpt_dir, "frozen")["frozen_text_params"]
+        # epoch otherwise); fall back to the old in-payload layout for
+        # checkpoints written before the sidecar existed
+        try:
+            frozen_text_params = ckpt.load_named(
+                ckpt_dir, "frozen")["frozen_text_params"]
+        except Exception:  # noqa: BLE001
+            frozen_text_params = ckpt.load_checkpoint(
+                path, like={"text_params": state.text_params,
+                            "opt_state": state.opt_state,
+                            "step": state.step,
+                            "frozen_text_params": frozen_text_params}
+            )["frozen_text_params"]
         # checkpoint names record *completed* epochs; training epoch
         # indices are 0-based, so the next epoch to run == epoch_done
         start_epoch = epoch_done
