@@ -9,6 +9,7 @@ positive-pair maps used by `evaluate_scores`.
 from __future__ import annotations
 
 import json
+import logging
 import os
 from typing import Callable, Dict, List, Optional
 
@@ -31,11 +32,15 @@ def load_retrieval_annotations(annotation_file: str):
             return json.load(f)
     by_image: Dict[str, List[str]] = {}
     order: List[str] = []
+    skipped = 0
     with open(annotation_file) as f:
         f.readline()                      # header
         for line in f:
             line = line.strip()
-            if not line or ".jpg," not in line:
+            if not line:
+                continue
+            if ".jpg," not in line:
+                skipped += 1              # .png names / malformed rows
                 continue
             img, caption = line.split(".jpg,", 1)
             img = img + ".jpg"
@@ -43,6 +48,15 @@ def load_retrieval_annotations(annotation_file: str):
                 by_image[img] = []
                 order.append(img)
             by_image[img].append(caption)
+    if not order:
+        raise ValueError(
+            f"{annotation_file!r}: no 'img.jpg,caption' rows parsed "
+            f"({skipped} non-matching lines) — not a Kaggle "
+            "flickr captions.txt?")
+    if skipped:
+        logging.getLogger(__name__).warning(
+            "%s: skipped %d lines without '.jpg,' (non-jpg image names "
+            "or malformed rows)", annotation_file, skipped)
     return [{"image": img, "caption": by_image[img]} for img in order]
 
 

@@ -95,11 +95,18 @@ def attention(p: Params, x: jnp.ndarray, mask: Optional[jnp.ndarray],
     x: [B, S, D]; mask: additive [S, S] (or None), applied in fp32.
     Matches torch nn.MultiheadAttention used at `transformer.py:225,250-252`.
 
-    `packed=(group_len, causal)` declares that `mask` is the standard
-    block-diagonal (or plain causal, group_len == S) pattern; when the
-    Pallas packed-attention kernel is enabled (single-device TPU, see
-    `leaf_tpu/ops/packed_attention.py`), attention runs fused in VMEM
-    with no head transposes and no HBM logits — same numerics.
+    `packed=(group_len, causal)` declares that `mask` IS the standard
+    block-diagonal (or plain causal, group_len == S) pattern — i.e.
+    `clip.packed_block_mask(group_len, S // group_len, causal)` (or the
+    plain causal/None mask).  INVARIANT: when `packed` is set, the
+    kernel path derives the mask from `packed` and ignores the `mask`
+    argument entirely; passing any *other* additive mask together with
+    `packed` silently computes wrong attention on the kernel path while
+    matching XLA elsewhere.  Never combine `packed` with a custom mask.
+    When the Pallas packed-attention kernel is enabled (single-device
+    TPU or inside shard_map, see `leaf_tpu/ops/packed_attention.py`),
+    attention runs fused in VMEM with no head transposes and no HBM
+    logits — same numerics.
     """
     if packed is not None:
         from leaf_tpu.ops.packed_attention import enabled, packed_attention

@@ -53,12 +53,17 @@ def save_checkpoint(ckpt_dir: str, epoch: int, payload: Dict[str, Any],
 
 def save_named(ckpt_dir: str, name: str, payload: Dict[str, Any]):
     """One-off named sidecar checkpoint (e.g. the frozen anchor tower,
-    saved once instead of inside every epoch payload)."""
+    saved once instead of inside every epoch payload).
+
+    Blocks until committed: epoch payloads rely on the sidecar existing
+    (they omit the frozen tower), so a crash mid-write must not leave a
+    run whose checkpoints can never resume (ADVICE r2)."""
     os.makedirs(ckpt_dir, exist_ok=True)
     path = os.path.join(os.path.abspath(ckpt_dir), name)
     ckptr = _async_checkpointer()
     ckptr.wait_until_finished()
     ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
 
 
 def load_named(ckpt_dir: str, name: str) -> Dict[str, Any]:

@@ -205,28 +205,46 @@ def main(args=None) -> Dict:
     if resume is not None:
         epoch_done, path = resume
         LOG.info("resuming from %s (epoch %d)", path, epoch_done)
-        payload = ckpt.load_checkpoint(
-            path, like={"text_params": state.text_params,
-                        "opt_state": state.opt_state,
-                        "step": state.step})
+        like = {"text_params": state.text_params,
+                "opt_state": state.opt_state,
+                "step": state.step}
+        try:
+            payload = ckpt.load_checkpoint(path, like=like)
+        except ValueError:
+            # pre-sidecar layout: the frozen tower rides inside every
+            # epoch payload (orbax rejects the extra key against the
+            # 3-key `like`)
+            payload = ckpt.load_checkpoint(
+                path, like=dict(like,
+                                frozen_text_params=frozen_text_params))
         state = TrainState(text_params=payload["text_params"],
                            opt_state=payload["opt_state"],
                            step=payload["step"])
         # the frozen anchor tower never changes: it lives in a one-off
         # `frozen` sidecar, not in every epoch payload (a ViT-L text
         # tower is ~340 MB of redundant device→host + disk traffic per
-        # epoch otherwise); fall back to the old in-payload layout for
-        # checkpoints written before the sidecar existed
-        try:
-            frozen_text_params = ckpt.load_named(
-                ckpt_dir, "frozen")["frozen_text_params"]
-        except Exception:  # noqa: BLE001
-            frozen_text_params = ckpt.load_checkpoint(
-                path, like={"text_params": state.text_params,
-                            "opt_state": state.opt_state,
-                            "step": state.step,
-                            "frozen_text_params": frozen_text_params}
-            )["frozen_text_params"]
+        # epoch otherwise).  Recovery order (ADVICE r2 medium): the
+        # resumed payload itself (pre-sidecar format) → this run's
+        # sidecar → the sidecar next to the resumed checkpoint (an
+        # explicit --resume into another run's dir).  Any non-local
+        # recovery is re-saved as this run's sidecar so the *next*
+        # resume finds it even though new epoch payloads omit it.
+        recovered = False
+        if "frozen_text_params" in payload:
+            recovered = True
+            frozen_text_params = payload["frozen_text_params"]
+        else:
+            try:
+                frozen_text_params = ckpt.load_named(
+                    ckpt_dir, "frozen")["frozen_text_params"]
+            except Exception:  # noqa: BLE001
+                recovered = True
+                frozen_text_params = ckpt.load_named(
+                    os.path.dirname(os.path.abspath(path)),
+                    "frozen")["frozen_text_params"]
+        if recovered and master:
+            ckpt.save_named(ckpt_dir, "frozen",
+                            {"frozen_text_params": frozen_text_params})
         # checkpoint names record *completed* epochs; training epoch
         # indices are 0-based, so the next epoch to run == epoch_done
         start_epoch = epoch_done

@@ -164,6 +164,50 @@ def test_train_save_most_recent(tmp_path):
     assert int(out["state"].step) == 8
 
 
+def test_resume_presidecar_checkpoint_rewrites_sidecar(tmp_path):
+    """ADVICE r2 (medium), gap 1: resuming from a pre-sidecar
+    checkpoint (frozen params in the epoch payload, no 'frozen'
+    sidecar) must recover AND re-save the sidecar, so a *second*
+    resume — whose checkpoints are new-format — still works."""
+    import shutil
+
+    import leaf_tpu.train.checkpoint as ckpt
+
+    run_driver(tmp_path, [])
+    ck = os.path.join(tmp_path, "smoke", "checkpoints")
+    # forge an old-format checkpoint: frozen params inside the payload,
+    # no sidecar
+    frozen = ckpt.load_named(ck, "frozen")
+    payload = ckpt.load_checkpoint(os.path.join(ck, "epoch_1"))
+    payload["frozen_text_params"] = frozen["frozen_text_params"]
+    shutil.rmtree(os.path.join(ck, "epoch_1"))
+    shutil.rmtree(os.path.join(ck, "frozen"))
+    ckpt.save_checkpoint(ck, 1, payload, wait=True)
+
+    out = run_driver(tmp_path, ["--epochs", "2", "--resume", "latest"])
+    assert int(out["state"].step) == 8
+    # the fallback recovery must have re-created the sidecar
+    assert os.path.isdir(os.path.join(ck, "frozen"))
+    # second resume: epoch_2 is new-format (no in-payload frozen) — only
+    # the re-saved sidecar makes this work
+    out = run_driver(tmp_path, ["--epochs", "3", "--resume", "latest"])
+    assert int(out["state"].step) == 12
+
+
+def test_resume_explicit_path_other_run(tmp_path):
+    """ADVICE r2 (medium), gap 2: an explicit --resume pointing into
+    another run's checkpoint dir must find the sidecar next to the
+    resumed checkpoint, and copy it into the new run's dir."""
+    run_driver(tmp_path, ["--name", "runA"])
+    ck_a = os.path.join(tmp_path, "runA", "checkpoints")
+    out = run_driver(tmp_path, ["--name", "runB", "--epochs", "2",
+                                "--resume",
+                                os.path.join(ck_a, "epoch_1")])
+    assert int(out["state"].step) == 8
+    assert os.path.isdir(
+        os.path.join(tmp_path, "runB", "checkpoints", "frozen"))
+
+
 def test_train_attack_objective_and_weight(tmp_path):
     out_sim = run_driver(tmp_path, ["--attack_objective", "sim",
                                     "--name", "objsim",
