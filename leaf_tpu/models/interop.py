@@ -21,7 +21,7 @@ and `tests/test_interop.py`.
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Mapping
+from typing import Any, Dict, Mapping, Optional
 
 import numpy as np
 
@@ -314,6 +314,38 @@ def load_state_dict_file(path: str) -> Dict[str, np.ndarray]:
     # pops in build_model_from_openai_state_dict (`model.py:404-412`)
     skip = {"input_resolution", "context_length", "vocab_size"}
     return {k: _np(v) for k, v in ckpt.items() if k not in skip}
+
+
+def checkpoint_quick_gelu(path: str) -> Optional[bool]:
+    """Does the checkpoint at `path` (file or snapshot dir) declare a
+    QuickGELU text tower?  None = no config metadata found (e.g. bare
+    OpenAI TorchScript .pt files).
+
+    Reads the config JSON sitting next to the weights, the same files
+    the reference resolves a hub model's config from
+    (`factory.py:200-207`, `conversion/convert_2.py:129-147`):
+    `open_clip_config.json` (model_cfg.quick_gelu) or an HF
+    `config.json` (text_config.hidden_act == "quick_gelu")."""
+    import json
+
+    d = path if os.path.isdir(path) else os.path.dirname(path)
+    oc = os.path.join(d, "open_clip_config.json")
+    if os.path.exists(oc):
+        with open(oc) as f:
+            mc = json.load(f).get("model_cfg", {})
+        return bool(mc.get("quick_gelu", False))
+    hf = os.path.join(d, "config.json")
+    if os.path.exists(hf):
+        with open(hf) as f:
+            c = json.load(f)
+        if c.get("model_type") not in (None, "clip"):
+            return None
+        tc = c.get("text_config", c)
+        act = tc.get("hidden_act")
+        if act is None:
+            return None
+        return act == "quick_gelu"
+    return None
 
 
 def load_pretrained(path: str, cfg: CLIPConfig) -> Params:

@@ -3,8 +3,11 @@
 # FARE2 init, DataComp-small 80k, bs=128, lr=1e-5, 30 epochs, rho=50 k=1
 # constrained.  Point --pretrained at a local FARE2 checkpoint
 # (HF or OpenCLIP format; the reference pulls hf-hub:chs20/fare2-clip).
+# FARE2's text tower is OpenAI-derived → QuickGELU; the -quickgelu
+# config matches (the factory would also auto-adopt it from the
+# checkpoint's config.json, with a warning).
 python3 -m leaf_tpu.train.driver \
-    --model ViT-L-14 \
+    --model ViT-L-14-quickgelu \
     --pretrained "${FARE2_CKPT:?set FARE2_CKPT to the local fare2-clip checkpoint}" \
     --train-data "${DATACOMP_SHARDS:?set DATACOMP_SHARDS, e.g. /data/datacomp/{00000000..00001287}.tar}" \
     --dataset-type webdataset \
