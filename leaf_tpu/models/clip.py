@@ -116,8 +116,61 @@ def init_text_tower(key, cfg: TextConfig, quick_gelu: bool = False) -> Params:
     return p
 
 
+def init_attn_pool(key, width: int, mlp_ratio: float = 4.0) -> Params:
+    """MAP attention-pooling head (timm `AttentionPoolLatent`, the
+    SigLIP vision pooler): a learned probe token cross-attends over all
+    patch tokens, then an LN+MLP residual refines the pooled vector."""
+    k = jax.random.split(key, 6)
+    scale = width ** -0.5
+    mlp_width = int(width * mlp_ratio)
+    return {
+        "probe": scale * jax.random.normal(k[0], (1, width), jnp.float32),
+        "q_w": scale * jax.random.normal(k[1], (width, width), jnp.float32),
+        "q_b": jnp.zeros((width,), jnp.float32),
+        "kv_w": scale * jax.random.normal(k[2], (width, 2 * width),
+                                          jnp.float32),
+        "kv_b": jnp.zeros((2 * width,), jnp.float32),
+        "proj_w": scale * jax.random.normal(k[3], (width, width),
+                                            jnp.float32),
+        "proj_b": jnp.zeros((width,), jnp.float32),
+        "ln": layers.init_layer_norm(width),
+        "mlp": {
+            "fc_w": scale * jax.random.normal(k[4], (width, mlp_width),
+                                              jnp.float32),
+            "fc_b": jnp.zeros((mlp_width,), jnp.float32),
+            "proj_w": scale * jax.random.normal(k[5], (mlp_width, width),
+                                                jnp.float32),
+            "proj_b": jnp.zeros((width,), jnp.float32),
+        },
+    }
+
+
+def attn_pool(p: Params, x: jnp.ndarray, n_heads: int,
+              ln_eps: float = 1e-6) -> jnp.ndarray:
+    """MAP head forward: tokens [B, S, D] → pooled [B, D] (timm
+    `AttentionPoolLatent.forward` with latent_len=1, pool='token')."""
+    B, S, D = x.shape
+    hd = D // n_heads
+    dtype = x.dtype
+    q = (p["probe"].astype(dtype) @ p["q_w"].astype(dtype)
+         + p["q_b"].astype(dtype))                       # [1, D]
+    q = jnp.broadcast_to(q, (B, 1, D)).reshape(B, 1, n_heads, hd)
+    kv = x @ p["kv_w"].astype(dtype) + p["kv_b"].astype(dtype)
+    k, v = jnp.split(kv, 2, axis=-1)
+    k = k.reshape(B, S, n_heads, hd)
+    v = v.reshape(B, S, n_heads, hd)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * (hd ** -0.5)
+    probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, 1, D)
+    out = out @ p["proj_w"].astype(dtype) + p["proj_b"].astype(dtype)
+    h = layers.layer_norm(p["ln"], out, ln_eps)
+    out = out + layers.mlp(p["mlp"], h, layers.gelu)
+    return out[:, 0]
+
+
 def init_vision_tower(key, cfg: VisionConfig, quick_gelu: bool = False) -> Params:
-    k = jax.random.split(key, 5)
+    k = jax.random.split(key, 6)
     mlp_width = int(cfg.width * cfg.mlp_ratio)
     scale = cfg.width ** -0.5
     patch_dim = cfg.patch_size * cfg.patch_size * 3
@@ -125,13 +178,17 @@ def init_vision_tower(key, cfg: VisionConfig, quick_gelu: bool = False) -> Param
         # [p*p*3, width]: pixels flattened (ph, pw, c) — see patchify()
         "patch_embedding": scale * jax.random.normal(
             k[0], (patch_dim, cfg.width), jnp.float32),
-        "class_embedding": scale * jax.random.normal(k[1], (cfg.width,), jnp.float32),
         "positional_embedding": scale * jax.random.normal(
             k[2], (cfg.num_tokens, cfg.width), jnp.float32),
         "blocks": layers.init_block_stack(k[3], cfg.layers, cfg.width, mlp_width),
         "ln_post": layers.init_layer_norm(cfg.width),
         "proj": scale * jax.random.normal(k[4], (cfg.width, cfg.output_dim), jnp.float32),
     }
+    if cfg.cls_token:
+        p["class_embedding"] = scale * jax.random.normal(
+            k[1], (cfg.width,), jnp.float32)
+    if cfg.attn_pool:
+        p["attn_pool"] = init_attn_pool(k[5], cfg.width)
     if cfg.ln_pre:
         p["ln_pre"] = layers.init_layer_norm(cfg.width)
     if cfg.patch_bias:
@@ -203,7 +260,8 @@ def embed_tokens(params: Params, tokens: jnp.ndarray,
 def encode_text_embedding(params: Params, cfg: TextConfig, embeds: jnp.ndarray,
                           tokens: jnp.ndarray, quick_gelu: bool = False,
                           normalize: bool = False,
-                          remat: bool = False) -> jnp.ndarray:
+                          remat: bool = False,
+                          use_kernels: Optional[bool] = None) -> jnp.ndarray:
     """Text forward from *embeddings* [B, S, D] (tokens only drive the
     EOT argmax pool).  `encode_text` = this ∘ embed_tokens; splitting the
     two is what enables prompt inversion (PEZ) and keeps one compiled
@@ -214,7 +272,8 @@ def encode_text_embedding(params: Params, cfg: TextConfig, embeds: jnp.ndarray,
     mask = None if cfg.no_causal_mask else causal_mask(S)
     x = layers.transformer_stack(
         params["blocks"], x, mask, cfg.heads, _act(quick_gelu), cfg.ln_eps,
-        remat=remat, packed=(S, not cfg.no_causal_mask))
+        remat=remat, packed=(S, not cfg.no_causal_mask),
+        use_kernels=use_kernels)
     x = layers.layer_norm(params["ln_final"], x, cfg.ln_eps)
     pooled = text_pool(x, tokens, cfg.pool_type)
     pooled = pooled @ params["text_projection"].astype(dtype)
@@ -228,28 +287,32 @@ def encode_text_embedding(params: Params, cfg: TextConfig, embeds: jnp.ndarray,
 def encode_text(params: Params, cfg: TextConfig, tokens: jnp.ndarray,
                 quick_gelu: bool = False, normalize: bool = False,
                 dtype=jnp.float32, remat: bool = False,
-                pack: bool = True) -> jnp.ndarray:
+                pack: bool = True,
+                use_kernels: Optional[bool] = None) -> jnp.ndarray:
     """Token ids [B, S] → text features [B, output_dim]
     (reference `model.py:269-284`).
 
     Short sequences are transparently packed G-per-row with a
     block-diagonal mask (see `packed_block_mask`) — numerically
     identical, far better MXU shapes for the bucketed candidate
-    batches."""
+    batches.  `use_kernels` overrides the Pallas auto-enable (see
+    `layers.attention`); pass `enabled(n_devices=1)` inside shard_map."""
     B, S = tokens.shape
     G = _pack_groups(B, S) if (pack and S < 128) else 1
     if G <= 1:
         embeds = embed_tokens(params, tokens, dtype)
         return encode_text_embedding(params, cfg, embeds, tokens,
                                      quick_gelu=quick_gelu,
-                                     normalize=normalize, remat=remat)
+                                     normalize=normalize, remat=remat,
+                                     use_kernels=use_kernels)
     x = embed_tokens(params, tokens, dtype)
     x = x + params["positional_embedding"][:S].astype(dtype)
     x = x.reshape(B // G, G * S, x.shape[-1])
     mask = packed_block_mask(S, G, causal=not cfg.no_causal_mask)
     x = layers.transformer_stack(
         params["blocks"], x, mask, cfg.heads, _act(quick_gelu), cfg.ln_eps,
-        remat=remat, packed=(S, not cfg.no_causal_mask))
+        remat=remat, packed=(S, not cfg.no_causal_mask),
+        use_kernels=use_kernels)
     x = layers.layer_norm(params["ln_final"], x, cfg.ln_eps)
     x = x.reshape(B, S, x.shape[-1])
     pooled = text_pool(x, tokens, cfg.pool_type)
@@ -270,11 +333,16 @@ def patchify(images: jnp.ndarray, patch_size: int) -> jnp.ndarray:
 
     Equivalent to the reference's stride-p conv (`transformer.py:470`)
     followed by flatten; pixel order within a patch is (ph, pw, c),
-    matching the conv-weight transpose in interop.py.
+    matching the conv-weight transpose in interop.py.  Non-divisible
+    sizes crop the right/bottom edge — stride-p conv floor semantics
+    (e.g. the SigLIP SO400M-384 trunk: 384 px / patch 14 → 27×27 grid,
+    last 6 px unused, exactly like torch Conv2d).
     """
     B, H, W, C = images.shape
     p = patch_size
     gh, gw = H // p, W // p
+    if H != gh * p or W != gw * p:
+        images = images[:, :gh * p, :gw * p]
     x = images.reshape(B, gh, p, gw, p, C)
     x = x.transpose(0, 1, 3, 2, 4, 5)          # [B, gh, gw, p, p, C]
     return x.reshape(B, gh * gw, p * p * C)
@@ -306,9 +374,10 @@ def encode_image(params: Params, cfg: VisionConfig, images: jnp.ndarray,
     x = x @ params["patch_embedding"].astype(dtype)
     if "patch_bias" in params:          # timm ViT patch embed has bias
         x = x + params["patch_bias"].astype(dtype)
-    cls = jnp.broadcast_to(params["class_embedding"].astype(dtype),
-                           (x.shape[0], 1, cfg.width))
-    x = jnp.concatenate([cls, x], axis=1)
+    if "class_embedding" in params:     # absent in SigLIP towers
+        cls = jnp.broadcast_to(params["class_embedding"].astype(dtype),
+                               (x.shape[0], 1, cfg.width))
+        x = jnp.concatenate([cls, x], axis=1)
     x = x + params["positional_embedding"].astype(dtype)
     rate = cfg.patch_dropout if patch_dropout_rate is None \
         else patch_dropout_rate
@@ -324,15 +393,25 @@ def encode_image(params: Params, cfg: VisionConfig, images: jnp.ndarray,
     x = layers.transformer_stack(
         params["blocks"], x, None, cfg.heads, _act(quick_gelu), cfg.ln_eps,
         remat=remat, packed=None if remat else (x.shape[1], False))
-    x = layers.layer_norm(params["ln_post"], x, cfg.ln_eps)
-    if cfg.pool_type == "tok":
-        pooled = x[:, 0]
-    elif cfg.pool_type == "avg":
-        pooled = x.mean(axis=1)
-    elif cfg.pool_type == "avg_patch":  # timm global_pool='avg'
-        pooled = x[:, 1:].mean(axis=1)
-    else:
+
+    def pool(t):
+        if "attn_pool" in params:       # SigLIP MAP head
+            return attn_pool(params["attn_pool"], t, cfg.heads, cfg.ln_eps)
+        if cfg.pool_type == "tok":
+            return t[:, 0]
+        if cfg.pool_type == "avg":
+            return t.mean(axis=1)
+        if cfg.pool_type == "avg_patch":  # timm global_pool='avg' /
+            return t[:, 1:].mean(axis=1)  # open_clip pool_type 'avg'
         raise ValueError(f"unsupported pool_type {cfg.pool_type!r}")
+
+    if cfg.final_ln_after_pool and "attn_pool" not in params:
+        # CLIPA ordering (`transformer.py:637-639`): pool the raw
+        # tokens, then ln_post on the pooled vector
+        pooled = layers.layer_norm(params["ln_post"], pool(x), cfg.ln_eps)
+    else:
+        x = layers.layer_norm(params["ln_post"], x, cfg.ln_eps)
+        pooled = pool(x)
     if "head_mlp" in params:            # timm proj='mlp' head
         h = params["head_mlp"]
         pooled = pooled @ h["fc_w"].astype(dtype) + h["fc_b"].astype(dtype)

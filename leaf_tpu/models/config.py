@@ -58,6 +58,14 @@ class VisionConfig:
     # biased patch embedding, no pre-transformer LayerNorm
     patch_bias: bool = False
     ln_pre: bool = True
+    # SigLIP-family deltas (reference ViT-*-SigLIP configs → timm
+    # vit_*_siglip trunks): no class token; MAP attention-pooling head
+    # (timm AttentionPoolLatent) instead of tok/avg pooling
+    cls_token: bool = True
+    attn_pool: bool = False
+    # CLIPA ordering (reference `transformer.py` final_ln_after_pool):
+    # pool first, then ln_post on the pooled vector
+    final_ln_after_pool: bool = False
 
     @property
     def heads(self) -> int:
@@ -69,7 +77,7 @@ class VisionConfig:
 
     @property
     def num_tokens(self) -> int:
-        return self.grid_size * self.grid_size + 1
+        return self.grid_size * self.grid_size + (1 if self.cls_token else 0)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -241,6 +249,11 @@ def config_from_open_clip_dict(name: str, d: dict) -> CLIPConfig:
             mlp_ratio=v.get("mlp_ratio", 4.0),
             output_dim=embed,
             patch_dropout=v.get("patch_dropout", 0.0),
+            pool_type={"avg": "avg_patch", "tok": "tok"}.get(
+                v.get("pool_type", "tok"), v.get("pool_type", "tok")),
+            ln_pre=not v.get("no_ln_pre", False),
+            final_ln_after_pool=v.get("final_ln_after_pool", False),
+            ln_eps=v.get("norm_kwargs", {}).get("eps", 1e-5),
         )
     text = TextConfig(
         context_length=t.get("context_length", 77),
@@ -255,6 +268,7 @@ def config_from_open_clip_dict(name: str, d: dict) -> CLIPConfig:
         no_causal_mask=t.get("no_causal_mask", False),
         pad_id=t.get("pad_id", 0),
         hf_tokenizer_name=t.get("hf_tokenizer_name"),
+        ln_eps=t.get("norm_kwargs", {}).get("eps", 1e-5),
     )
     return CLIPConfig(name=name, embed_dim=embed, text=text, vision=vision,
                       quick_gelu=bool(d.get("quick_gelu", False)),
@@ -334,3 +348,107 @@ def _register_convnext_models() -> None:
 
 
 _register_convnext_models()
+
+
+# -- SigLIP-family models -----------------------------------------------------
+# Values mirror the reference `model_configs/ViT-*-SigLIP*.json`
+# field-for-field (sigmoid loss → init_logit_bias=-10; class-token-less
+# timm trunk with MAP attention pool; text: no causal mask, 'last'
+# pool, biased projection, LN eps 1e-6, SentencePiece vocab 32000).
+def _register_siglip_models() -> None:
+    specs = {
+        # name: (trunk, embed, image, ctx, vocab, t_width, t_heads,
+        #        t_layers, t_mlp_ratio, tokenizer)
+        "ViT-B-16-SigLIP": ("vit_base_patch16_siglip_224", 768, 224, 64,
+                            32000, 768, 12, 12, 4.0,
+                            "timm/ViT-B-16-SigLIP"),
+        "ViT-B-16-SigLIP-256": ("vit_base_patch16_siglip_256", 768, 256,
+                                64, 32000, 768, 12, 12, 4.0,
+                                "timm/ViT-B-16-SigLIP"),
+        "ViT-B-16-SigLIP-384": ("vit_base_patch16_siglip_384", 768, 384,
+                                64, 32000, 768, 12, 12, 4.0,
+                                "timm/ViT-B-16-SigLIP"),
+        "ViT-B-16-SigLIP-512": ("vit_base_patch16_siglip_512", 768, 512,
+                                64, 32000, 768, 12, 12, 4.0,
+                                "timm/ViT-B-16-SigLIP"),
+        "ViT-B-16-SigLIP-i18n-256": ("vit_base_patch16_siglip_256", 768,
+                                     256, 64, 250000, 768, 12, 12, 4.0,
+                                     "timm/ViT-B-16-SigLIP-i18n-256"),
+        "ViT-L-16-SigLIP-256": ("vit_large_patch16_siglip_256", 1024,
+                                256, 64, 32000, 1024, 16, 24, 4.0,
+                                "timm/ViT-B-16-SigLIP"),
+        "ViT-L-16-SigLIP-384": ("vit_large_patch16_siglip_384", 1024,
+                                384, 64, 32000, 1024, 16, 24, 4.0,
+                                "timm/ViT-B-16-SigLIP"),
+        "ViT-SO400M-14-SigLIP": ("vit_so400m_patch14_siglip_224", 1152,
+                                 224, 16, 32000, 1152, 16, 27, 3.7362,
+                                 "timm/ViT-B-16-SigLIP"),
+        "ViT-SO400M-14-SigLIP-384": ("vit_so400m_patch14_siglip_384",
+                                     1152, 384, 64, 32000, 1152, 16, 27,
+                                     3.7362, "timm/ViT-B-16-SigLIP"),
+    }
+    for name, (trunk, embed, image, ctx, vocab, tw, th, tl, tmr,
+               tok) in specs.items():
+        register_model(config_from_open_clip_dict(name, {
+            "embed_dim": embed,
+            "init_logit_bias": -10,
+            "vision_cfg": {"image_size": image, "timm_model_name": trunk,
+                           "timm_pool": "map", "timm_proj": "none"},
+            "text_cfg": {"context_length": ctx, "vocab_size": vocab,
+                         "hf_tokenizer_name": tok,
+                         "width": tw, "heads": th, "layers": tl,
+                         "mlp_ratio": tmr, "no_causal_mask": True,
+                         "proj_bias": True, "pool_type": "last",
+                         "norm_kwargs": {"eps": 1e-6}},
+        }))
+    # CI-sized SigLIP-style model (not in the reference)
+    register_model(CLIPConfig(
+        name="siglip-tiny-test", embed_dim=64,
+        init_logit_scale=1.0, init_logit_bias=-10.0,
+        text=TextConfig(context_length=16, vocab_size=512, width=64,
+                        heads=2, layers=2, output_dim=64,
+                        no_causal_mask=True, proj_bias=True,
+                        pool_type="last", ln_eps=1e-6),
+        vision=VisionConfig(image_size=64, patch_size=16, width=64,
+                            layers=2, output_dim=64, patch_bias=True,
+                            ln_pre=False, cls_token=False,
+                            attn_pool=True, ln_eps=1e-6)))
+
+
+_register_siglip_models()
+
+
+# -- CLIPA-family models ------------------------------------------------------
+# Reference `model_configs/ViT-{L,H,bigG}-14-CLIPA*.json`: vision has
+# no ln_pre, 'avg' pooling with ln_post applied AFTER pooling; text is
+# causal-mask-free, 'last'-pooled, bert-uncased-tokenized vocab 32000.
+def _register_clipa_models() -> None:
+    specs = {
+        # name: (embed, v_layers, v_width, v_head_width, image, t_width,
+        #        t_heads, t_layers, ctx)
+        "ViT-L-14-CLIPA": (768, 24, 1024, 64, 224, 768, 12, 12, 32),
+        "ViT-L-14-CLIPA-336": (768, 24, 1024, 64, 336, 768, 12, 12, 32),
+        "ViT-H-14-CLIPA": (1024, 32, 1280, 80, 224, 1024, 16, 24, 32),
+        "ViT-H-14-CLIPA-336": (1024, 32, 1280, 80, 336, 1024, 16, 24, 32),
+        "ViT-bigG-14-CLIPA": (1280, 48, 1664, 104, 224, 1280, 20, 32, 32),
+        "ViT-bigG-14-CLIPA-336": (1280, 48, 1664, 104, 336, 1280, 20, 32,
+                                  32),
+    }
+    for name, (embed, vl, vw, vhw, image, tw, th, tl, ctx) in \
+            specs.items():
+        mlp = 4.9231 if "bigG" in name else 4.0
+        register_model(config_from_open_clip_dict(name, {
+            "embed_dim": embed,
+            "vision_cfg": {"image_size": image, "layers": vl, "width": vw,
+                           "head_width": vhw, "mlp_ratio": mlp,
+                           "patch_size": 14, "no_ln_pre": True,
+                           "pool_type": "avg",
+                           "final_ln_after_pool": True},
+            "text_cfg": {"context_length": ctx, "vocab_size": 32000,
+                         "hf_tokenizer_name": "bert-base-uncased",
+                         "width": tw, "heads": th, "layers": tl,
+                         "pool_type": "last", "no_causal_mask": True},
+        }))
+
+
+_register_clipa_models()

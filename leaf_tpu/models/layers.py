@@ -89,7 +89,8 @@ def gelu(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def attention(p: Params, x: jnp.ndarray, mask: Optional[jnp.ndarray],
-              n_heads: int, packed=None) -> jnp.ndarray:
+              n_heads: int, packed=None,
+              use_kernels: Optional[bool] = None) -> jnp.ndarray:
     """Multi-head self-attention.
 
     x: [B, S, D]; mask: additive [S, S] (or None), applied in fp32.
@@ -107,16 +108,22 @@ def attention(p: Params, x: jnp.ndarray, mask: Optional[jnp.ndarray],
     TPU or inside shard_map, see `leaf_tpu/ops/packed_attention.py`),
     attention runs fused in VMEM with no head transposes and no HBM
     logits — same numerics.
+
+    `use_kernels`: None = auto (`packed_attention.enabled()`, which
+    refuses on multi-device processes because GSPMD cannot partition a
+    pallas_call); True/False overrides — callers running inside
+    `shard_map` pass `enabled(n_devices=1)` since each shard is local.
     """
     if packed is not None:
         from leaf_tpu.ops.packed_attention import enabled, packed_attention
+        kern_ok = enabled() if use_kernels is None else use_kernels
         # measured: without the full block fusion, the standalone kernel
         # beats XLA when rows need no padding, or when rows are long
         # enough that XLA's HBM logits dominate (vision's 257 tokens:
         # kernel 196 ms vs XLA 222).  Row-padded *short* rows (77-token
         # text) were slower than XLA; the fused block in residual_block
         # wins in every case.
-        if enabled() and (x.shape[1] % 128 == 0 or x.shape[1] >= 192):
+        if kern_ok and (x.shape[1] % 128 == 0 or x.shape[1] >= 192):
             group_len, causal = packed
             qkv = x @ p["qkv_w"].astype(x.dtype) + p["qkv_b"].astype(x.dtype)
             out = packed_attention(
@@ -154,13 +161,15 @@ def mlp(p: Params, x: jnp.ndarray, act) -> jnp.ndarray:
 
 
 def residual_block(p: Params, x: jnp.ndarray, mask, n_heads: int, act,
-                   ln_eps: float, packed=None) -> jnp.ndarray:
+                   ln_eps: float, packed=None,
+                   use_kernels: Optional[bool] = None) -> jnp.ndarray:
     """Pre-LN residual attention block (`transformer.py:254-265`)."""
     fused = False
     if packed is not None:
         from leaf_tpu.ops.packed_attention import (
             enabled, fused_attention_block, fused_block_supported)
-        if enabled() and fused_block_supported(x.shape[-1], x.dtype):
+        kern_ok = enabled() if use_kernels is None else use_kernels
+        if kern_ok and fused_block_supported(x.shape[-1], x.dtype):
             x = fused_attention_block(
                 {"ln_1": p["ln_1"], "attn": p["attn"]}, x, n_heads,
                 packed[0], packed[1], ln_eps,
@@ -168,17 +177,19 @@ def residual_block(p: Params, x: jnp.ndarray, mask, n_heads: int, act,
             fused = True
     if not fused:
         x = x + attention(p["attn"], layer_norm(p["ln_1"], x, ln_eps), mask,
-                          n_heads, packed=packed)
+                          n_heads, packed=packed, use_kernels=use_kernels)
     x = x + mlp(p["mlp"], layer_norm(p["ln_2"], x, ln_eps), act)
     return x
 
 
 def transformer_stack(p: Params, x: jnp.ndarray, mask, n_heads: int, act,
                       ln_eps: float, remat: bool = False,
-                      packed=None) -> jnp.ndarray:
+                      packed=None,
+                      use_kernels: Optional[bool] = None) -> jnp.ndarray:
     """Run L stacked residual blocks via lax.scan (layer axis = 0)."""
     block = functools.partial(residual_block, mask=mask, n_heads=n_heads,
-                              act=act, ln_eps=ln_eps, packed=packed)
+                              act=act, ln_eps=ln_eps, packed=packed,
+                              use_kernels=use_kernels)
     if remat:
         block = jax.checkpoint(block)
 

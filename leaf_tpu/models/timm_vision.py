@@ -24,51 +24,71 @@ import numpy as np
 from leaf_tpu.models.config import VisionConfig
 
 _VIT_DIMS = {
-    # name-part → (width, layers, head_width)
-    "tiny": (192, 12, 64),
-    "small": (384, 12, 64),
-    "base": (768, 12, 64),
-    "large": (1024, 24, 64),
-    "huge": (1280, 32, 80),
-    "giant": (1408, 40, 88),
+    # name-part → (width, layers, head_width, mlp_ratio)
+    "tiny": (192, 12, 64, 4.0),
+    "small": (384, 12, 64, 4.0),
+    "medium": (512, 12, 64, 4.0),
+    "base": (768, 12, 64, 4.0),
+    "large": (1024, 24, 64, 4.0),
+    "huge": (1280, 32, 80, 4.0),
+    "giant": (1408, 40, 88, 4.0),
+    # SigLIP's shape-optimized 400M trunk (mlp 4304/1152)
+    "so400m": (1152, 27, 72, 3.7362),
 }
 
 _VIT_RE = re.compile(
-    r"^vit_(tiny|small|base|large|huge|giant)_patch(\d+)(?:_(\d+))?")
+    r"^vit_(tiny|small|medium|base|large|huge|giant|so400m)"
+    r"_patch(\d+)((?:_[a-z]+)*)(?:_(\d+))?$")
 
 
 def parse_timm_vit_name(model_name: str):
-    """'vit_base_patch16_224' → (width, layers, head_width, patch,
-    image_size or None)."""
+    """'vit_base_patch16_224' / 'vit_base_patch16_siglip_224' →
+    (width, layers, head_width, mlp_ratio, patch, image_size or None,
+    variant tags)."""
     m = _VIT_RE.match(model_name)
     if not m:
         raise ValueError(
             f"unsupported timm model {model_name!r}: only the ViT "
             "family maps onto the native tower (convnext trunks are "
             "handled by models/convnext.py, resnets by models/resnet.py)")
-    width, layers, head_width = _VIT_DIMS[m.group(1)]
+    width, layers, head_width, mlp_ratio = _VIT_DIMS[m.group(1)]
     patch = int(m.group(2))
-    image = int(m.group(3)) if m.group(3) else None
-    return width, layers, head_width, patch, image
+    tags = set(filter(None, (m.group(3) or "").split("_")))
+    image = int(m.group(4)) if m.group(4) else None
+    return width, layers, head_width, mlp_ratio, patch, image, tags
 
 
 def timm_vision_config(model_name: str, embed_dim: int,
                        image_size: Optional[int] = None,
                        pool: str = "avg", proj: str = "linear",
-                       mlp_ratio: float = 4.0) -> VisionConfig:
+                       mlp_ratio: Optional[float] = None) -> VisionConfig:
     """VisionConfig for a timm ViT trunk (reference TimmModel args
-    `timm_model.py:33-45`)."""
-    width, layers, head_width, patch, name_size = parse_timm_vit_name(
-        model_name)
-    pool_type = {"tok": "tok", "avg": "avg_patch", "": "tok"}.get(pool)
+    `timm_model.py:33-45`).
+
+    SigLIP trunks (`vit_*_siglip_*`) map to a class-token-less tower
+    with the MAP attention pool (timm AttentionPoolLatent) and LN eps
+    1e-6; `pool='map'` on any trunk selects the MAP head."""
+    width, layers, head_width, name_ratio, patch, name_size, tags = \
+        parse_timm_vit_name(model_name)
+    siglip = "siglip" in tags
+    gap = "gap" in tags          # vit_medium_patch16_gap_256: no cls
+    attn_pool_head = pool == "map" or (siglip and pool in ("map", ""))
+    pool_type = {"tok": "tok", "token": "tok", "avg": "avg_patch",
+                 "map": "tok", "": "tok"}.get(pool)
+    if gap or (siglip and not attn_pool_head):
+        pool_type = "avg"        # no cls token → mean over all tokens
     if pool_type is None:
         raise ValueError(f"unsupported timm pool {pool!r} "
                          "(abs_attn/rot_attn need conv feature maps)")
     return VisionConfig(
         image_size=image_size or name_size or 224,
         patch_size=patch, width=width, layers=layers,
-        head_width=head_width, mlp_ratio=mlp_ratio, output_dim=embed_dim,
-        pool_type=pool_type, patch_bias=True, ln_pre=False)
+        head_width=head_width,
+        mlp_ratio=mlp_ratio if mlp_ratio is not None else name_ratio,
+        output_dim=embed_dim,
+        pool_type=pool_type, patch_bias=True, ln_pre=False,
+        cls_token=not (siglip or gap), attn_pool=attn_pool_head,
+        ln_eps=1e-6 if siglip else 1e-5)
 
 
 def _np(v) -> np.ndarray:
@@ -103,7 +123,6 @@ def timm_vit_to_params(sd: Mapping[str, Any], cfg: VisionConfig,
     out = {
         "patch_embedding": patch_embedding,
         "patch_bias": g("patch_embed.proj.bias"),
-        "class_embedding": g("cls_token").reshape(-1),
         "positional_embedding": g("pos_embed").reshape(
             -1, cfg.width),
         "blocks": {
@@ -122,6 +141,23 @@ def timm_vit_to_params(sd: Mapping[str, Any], cfg: VisionConfig,
         },
         "ln_post": {"scale": g("norm.weight"), "bias": g("norm.bias")},
     }
+    if trunk_prefix + "cls_token" in sd:
+        out["class_embedding"] = g("cls_token").reshape(-1)
+
+    if trunk_prefix + "attn_pool.latent" in sd:
+        # SigLIP MAP head (timm AttentionPoolLatent)
+        ap = lambda k: g("attn_pool." + k)  # noqa: E731
+        out["attn_pool"] = {
+            "probe": ap("latent").reshape(1, cfg.width),
+            "q_w": ap("q.weight").T, "q_b": ap("q.bias"),
+            "kv_w": ap("kv.weight").T, "kv_b": ap("kv.bias"),
+            "proj_w": ap("proj.weight").T, "proj_b": ap("proj.bias"),
+            "ln": {"scale": ap("norm.weight"), "bias": ap("norm.bias")},
+            "mlp": {"fc_w": ap("mlp.fc1.weight").T,
+                    "fc_b": ap("mlp.fc1.bias"),
+                    "proj_w": ap("mlp.fc2.weight").T,
+                    "proj_b": ap("mlp.fc2.bias")},
+        }
 
     if proj == "mlp" and head_prefix + "mlp.fc1.weight" in sd:
         head = {"fc_w": _np(sd[head_prefix + "mlp.fc1.weight"]).T,

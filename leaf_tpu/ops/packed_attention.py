@@ -30,9 +30,13 @@ step's packed batch is tiny (16 rows), so bwd is never hot.
 
 GSPMD caveat: a `pallas_call` is an opaque custom call — XLA cannot
 partition it over a device mesh.  `enabled()` therefore auto-activates
-the kernel only on a single-device TPU process (the bench / single-chip
-path); multi-chip meshes keep the XLA attention unless the caller wraps
-the step in `shard_map` and forces `LEAF_TPU_PACKED_ATTN=1`.
+the kernel only on a single-device TPU process.  Multi-chip runs get
+the kernels through `shard_map`: the fused LEAF phases
+(`train/fused.py`) and the contrastive loss bodies run per-shard under
+`shard_map` over the `data` axis and pass
+`use_kernels=enabled(n_devices=1)` down the encode path, so every
+shard — being local to one device — runs the kernel exactly as a
+single chip would.
 
 No reference counterpart: the reference (LIONS-EPFL/LEAF) has no native
 code at all and scores candidates in dynamically-shaped torch batches

@@ -167,3 +167,41 @@ def test_fused_k2_equals_unfused(setup, constrained):
     for a, b in zip(jax.tree.leaves(state_a.text_params),
                     jax.tree.leaves(state_b.text_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_prepared_probes_stream_equivalence(setup):
+    """The overlap hook (prepare_probes for batch i+1 after batch i's
+    dispatch) must reproduce the unoverlapped run exactly: same rng
+    stream consumption, same selections, same final params."""
+    cfg, params, tok, tx = setup
+    rho = 5
+    frozen = jax.tree.map(jnp.copy, params["text"])
+    batches = [TEXTS, ["another day at the office", "rain over the hills",
+                       "a plate of pasta", "two dogs playing"]]
+
+    # unoverlapped: sequential steps off one rng
+    state_a = TrainState.create(jax.tree.map(jnp.copy, params["text"]), tx)
+    fused_a = FusedLeafStep(cfg, tx, tok, rho=rho)
+    rng_a = np.random.default_rng(11)
+    infos_a = []
+    for b in batches:
+        state_a, info = fused_a(state_a, frozen, list(b), rng_a)
+        infos_a.append(info)
+
+    # overlapped: prepare batch 1's probes right after batch 0's step
+    state_b = TrainState.create(jax.tree.map(jnp.copy, params["text"]), tx)
+    fused_b = FusedLeafStep(cfg, tx, tok, rho=rho)
+    rng_b = np.random.default_rng(11)
+    state_b, info0 = fused_b(state_b, frozen, list(batches[0]), rng_b)
+    prepared = fused_b.prepare_probes(list(batches[1]), rng_b)
+    state_b, info1 = fused_b(state_b, frozen, list(batches[1]), rng_b,
+                             prepared=prepared)
+
+    for ia, ib in zip(infos_a, [info0, info1]):
+        assert ia["best_pos"] == ib["best_pos"]
+        np.testing.assert_array_equal(np.asarray(ia["best_char_idx"]),
+                                      np.asarray(ib["best_char_idx"]))
+        np.testing.assert_array_equal(ia["us"], ib["us"])
+    for a, b in zip(jax.tree.leaves(state_a.text_params),
+                    jax.tree.leaves(state_b.text_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
