@@ -30,6 +30,10 @@ class TextConfig:
     # HF tokenizer id when the tower uses one (reference CLIPTextCfg
     # hf_tokenizer_name; selects HFTokenizer in get_tokenizer)
     hf_tokenizer_name: Optional[str] = None
+    # extra HFTokenizer kwargs as a hashable (key, value) tuple — the
+    # reference's text_cfg.tokenizer_kwargs (e.g. SigLIP's
+    # clean='canonicalize', CLIPA's strip_sep_token=True)
+    tokenizer_kwargs: Optional[Tuple[Tuple[str, object], ...]] = None
 
     @property
     def head_dim(self) -> int:
@@ -268,6 +272,8 @@ def config_from_open_clip_dict(name: str, d: dict) -> CLIPConfig:
         no_causal_mask=t.get("no_causal_mask", False),
         pad_id=t.get("pad_id", 0),
         hf_tokenizer_name=t.get("hf_tokenizer_name"),
+        tokenizer_kwargs=(tuple(sorted(t["tokenizer_kwargs"].items()))
+                          if t.get("tokenizer_kwargs") else None),
         ln_eps=t.get("norm_kwargs", {}).get("eps", 1e-5),
     )
     return CLIPConfig(name=name, embed_dim=embed, text=text, vision=vision,
@@ -396,6 +402,7 @@ def _register_siglip_models() -> None:
                            "timm_pool": "map", "timm_proj": "none"},
             "text_cfg": {"context_length": ctx, "vocab_size": vocab,
                          "hf_tokenizer_name": tok,
+                         "tokenizer_kwargs": {"clean": "canonicalize"},
                          "width": tw, "heads": th, "layers": tl,
                          "mlp_ratio": tmr, "no_causal_mask": True,
                          "proj_bias": True, "pool_type": "last",
@@ -410,9 +417,10 @@ def _register_siglip_models() -> None:
                         no_causal_mask=True, proj_bias=True,
                         pool_type="last", ln_eps=1e-6),
         vision=VisionConfig(image_size=64, patch_size=16, width=64,
-                            layers=2, output_dim=64, patch_bias=True,
-                            ln_pre=False, cls_token=False,
-                            attn_pool=True, ln_eps=1e-6)))
+                            layers=2, head_width=32, output_dim=64,
+                            patch_bias=True, ln_pre=False,
+                            cls_token=False, attn_pool=True,
+                            ln_eps=1e-6)))
 
 
 _register_siglip_models()
@@ -446,6 +454,7 @@ def _register_clipa_models() -> None:
                            "final_ln_after_pool": True},
             "text_cfg": {"context_length": ctx, "vocab_size": 32000,
                          "hf_tokenizer_name": "bert-base-uncased",
+                         "tokenizer_kwargs": {"strip_sep_token": True},
                          "width": tw, "heads": th, "layers": tl,
                          "pool_type": "last", "no_causal_mask": True},
         }))

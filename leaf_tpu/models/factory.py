@@ -195,8 +195,10 @@ def get_tokenizer(model_name: str = "", context_length=None, **kwargs):
             cfg = None
     if cfg is not None and cfg.text.hf_tokenizer_name:
         from leaf_tpu.tokenizer.hf import HFTokenizer
+        tk = dict(cfg.text.tokenizer_kwargs or ())
+        tk.update(kwargs)
         return HFTokenizer(cfg.text.hf_tokenizer_name,
                            context_length=(context_length
                                            or cfg.text.context_length),
-                           **kwargs)
+                           **tk)
     return _get_bpe()

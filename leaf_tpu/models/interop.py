@@ -193,44 +193,70 @@ def openclip_to_params(sd: Mapping[str, Any], cfg: CLIPConfig) -> Params:
             proj = "mlp" if any(k.startswith("visual.head.mlp.")
                                 for k in sd) else "linear"
             visual = timm_vit_to_params(sd, cfg.vision, proj=proj)
-        return {
-            "text": {
-                "token_embedding": _np(sd[tp + "token_embedding.weight"]),
-                "positional_embedding": _np(
-                    sd[tp + "positional_embedding"]),
-                "blocks": _openclip_block_stack(sd, tp + "transformer",
-                                                cfg.text.layers),
-                "ln_final": {"scale": _np(sd[tp + "ln_final.weight"]),
-                             "bias": _np(sd[tp + "ln_final.bias"])},
-                "text_projection": _np(sd[tp + "text_projection"]),
-            },
+        text = {
+            "token_embedding": _np(sd[tp + "token_embedding.weight"]),
+            "positional_embedding": _np(
+                sd[tp + "positional_embedding"]),
+            "blocks": _openclip_block_stack(sd, tp + "transformer",
+                                            cfg.text.layers),
+            "ln_final": {"scale": _np(sd[tp + "ln_final.weight"]),
+                         "bias": _np(sd[tp + "ln_final.bias"])},
+        }
+        if tp + "text_projection.weight" in sd:
+            # Linear projection (SigLIP towers: proj_bias=True)
+            text["text_projection"] = _np(
+                sd[tp + "text_projection.weight"]).T
+            if tp + "text_projection.bias" in sd:
+                text["text_projection_bias"] = _np(
+                    sd[tp + "text_projection.bias"])
+        else:
+            text["text_projection"] = _np(sd[tp + "text_projection"])
+        out = {
+            "text": text,
             "visual": visual,
             "logit_scale": _np(sd["logit_scale"]).reshape(()),
         }
+        if "logit_bias" in sd:           # SigLIP sigmoid-loss bias
+            out["logit_bias"] = _np(sd["logit_bias"]).reshape(())
+        return out
     conv = _np(sd["visual.conv1.weight"])
     patch_w = conv.transpose(2, 3, 1, 0).reshape(-1, conv.shape[0])
+    tp = "text." if "text.token_embedding.weight" in sd else ""
+    visual = {
+        "patch_embedding": patch_w,
+        "class_embedding": _np(sd["visual.class_embedding"]),
+        "positional_embedding": _np(sd["visual.positional_embedding"]),
+        "blocks": _openclip_block_stack(sd, "visual.transformer",
+                                        cfg.vision.layers),
+        "ln_post": {"scale": _np(sd["visual.ln_post.weight"]),
+                    "bias": _np(sd["visual.ln_post.bias"])},
+        "proj": _np(sd["visual.proj"]),
+    }
+    if "visual.ln_pre.weight" in sd:     # absent in CLIPA (no_ln_pre)
+        visual["ln_pre"] = {"scale": _np(sd["visual.ln_pre.weight"]),
+                            "bias": _np(sd["visual.ln_pre.bias"])}
+    text = {
+        "token_embedding": _np(sd[tp + "token_embedding.weight"]),
+        "positional_embedding": _np(sd[tp + "positional_embedding"]),
+        "blocks": _openclip_block_stack(sd, tp + "transformer",
+                                        cfg.text.layers),
+        "ln_final": {"scale": _np(sd[tp + "ln_final.weight"]),
+                     "bias": _np(sd[tp + "ln_final.bias"])},
+    }
+    if tp + "text_projection.weight" in sd:
+        text["text_projection"] = _np(sd[tp + "text_projection.weight"]).T
+        if tp + "text_projection.bias" in sd:
+            text["text_projection_bias"] = _np(
+                sd[tp + "text_projection.bias"])
+    else:
+        text["text_projection"] = _np(sd[tp + "text_projection"])
     p = {
-        "text": {
-            "token_embedding": _np(sd["token_embedding.weight"]),
-            "positional_embedding": _np(sd["positional_embedding"]),
-            "blocks": _openclip_block_stack(sd, "transformer", cfg.text.layers),
-            "ln_final": {"scale": _np(sd["ln_final.weight"]),
-                         "bias": _np(sd["ln_final.bias"])},
-            "text_projection": _np(sd["text_projection"]),
-        },
-        "visual": {
-            "patch_embedding": patch_w,
-            "class_embedding": _np(sd["visual.class_embedding"]),
-            "positional_embedding": _np(sd["visual.positional_embedding"]),
-            "ln_pre": {"scale": _np(sd["visual.ln_pre.weight"]),
-                       "bias": _np(sd["visual.ln_pre.bias"])},
-            "blocks": _openclip_block_stack(sd, "visual.transformer", cfg.vision.layers),
-            "ln_post": {"scale": _np(sd["visual.ln_post.weight"]),
-                        "bias": _np(sd["visual.ln_post.bias"])},
-            "proj": _np(sd["visual.proj"]),
-        },
+        "text": text,
+        "visual": visual,
         "logit_scale": _np(sd["logit_scale"]).reshape(()),
     }
+    if "logit_bias" in sd:
+        p["logit_bias"] = _np(sd["logit_bias"]).reshape(())
     return p
 
 
