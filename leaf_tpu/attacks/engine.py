@@ -99,6 +99,19 @@ class CandidateScorer:
         self._can_bucket = (not cfg.text.no_causal_mask
                             and cfg.text.pool_type == "argmax")
 
+    def host_local(self) -> "CandidateScorer":
+        """Scorer for THIS host's sentences in a multi-host run: batch
+        buffers shard over the local devices only.  Each host attacks
+        its own batch slice (per-host shapes can differ), so there is
+        no global dispatch; single-process returns self."""
+        import jax
+        if jax.process_count() == 1:
+            return self
+        from jax.sharding import Mesh
+        local = Mesh(np.asarray(jax.local_devices()), ("data",))
+        return CandidateScorer(self.cfg, self.dtype, self.bucket,
+                               mesh=local)
+
     def _bucket(self, tokens):
         return bucket_tokens(tokens) if self._can_bucket else np.asarray(tokens)
 

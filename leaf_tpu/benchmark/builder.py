@@ -449,14 +449,25 @@ def build_dataset(name: str, root: str, preprocess, split: str = "test",
                 ds = BabelSubsetDataset(ds, babel[0])
         return ds, task, classnames, templates
 
+    from leaf_tpu.benchmark.tfds_datasets import VTAB_TFDS, find_tfds_dir
     from leaf_tpu.benchmark.tv_datasets import (NATIVE_DATASETS,
                                                 load_native_dataset)
     if name in NATIVE_DATASETS:
-        nat = load_native_dataset(name, root, split)
-        ds = TorchClassificationDataset(nat, preprocess, batch_size)
-        classnames, templates = classnames_and_templates(
-            name, language, fallback_classes=ds.classes or None)
-        return ds, task, classnames, templates
+        try:
+            nat = load_native_dataset(name, root, split)
+        except FileNotFoundError:
+            # a name in both registries (pcam) may sit in the tfds
+            # layout instead of the torchvision one
+            if name in VTAB_TFDS \
+                    and find_tfds_dir(root, VTAB_TFDS[name].tfds_name):
+                nat = None
+            else:
+                raise
+        if nat is not None:
+            ds = TorchClassificationDataset(nat, preprocess, batch_size)
+            classnames, templates = classnames_and_templates(
+                name, language, fallback_classes=ds.classes or None)
+            return ds, task, classnames, templates
 
     if name in ("voc2007", "voc2007_multilabel"):
         from leaf_tpu.benchmark.voc2007 import (Voc2007Cropped,
@@ -467,6 +478,23 @@ def build_dataset(name: str, root: str, preprocess, split: str = "test",
         ds = TorchClassificationDataset(nat, preprocess, batch_size)
         classnames, templates = classnames_and_templates(
             "voc2007", language, fallback_classes=ds.classes)
+        return ds, task, classnames, templates
+
+    if name in VTAB_TFDS:
+        # tfds-layout vtab datasets (resisc45/clevr/dsprites/smallnorb/
+        # dmlab/kitti/diabetic_retinopathy/pcam) — native TFRecord
+        # reader, no tensorflow (reference builds these via
+        # tensorflow_datasets + task_adaptation,
+        # `datasets/builder.py:476-600`).  A missing/mismatched layout
+        # raises a loud error naming the expected tfds directory
+        # structure instead of silently falling through.
+        from leaf_tpu.benchmark.tfds_datasets import (
+            TfdsClassificationDataset,
+        )
+        ds = TfdsClassificationDataset(name, root, preprocess, split,
+                                       batch_size)
+        classnames, templates = classnames_and_templates(
+            name, language, fallback_classes=ds.classes)
         return ds, task, classnames, templates
 
     if name == "objectnet":

@@ -86,6 +86,20 @@ def coca_vit_l_14() -> CoCaConfig:
                                     layers=12))
 
 
+def coca_base() -> CoCaConfig:
+    """reference `model_configs/coca_base.json` (the 64k-vocab paper
+    config: 288px/patch-18 vision, width-768 towers)."""
+    return CoCaConfig(
+        name="coca_base", embed_dim=512,
+        text=TextConfig(context_length=76, vocab_size=64000, width=768,
+                        heads=12, layers=12, output_dim=512),
+        vision=VisionConfig(image_size=288, patch_size=18, width=768,
+                            layers=12, output_dim=512),
+        multimodal=MultimodalConfig(context_length=76, vocab_size=64000,
+                                    width=768, heads=12, layers=12),
+        n_queries=256, attn_pooler_heads=8)
+
+
 def coca_tiny_test() -> CoCaConfig:
     """CI-sized CoCa (not in the reference; mirrors ViT-tiny-test)."""
     return CoCaConfig(
@@ -100,7 +114,7 @@ def coca_tiny_test() -> CoCaConfig:
 
 
 COCA_CONFIGS = {"coca_ViT-B-32": coca_vit_b_32, "coca_ViT-L-14": coca_vit_l_14,
-                "coca-tiny-test": coca_tiny_test}
+                "coca_base": coca_base, "coca-tiny-test": coca_tiny_test}
 
 
 def get_coca_config(name: str) -> CoCaConfig:

@@ -34,6 +34,12 @@ class TextConfig:
     # reference's text_cfg.tokenizer_kwargs (e.g. SigLIP's
     # clean='canonicalize', CLIPA's strip_sep_token=True)
     tokenizer_kwargs: Optional[Tuple[Tuple[str, object], ...]] = None
+    # HF text TOWER (CustomTextCLIP route, reference `hf_model.py`):
+    # set → the text encoder is a transformers model + pooler + proj
+    # instead of the native CLIP text transformer
+    hf_model_name: Optional[str] = None
+    hf_pooler_type: str = "mean_pooler"
+    hf_proj_type: Optional[str] = "linear"
 
     @property
     def head_dim(self) -> int:
@@ -275,6 +281,9 @@ def config_from_open_clip_dict(name: str, d: dict) -> CLIPConfig:
         tokenizer_kwargs=(tuple(sorted(t["tokenizer_kwargs"].items()))
                           if t.get("tokenizer_kwargs") else None),
         ln_eps=t.get("norm_kwargs", {}).get("eps", 1e-5),
+        hf_model_name=t.get("hf_model_name"),
+        hf_pooler_type=t.get("hf_pooler_type", "mean_pooler"),
+        hf_proj_type=t.get("hf_proj_type", "linear"),
     )
     return CLIPConfig(name=name, embed_dim=embed, text=text, vision=vision,
                       quick_gelu=bool(d.get("quick_gelu", False)),
@@ -461,3 +470,172 @@ def _register_clipa_models() -> None:
 
 
 _register_clipa_models()
+
+
+# -- Registry breadth: remaining reference model_configs ----------------------
+# Plain ViT sizes (values mirror the same-named reference JSONs
+# field-for-field).
+def _register_vit_variants() -> None:
+    for c in [
+        _cfg("ViT-S-16", 384, v_layers=12, v_width=384, v_patch=16,
+             t_width=384, t_heads=6, t_layers=12),
+        _cfg("ViT-S-16-alt", 256, v_layers=12, v_width=384, v_patch=16,
+             t_width=256, t_heads=4, t_layers=10),
+        _cfg("ViT-S-32-alt", 256, v_layers=12, v_width=384, v_patch=32,
+             t_width=256, t_heads=4, t_layers=10),
+        _cfg("ViT-M-16", 512, v_layers=12, v_width=512, v_patch=16,
+             t_width=512, t_heads=8, t_layers=12),
+        _cfg("ViT-M-16-alt", 384, v_layers=12, v_width=512, v_patch=16,
+             t_width=384, t_heads=6, t_layers=12),
+        _cfg("ViT-M-32", 512, v_layers=12, v_width=512, v_patch=32,
+             t_width=512, t_heads=8, t_layers=12),
+        _cfg("ViT-M-32-alt", 384, v_layers=12, v_width=512, v_patch=32,
+             t_width=384, t_heads=6, t_layers=12),
+        _cfg("ViT-B-16-plus", 640, v_layers=12, v_width=896, v_patch=16,
+             t_width=640, t_heads=10, t_layers=12),
+        _cfg("ViT-B-16-plus-240", 640, v_layers=12, v_width=896,
+             v_patch=16, t_width=640, t_heads=10, t_layers=12,
+             image_size=240),
+        _cfg("ViT-B-32-256", 512, v_layers=12, v_width=768, v_patch=32,
+             t_width=512, t_heads=8, t_layers=12, image_size=256),
+        _cfg("ViT-B-32-plus-256", 640, v_layers=12, v_width=896,
+             v_patch=32, t_width=640, t_heads=10, t_layers=12,
+             image_size=256),
+        _cfg("ViT-L-16", 768, v_layers=24, v_width=1024, v_patch=16,
+             t_width=768, t_heads=12, t_layers=12),
+        _cfg("ViT-L-16-320", 768, v_layers=24, v_width=1024, v_patch=16,
+             t_width=768, t_heads=12, t_layers=12, image_size=320),
+        _cfg("ViT-L-14-280", 768, v_layers=24, v_width=1024, v_patch=14,
+             t_width=768, t_heads=12, t_layers=12, image_size=280),
+        _cfg("ViT-H-16", 1024, v_layers=32, v_width=1280, v_patch=16,
+             t_width=1024, t_heads=16, t_layers=24, v_head_width=80),
+        _cfg("ViT-H-14-378-quickgelu", 1024, v_layers=32, v_width=1280,
+             v_patch=14, t_width=1024, t_heads=16, t_layers=24,
+             v_head_width=80, image_size=378, quick_gelu=True),
+        # PaLI's 4B-param "e" tower
+        _cfg("ViT-e-14", 1280, v_layers=56, v_width=1792, v_patch=14,
+             t_width=1280, t_heads=20, t_layers=36, v_head_width=112,
+             v_mlp_ratio=8.5715),
+    ]:
+        register_model(c)
+    # quickgelu aliases used by metaclip/dfn pretrained tags
+    for base in ["ViT-H-14", "ViT-bigG-14"]:
+        register_model(dataclasses.replace(
+            _REGISTRY[base], name=base + "-quickgelu", quick_gelu=True))
+
+
+_register_vit_variants()
+
+
+# Larger OpenAI ResNets (reference RN50x16/RN50x64.json)
+for _name, _layers, _width, _image, _embed, _tw, _th, _tl in [
+    ("RN50x16", (6, 8, 18, 8), 96, 384, 768, 768, 12, 12),
+    ("RN50x64", (3, 15, 36, 10), 128, 448, 1024, 1024, 16, 12),
+]:
+    register_model(CLIPConfig(
+        name=_name, embed_dim=_embed,
+        text=TextConfig(width=_tw, heads=_th, layers=_tl,
+                        output_dim=_embed),
+        vision=VisionConfig(image_size=_image, patch_size=32,
+                            width=_width * 16, layers=sum(_layers),
+                            output_dim=_embed),
+        resnet=ResNetVisionSpec(layers=_layers, width=_width,
+                                image_size=_image, output_dim=_embed),
+        quick_gelu=True))
+
+
+# Remaining convnext sizes + the timm gap-ViT trunk (reference
+# convnext_{tiny,small,large,xlarge,xxlarge_320}.json,
+# vit_medium_patch16_gap_256.json)
+def _register_more_timm_models() -> None:
+    for name, trunk, embed, image, tw, th, tl in [
+        ("convnext_tiny", "convnext_tiny", 1024, 224, 512, 8, 12),
+        ("convnext_small", "convnext_small", 512, 224, 512, 8, 12),
+        ("convnext_large", "convnext_large", 768, 224, 768, 12, 12),
+        ("convnext_xlarge", "convnext_xlarge", 1024, 256, 1024, 16, 20),
+        ("convnext_xxlarge_320", "convnext_xxlarge", 1024, 320, 1024, 16,
+         24),
+    ]:
+        register_model(config_from_open_clip_dict(name, {
+            "embed_dim": embed,
+            "vision_cfg": {"timm_model_name": trunk, "timm_pool": "",
+                           "timm_proj": "linear", "image_size": image},
+            "text_cfg": {"context_length": 77, "vocab_size": 49408,
+                         "width": tw, "heads": th, "layers": tl},
+        }))
+    register_model(config_from_open_clip_dict(
+        "vit_medium_patch16_gap_256", {
+            "embed_dim": 512,
+            "vision_cfg": {"timm_model_name": "vit_medium_patch16_gap_256",
+                           "timm_pool": "", "timm_proj": "linear",
+                           "image_size": 256},
+            "text_cfg": {"context_length": 77, "vocab_size": 49408,
+                         "width": 512, "heads": 8, "layers": 12},
+        }))
+
+
+_register_more_timm_models()
+
+
+# HF-text-tower models (CustomTextCLIP route — reference
+# `model_configs/{mt5,nllb,xlm-roberta,roberta}-*.json`; the factory
+# builds these with models/hf_text.HFTextTower)
+def _register_hf_text_models() -> None:
+    specs = {
+        # name: (embed, vision dict, hf_model, pooler, proj, quick_gelu)
+        "roberta-ViT-B-32": (
+            512, {"image_size": 224, "layers": 12, "width": 768,
+                  "patch_size": 32}, "roberta-base", "mean_pooler",
+            "linear", True),
+        "xlm-roberta-base-ViT-B-32": (
+            512, {"image_size": 224, "layers": 12, "width": 768,
+                  "patch_size": 32}, "xlm-roberta-base", "mean_pooler",
+            "linear", False),
+        "xlm-roberta-large-ViT-H-14": (
+            1024, {"image_size": 224, "layers": 32, "width": 1280,
+                   "head_width": 80, "patch_size": 14},
+            "xlm-roberta-large", "mean_pooler", "linear", False),
+        "mt5-base-ViT-B-32": (
+            512, {"image_size": 224, "layers": 12, "width": 768,
+                  "patch_size": 32}, "google/mt5-base", "mean_pooler",
+            "linear", False),
+        "mt5-xl-ViT-H-14": (
+            1024, {"image_size": 224, "layers": 32, "width": 1280,
+                   "head_width": 80, "patch_size": 14}, "google/mt5-xl",
+            "mean_pooler", "linear", False),
+        "nllb-clip-base": (
+            512, {"image_size": 224, "layers": 12, "width": 768,
+                  "patch_size": 32}, "facebook/nllb-200-distilled-600M",
+            "cls_pooler", "linear", False),
+        "nllb-clip-large": (
+            1024, {"image_size": 224, "layers": 32, "width": 1280,
+                   "head_width": 80, "patch_size": 14},
+            "facebook/nllb-200-distilled-1.3B", "cls_pooler", "linear",
+            False),
+        "nllb-clip-base-siglip": (
+            768, {"image_size": 384,
+                  "timm_model_name": "vit_base_patch16_siglip_384",
+                  "timm_pool": "map", "timm_proj": "none"},
+            "facebook/nllb-200-distilled-600M", "cls_pooler", "linear",
+            False),
+        "nllb-clip-large-siglip": (
+            1152, {"image_size": 384,
+                   "timm_model_name": "vit_so400m_patch14_siglip_384",
+                   "timm_pool": "map", "timm_proj": "none"},
+            "facebook/nllb-200-distilled-1.3B", "cls_pooler", "linear",
+            False),
+    }
+    for name, (embed, vision, hf, pooler, proj, qg) in specs.items():
+        d = {
+            "embed_dim": embed,
+            "quick_gelu": qg,
+            "vision_cfg": vision,
+            "text_cfg": {"hf_model_name": hf, "hf_tokenizer_name": hf,
+                         "hf_pooler_type": pooler, "hf_proj_type": proj},
+        }
+        if "siglip" in name:
+            d["init_logit_bias"] = -10
+        register_model(config_from_open_clip_dict(name, d))
+
+
+_register_hf_text_models()

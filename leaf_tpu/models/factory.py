@@ -30,14 +30,19 @@ class CLIPModel:
 
     A thin convenience wrapper — all state lives in `.params`, a plain
     pytree, so the same object works for trainable and frozen towers
-    (swap the pytree, keep the functions)."""
+    (swap the pytree, keep the functions).  `hf_text` (an
+    `hf_text.HFTextTower`) replaces the native text transformer for
+    CustomTextCLIP configs (roberta/mt5/nllb towers)."""
     cfg: CLIPConfig
     params: Params
     dtype: Any = jnp.float32
+    hf_text: Optional[Any] = None
 
     def encode_text(self, tokens, params: Optional[Params] = None,
                     normalize: bool = False):
         p = self.params if params is None else params
+        if self.hf_text is not None:
+            return self.hf_text(p["text"], tokens, normalize=normalize)
         return clip.encode_text(p["text"], self.cfg.text, tokens,
                                 self.cfg.quick_gelu, normalize, self.dtype)
 
@@ -119,6 +124,38 @@ def create_model(
         cfg = dataclasses.replace(
             cfg, vision=dataclasses.replace(
                 cfg.vision, patch_dropout=force_patch_dropout))
+    dtype = {"fp32": jnp.float32, "bf16": jnp.bfloat16,
+             "bfloat16": jnp.bfloat16}[precision]
+    if cfg.text.hf_model_name:
+        # CustomTextCLIP route (reference `model.py:318+` + hf_model.py):
+        # HF text tower + our vision tower.  Loading unified open_clip
+        # checkpoints for these towers is not supported — pass
+        # pretrained HF weights via hf_text.HFTextTower(pretrained=True)
+        # and a vision checkpoint separately.
+        if pretrained:
+            raise ValueError(
+                f"{model_name}: loading a unified checkpoint into an "
+                "HF-text-tower model is not supported; build the towers "
+                "via leaf_tpu.models.hf_text (HFTextTower(pretrained="
+                "True) + interop for the vision tower)")
+        from leaf_tpu.models.hf_text import HFTextTower
+        tower = HFTextTower(cfg.text.hf_model_name, cfg.embed_dim,
+                            pooler_type=cfg.text.hf_pooler_type,
+                            proj_type=cfg.text.hf_proj_type, seed=seed)
+        kv = jax.random.PRNGKey(seed + 1)
+        if cfg.convnext is not None:
+            from leaf_tpu.models.convnext import init_convnext
+            visual = init_convnext(kv, cfg.convnext)
+        else:
+            visual = clip.init_vision_tower(kv, cfg.vision)
+        params = {"visual": visual, "text": tower.params,
+                  "logit_scale": jnp.asarray(cfg.init_logit_scale,
+                                             jnp.float32)}
+        if cfg.init_logit_bias is not None:
+            params["logit_bias"] = jnp.asarray(cfg.init_logit_bias,
+                                               jnp.float32)
+        return CLIPModel(cfg=cfg, params=params, dtype=dtype,
+                         hf_text=tower)
     if pretrained:
         if isinstance(pretrained, str) and pretrained.startswith("hf-hub:"):
             from leaf_tpu.models.pretrained import download_pretrained_from_hf
@@ -151,8 +188,6 @@ def create_model(
         params = jax.tree.map(jnp.asarray, params)
     else:
         params = clip.init_clip(jax.random.PRNGKey(seed), cfg)
-    dtype = {"fp32": jnp.float32, "bf16": jnp.bfloat16,
-             "bfloat16": jnp.bfloat16}[precision]
     return CLIPModel(cfg=cfg, params=params, dtype=dtype)
 
 

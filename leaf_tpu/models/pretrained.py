@@ -124,10 +124,161 @@ _PRETRAINED: Dict[str, Dict[str, Dict[str, str]]] = {
     },
 }
 
-# quickgelu aliases share their base model's sources (OpenAI-pretrained
-# towers ARE quickgelu; reference `pretrained.py` lists them separately)
+# quickgelu aliases get a COPY of their base model's sources (OpenAI-
+# pretrained towers ARE quickgelu; reference `pretrained.py` lists them
+# separately) — copies, because metaclip/dfn tags below attach only to
+# the quickgelu names
 for _base in ("RN50", "RN101", "ViT-B-32", "ViT-B-16", "ViT-L-14"):
-    _PRETRAINED.setdefault(_base + "-quickgelu", _PRETRAINED[_base])
+    _PRETRAINED.setdefault(_base + "-quickgelu", dict(_PRETRAINED[_base]))
+
+
+def _hub(repo: str) -> Dict[str, str]:
+    return dict(url="hf-hub:" + repo, sha256="")
+
+
+_GH_W = ("https://github.com/mlfoundations/open_clip/releases/download/"
+         "v0.2-weights/")
+_METACLIP = "https://dl.fbaipublicfiles.com/MMPT/metaclip/"
+
+# Registry breadth (reference `pretrained.py:83-330`): laion400m /
+# datacomp / commonpool / metaclip / dfn / webli-SigLIP / convnext /
+# coca tags.  metaclip + dfn checkpoints are QuickGELU models and hang
+# off the -quickgelu names, exactly as in the reference.
+_EXTRA_TAGS = {
+    "ViT-B-32": dict(
+        laion400m_e31=dict(url=_GH_W + "vit_b_32-quickgelu-laion400m_e31-"
+                           "d867053b.pt", sha256="d867053b"),
+        laion400m_e32=dict(url=_GH_W + "vit_b_32-quickgelu-laion400m_e32-"
+                           "46683a32.pt", sha256="46683a32"),
+        datacomp_m_s128m_b4k=_hub("laion/CLIP-ViT-B-32-DataComp.M-s128M-b4K"),
+        datacomp_s_s13m_b4k=_hub("laion/CLIP-ViT-B-32-DataComp.S-s13M-b4K"),
+        commonpool_m_clip_s128m_b4k=_hub(
+            "laion/CLIP-ViT-B-32-CommonPool.M.clip-s128M-b4K"),
+        commonpool_s_clip_s13m_b4k=_hub(
+            "laion/CLIP-ViT-B-32-CommonPool.S.clip-s13M-b4K"),
+    ),
+    "ViT-B-32-quickgelu": dict(
+        metaclip_400m=dict(url=_METACLIP + "b32_400m.pt", sha256=""),
+        metaclip_fullcc=dict(url=_METACLIP + "b32_fullcc2.5b.pt",
+                             sha256=""),
+    ),
+    "ViT-B-32-256": dict(
+        datacomp_s34b_b86k=_hub(
+            "laion/CLIP-ViT-B-32-256x256-DataComp-s34B-b86K"),
+    ),
+    "ViT-B-16": dict(
+        laion400m_e31=dict(url=_GH_W + "vit_b_16-laion400m_e31-00efa78f.pt",
+                           sha256="00efa78f"),
+        laion400m_e32=dict(url=_GH_W + "vit_b_16-laion400m_e32-55e67d44.pt",
+                           sha256="55e67d44"),
+        datacomp_xl_s13b_b90k=_hub(
+            "laion/CLIP-ViT-B-16-DataComp.XL-s13B-b90K"),
+        datacomp_l_s1b_b8k=_hub("laion/CLIP-ViT-B-16-DataComp.L-s1B-b8K"),
+        commonpool_l_clip_s1b_b8k=_hub(
+            "laion/CLIP-ViT-B-16-CommonPool.L.clip-s1B-b8K"),
+        dfn2b=_hub("apple/DFN2B-CLIP-ViT-B-16"),
+    ),
+    "ViT-B-16-quickgelu": dict(
+        metaclip_400m=dict(url=_METACLIP + "b16_400m.pt", sha256=""),
+        metaclip_fullcc=dict(url=_METACLIP + "b16_fullcc2.5b.pt",
+                             sha256=""),
+    ),
+    "ViT-B-16-plus-240": dict(
+        laion400m_e31=dict(url=_GH_W + "vit_b_16_plus_240-laion400m_e31-"
+                           "8fb26589.pt", sha256="8fb26589"),
+        laion400m_e32=dict(url=_GH_W + "vit_b_16_plus_240-laion400m_e32-"
+                           "699c4b84.pt", sha256="699c4b84"),
+    ),
+    "ViT-L-14": dict(
+        laion400m_e31=dict(url=_GH_W + "vit_l_14-laion400m_e31-69988bb6.pt",
+                           sha256="69988bb6"),
+        laion400m_e32=dict(url=_GH_W + "vit_l_14-laion400m_e32-3d133497.pt",
+                           sha256="3d133497"),
+        commonpool_xl_clip_s13b_b90k=_hub(
+            "laion/CLIP-ViT-L-14-CommonPool.XL.clip-s13B-b90K"),
+    ),
+    "ViT-L-14-quickgelu": dict(
+        metaclip_400m=dict(url=_METACLIP + "l14_400m.pt", sha256=""),
+        metaclip_fullcc=dict(url=_METACLIP + "l14_fullcc2.5b.pt",
+                             sha256=""),
+        dfn2b=_hub("apple/DFN2B-CLIP-ViT-L-14"),
+    ),
+    "ViT-H-14-quickgelu": dict(
+        metaclip_fullcc=dict(url=_METACLIP + "h14_fullcc2.5b.pt",
+                             sha256=""),
+        dfn5b=_hub("apple/DFN5B-CLIP-ViT-H-14"),
+    ),
+    "ViT-H-14-378-quickgelu": dict(
+        dfn5b=_hub("apple/DFN5B-CLIP-ViT-H-14-378"),
+    ),
+    "ViT-g-14": dict(
+        laion2b_s34b_b88k=_hub("laion/CLIP-ViT-g-14-laion2B-s34B-b88K"),
+    ),
+    "ViT-B-16-SigLIP": dict(webli=_hub("timm/ViT-B-16-SigLIP")),
+    "ViT-B-16-SigLIP-256": dict(webli=_hub("timm/ViT-B-16-SigLIP-256")),
+    "ViT-B-16-SigLIP-384": dict(webli=_hub("timm/ViT-B-16-SigLIP-384")),
+    "ViT-B-16-SigLIP-512": dict(webli=_hub("timm/ViT-B-16-SigLIP-512")),
+    "ViT-B-16-SigLIP-i18n-256": dict(
+        webli=_hub("timm/ViT-B-16-SigLIP-i18n-256")),
+    "ViT-L-16-SigLIP-256": dict(webli=_hub("timm/ViT-L-16-SigLIP-256")),
+    "ViT-L-16-SigLIP-384": dict(webli=_hub("timm/ViT-L-16-SigLIP-384")),
+    "ViT-SO400M-14-SigLIP": dict(webli=_hub("timm/ViT-SO400M-14-SigLIP")),
+    "ViT-SO400M-14-SigLIP-384": dict(
+        webli=_hub("timm/ViT-SO400M-14-SigLIP-384")),
+    "roberta-ViT-B-32": dict(
+        laion2b_s12b_b32k=_hub(
+            "laion/CLIP-ViT-B-32-roberta-base-laion2B-s12B-b32k")),
+    "xlm-roberta-base-ViT-B-32": dict(
+        laion5b_s13b_b90k=_hub(
+            "laion/CLIP-ViT-B-32-xlm-roberta-base-laion5B-s13B-b90k")),
+    "xlm-roberta-large-ViT-H-14": dict(
+        frozen_laion5b_s13b_b90k=_hub(
+            "laion/CLIP-ViT-H-14-frozen-xlm-roberta-large-laion5B-"
+            "s13B-b90k")),
+    "convnext_base": dict(
+        laion400m_s13b_b51k=_hub(
+            "laion/CLIP-convnext_base-laion400M-s13B-b51K")),
+    "convnext_base_w": dict(
+        laion2b_s13b_b82k=_hub(
+            "laion/CLIP-convnext_base_w-laion2B-s13B-b82K"),
+        laion2b_s13b_b82k_augreg=_hub(
+            "laion/CLIP-convnext_base_w-laion2B-s13B-b82K-augreg"),
+        laion_aesthetic_s13b_b82k=_hub(
+            "laion/CLIP-convnext_base_w-laion_aesthetic-s13B-b82K"),
+    ),
+    "convnext_base_w_320": dict(
+        laion_aesthetic_s13b_b82k=_hub(
+            "laion/CLIP-convnext_base_w_320-laion_aesthetic-s13B-b82K"),
+    ),
+    "convnext_large_d": dict(
+        laion2b_s26b_b102k_augreg=_hub(
+            "laion/CLIP-convnext_large_d.laion2B-s26B-b102K-augreg"),
+    ),
+    "convnext_large_d_320": dict(
+        laion2b_s29b_b131k_ft=_hub(
+            "laion/CLIP-convnext_large_d_320.laion2B-s29B-b131K-ft"),
+        laion2b_s29b_b131k_ft_soup=_hub(
+            "laion/CLIP-convnext_large_d_320.laion2B-s29B-b131K-ft-soup"),
+    ),
+    "convnext_xxlarge": dict(
+        laion2b_s34b_b82k_augreg=_hub(
+            "laion/CLIP-convnext_xxlarge-laion2B-s34B-b82K-augreg"),
+        laion2b_s34b_b82k_augreg_soup=_hub(
+            "laion/CLIP-convnext_xxlarge-laion2B-s34B-b82K-augreg-soup"),
+    ),
+    "coca_ViT-B-32": dict(
+        laion2b_s13b_b90k=_hub("laion/CoCa-ViT-B-32-laion2B-s13B-b90k"),
+        mscoco_finetuned_laion2b_s13b_b90k=_hub(
+            "laion/mscoco_finetuned_CoCa-ViT-B-32-laion2B-s13B-b90k"),
+    ),
+    "coca_ViT-L-14": dict(
+        laion2b_s13b_b90k=_hub("laion/CoCa-ViT-L-14-laion2B-s13B-b90k"),
+        mscoco_finetuned_laion2b_s13b_b90k=_hub(
+            "laion/mscoco_finetuned_CoCa-ViT-L-14-laion2B-s13B-b90k"),
+    ),
+}
+for _model, _tags in _EXTRA_TAGS.items():
+    _PRETRAINED.setdefault(_model, {}).update(_tags)
 
 
 def list_pretrained():

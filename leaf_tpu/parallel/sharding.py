@@ -74,6 +74,12 @@ def batch_sharding(mesh: Mesh, data_axis: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(data_axis))
 
 
+def mesh_is_local(mesh: Mesh) -> bool:
+    """True when every mesh device belongs to this process."""
+    pi = jax.process_index()
+    return all(d.process_index == pi for d in np.asarray(mesh.devices).flat)
+
+
 _WARNED_UNEVEN = set()
 
 
@@ -93,7 +99,10 @@ def put_batch(tree: Any, mesh: Optional[Mesh], axis: str = "data") -> Any:
     if mesh is None:
         return jax.tree.map(jnp.asarray, tree)
     n_shards = mesh.shape[axis]
-    multi_host = jax.process_count() > 1
+    # a mesh whose devices all belong to THIS process (a host-local
+    # attack mesh in a multi-host run) behaves like the single-host
+    # path: plain device_put, no cross-host stitching
+    multi_host = jax.process_count() > 1 and not mesh_is_local(mesh)
 
     def put(x):
         if multi_host:
@@ -122,7 +131,7 @@ def host_local_batch(x, mesh: Optional[Mesh], axis: str = "data"):
     """Inverse of `put_batch` for result arrays: this host's rows of a
     batch-sharded global array, as numpy.  Single-host arrays (or
     replicated results) convert directly."""
-    if mesh is None or jax.process_count() == 1:
+    if mesh is None or jax.process_count() == 1 or mesh_is_local(mesh):
         return np.asarray(x)
     from jax.experimental import multihost_utils
     if getattr(x, "sharding", None) is not None \

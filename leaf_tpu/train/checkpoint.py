@@ -14,8 +14,31 @@ import re
 from typing import Any, Dict, Optional, Tuple
 
 import jax
+import numpy as np
 
 _EPOCH_RE = re.compile(r"^epoch_(\d+)$")
+
+
+def _globalize(payload: Dict[str, Any]) -> Dict[str, Any]:
+    """Multi-host: orbax can only serialize GLOBAL arrays.  Fresh
+    optimizer-state counters (optax `tx.init`) and numpy leaves are
+    host-local; they hold the same value on every host, so replicate
+    them over all devices.  Single-process (and post-first-step states,
+    whose leaves already come out of jit as global arrays) pass
+    through untouched."""
+    if jax.process_count() == 1:
+        return payload
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    repl = NamedSharding(Mesh(np.asarray(jax.devices()), ("all",)), P())
+
+    def fix(x):
+        if isinstance(x, jax.Array) and x.is_fully_addressable:
+            return jax.device_put(np.asarray(x), repl)
+        if isinstance(x, (np.ndarray, np.number, int, float)):
+            return jax.device_put(np.asarray(x), repl)
+        return x
+
+    return jax.tree.map(fix, payload)
 
 
 _ASYNC_CKPTR = None
@@ -46,7 +69,7 @@ def save_checkpoint(ckpt_dir: str, epoch: int, payload: Dict[str, Any],
     path = os.path.join(os.path.abspath(ckpt_dir), f"epoch_{epoch}")
     ckptr = _async_checkpointer()
     ckptr.wait_until_finished()   # one in-flight save at a time
-    ckptr.save(path, payload, force=True)
+    ckptr.save(path, _globalize(payload), force=True)
     if wait:
         ckptr.wait_until_finished()
 
@@ -62,7 +85,7 @@ def save_named(ckpt_dir: str, name: str, payload: Dict[str, Any]):
     path = os.path.join(os.path.abspath(ckpt_dir), name)
     ckptr = _async_checkpointer()
     ckptr.wait_until_finished()
-    ckptr.save(path, payload, force=True)
+    ckptr.save(path, _globalize(payload), force=True)
     ckptr.wait_until_finished()
 
 
@@ -82,7 +105,7 @@ def save_latest(ckpt_dir: str, epoch: int, payload: Dict[str, Any]):
     path = os.path.join(os.path.abspath(ckpt_dir), LATEST_NAME)
     ckptr = _async_checkpointer()
     ckptr.wait_until_finished()
-    ckptr.save(path, payload, force=True)
+    ckptr.save(path, _globalize(payload), force=True)
     ckptr.wait_until_finished()   # sidecar must postdate the payload
     with open(os.path.join(ckpt_dir, LATEST_NAME + ".epoch"), "w") as f:
         f.write(str(epoch))

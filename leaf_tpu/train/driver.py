@@ -242,7 +242,10 @@ def main(args=None) -> Dict:
                 frozen_text_params = ckpt.load_named(
                     os.path.dirname(os.path.abspath(path)),
                     "frozen")["frozen_text_params"]
-        if recovered and master:
+        if recovered:
+            # ALL processes call: a multi-host orbax save is collective
+            # (barriers + metadata sync); orbax itself gates the actual
+            # writes to the primary host
             ckpt.save_named(ckpt_dir, "frozen",
                             {"frozen_text_params": frozen_text_params})
         # checkpoint names record *completed* epochs; training epoch
@@ -250,7 +253,8 @@ def main(args=None) -> Dict:
         start_epoch = epoch_done
         if results is not None:
             results.truncate_to_epoch(epoch_done)
-    elif master:
+    else:
+        # all processes participate (collective save; primary writes)
         ckpt.save_named(ckpt_dir, "frozen",
                         {"frozen_text_params": frozen_text_params})
 

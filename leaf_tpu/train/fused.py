@@ -252,8 +252,14 @@ class FusedLeafStep:
                                        w_fare_text=w_fare_text))
 
     def _phases(self, batch: int):
-        """(phase1, phase1_cached, phase2) for this batch size."""
-        if self.mesh is not None and batch % self.mesh.shape["data"] == 0:
+        """(phase1, phase1_cached, phase2) for this batch size.
+
+        `batch` is the HOST-LOCAL batch; the shard_map'd phases see the
+        global batch (hosts' arrays are stitched by put_batch), so the
+        divisibility check is against the global size."""
+        if self.mesh is not None \
+                and batch * jax.process_count() % self.mesh.shape["data"] \
+                == 0:
             return self.phase1, self.phase1_cached, self.phase2
         return self._plain
 

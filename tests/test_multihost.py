@@ -98,3 +98,83 @@ def test_two_process_fused_step_agrees(tmp_path):
     assert a["loss"] == b["loss"]
     np.testing.assert_array_equal(np.asarray(a["probe"]),
                                   np.asarray(b["probe"]))
+
+
+DRIVER_WORKER = textwrap.dedent("""
+    import os, sys, json
+    proc_id = int(sys.argv[1]); port = sys.argv[2]; logs = sys.argv[3]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(f"localhost:{port}", 2, proc_id)
+    sys.path.insert(0, %(repo)r)
+    import numpy as np
+    import leaf_tpu.train.driver as driver
+
+    ARGS = [
+        "--model", "ViT-tiny-test", "--dataset-type", "synthetic",
+        "--train-num-samples", "8", "--batch-size", "4",
+        "--rho", "3", "--use_charmer", "--warmup", "1",
+        "--lr", "1e-3", "--zeroshot-frequency", "0",
+        "--log-every-n-steps", "1", "--logs", logs, "--name", "mh",
+    ]
+    out1 = driver.main(ARGS + ["--epochs", "1"])
+    out2 = driver.main(ARGS + ["--epochs", "2", "--resume", "latest"])
+    print(json.dumps({
+        "proc": proc_id,
+        "rows1": out1["results"] if proc_id == 0 else None,
+        "rows2": out2["results"] if proc_id == 0 else None,
+        "step": int(out2["state"].step),
+        "is_master_rows_none": out1["results"] == [] if proc_id else None,
+    }), flush=True)
+""") % {"repo": REPO}
+
+
+@pytest.mark.timeout(900)
+def test_two_process_driver_end_to_end(tmp_path):
+    """VERDICT r2 next #6: the whole driver — master-gated ledgers,
+    checkpoint save, resume broadcast — across two real processes.
+
+    Charmer attack (deterministic, no rng) + the synthetic dataset's
+    identical captions make the two-process global-batch-8 run exactly
+    comparable to a single-process batch-8 run."""
+    script = tmp_path / "driver_worker.py"
+    script.write_text(DRIVER_WORKER)
+    logs = tmp_path / "logs"
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), str(i), str(port), str(logs)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True)
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=840)
+        assert p.returncode == 0, err[-4000:]
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+    a, b = sorted(outs, key=lambda o: o["proc"])
+
+    # master wrote the ledgers; both runs completed and stepped
+    run_dir = logs / "mh"
+    assert (run_dir / "results.csv").exists()
+    assert (run_dir / "times_True.csv").exists()
+    # per-host 8 samples, bs 4 -> 2 steps/epoch; resumed to epoch 2
+    assert a["step"] == b["step"] == 4
+    epochs = [int(r["epoch"]) for r in a["rows2"]]
+    assert epochs == [0, 1, 2]
+
+    # equivalence vs a single-process run at the same GLOBAL batch and
+    # step count (bs 8 = 2 hosts x 4; 16 global samples = 2 steps, the
+    # per-host 8-sample pipelines stitched): identical captions +
+    # deterministic charmer -> identical per-step loss up to reduction
+    # order
+    from tests.test_training import run_driver
+    sp = run_driver(tmp_path, ["--train-num-samples", "16",
+                               "--batch-size", "8", "--rho", "3",
+                               "--use_charmer", "--warmup", "1",
+                               "--lr", "1e-3", "--name", "sp-equiv"])
+    sp_loss = float(sp["results"][-1]["train_loss"])
+    mh_loss = float(a["rows1"][-1]["train_loss"])
+    np.testing.assert_allclose(mh_loss, sp_loss, rtol=1e-4)

@@ -304,3 +304,48 @@ def test_siglip_contrastive_train_step_on_mesh():
     state, metrics = step(state, images, tokens)
     assert np.isfinite(l0) and np.isfinite(float(metrics["loss"]))
     assert float(metrics["loss"]) < l0
+
+
+def test_registry_breadth_and_hf_text_route(tmp_path):
+    """Registry must cover >=60 reference configs; HF-text configs
+    resolve and create_model builds the CustomTextCLIP route (local
+    roberta config, no network)."""
+    import transformers
+
+    from leaf_tpu.models import factory
+    from leaf_tpu.models.config import register_model, \
+        config_from_open_clip_dict
+
+    assert len(list_models()) >= 60
+    # named HF-text entries resolve with tower metadata
+    for n in ["roberta-ViT-B-32", "mt5-base-ViT-B-32", "nllb-clip-base",
+              "xlm-roberta-large-ViT-H-14", "nllb-clip-large-siglip"]:
+        c = get_model_config(n)
+        assert c.text.hf_model_name and c.text.hf_tokenizer_name
+
+    # tiny local roberta config -> the factory builds an HF-text model
+    rcfg = transformers.RobertaConfig(
+        vocab_size=64, hidden_size=16, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=32,
+        max_position_embeddings=20)
+    d = tmp_path / "tiny-roberta"
+    rcfg.save_pretrained(str(d))
+    register_model(config_from_open_clip_dict("tiny-roberta-test", {
+        "embed_dim": 16,
+        "vision_cfg": {"image_size": 64, "layers": 2, "width": 64,
+                       "patch_size": 16},
+        "text_cfg": {"hf_model_name": str(d), "hf_tokenizer_name": str(d),
+                     "hf_pooler_type": "mean_pooler"},
+    }))
+    model = factory.create_model("tiny-roberta-test")
+    assert model.hf_text is not None
+    ids = np.array([[0, 5, 7, 2, 0, 0]], np.int32)
+    feats = np.asarray(model.encode_text(ids, normalize=True))
+    assert feats.shape == (1, 16)
+    np.testing.assert_allclose(np.linalg.norm(feats, axis=-1), 1.0,
+                               rtol=1e-5)
+    imgs = np.random.default_rng(0).standard_normal(
+        (2, 64, 64, 3)).astype(np.float32)
+    assert np.asarray(model.encode_image(imgs)).shape == (2, 16)
+    with pytest.raises(ValueError, match="HF-text-tower"):
+        factory.create_model("tiny-roberta-test", pretrained="x.pt")
