@@ -127,8 +127,9 @@ def main():
 
     # warmup / compile (also fills the anchor cache — tar mode cycles 4
     # batches, so warm a full cycle to model epochs >= 1 of a real run
-    # over a fixed caption set)
-    n_warm = 4 if batch_iter is not None else 2
+    # over a fixed caption set, plus one step ON the full cache so the
+    # phase1_cached dispatch compiles outside the measured window)
+    n_warm = 5 if batch_iter is not None else 2
     for w in range(n_warm):
         state, m = one_step(state, np.random.default_rng(1 + w))
         np.asarray(m["loss"])
