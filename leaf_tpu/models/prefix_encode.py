@@ -28,10 +28,21 @@ fused step.  Measured on the v5e (ViT-L text, 6400 candidates,
 / 264 ms two-bucket.  The GEMM-FLOP saving is real, but per-block
 prefix K/V doubles the attention key width and the per-row additive
 masks materialize ~100 MB read per layer — and the full encode is
-GEMM-bound, not attention-bound, so the trade loses.  Winning would
-need ragged (un-padded) prefix gathers inside a flash-style fused
-attention kernel (extend `ops/flash_attention.py`) — recorded as the
-next perf lever, not taken.
+GEMM-bound, not attention-bound, so the trade loses.
+
+The once-recorded follow-up (ragged prefix gathers inside a
+flash-style kernel) was CEILING-MEASURED on 2026-08-17 and is dead:
+the kernel-path packed encode is not length-proportional at these
+shapes — 6400 sequences of 16 tokens take 151 ms, of 8 tokens 119 ms,
+of 4 tokens 104 ms (v5e, bf16).  Even a zero-overhead ragged kernel
+that processed only suffix tokens (mean ~10/16) would therefore save
+~15% of the candidate encode, ~8% end-to-end — far below the kernel's
+complexity budget.  Larger packed rows were also measured and lose
+(target 256: 314 ms, 512: 205 ms vs 128: 151 ms).  Sub-linear scaling
+comes from fixed per-row/per-layer costs, not attention FLOPs, so
+FLOP-reduction levers on this op are exhausted; the remaining
+throughput path is multi-chip scaling (shard_map'd fused step,
+train/fused.py).
 """
 from __future__ import annotations
 

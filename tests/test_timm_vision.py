@@ -62,8 +62,13 @@ def fake_timm_sd(cfg: VisionConfig, seed=0, head="openclip_linear"):
 
 def test_parse_names():
     assert parse_timm_vit_name("vit_base_patch16_224") \
-        == (768, 12, 64, 16, 224)
-    assert parse_timm_vit_name("vit_large_patch14_336")[3:] == (14, 336)
+        == (768, 12, 64, 4.0, 16, 224, set())
+    assert parse_timm_vit_name("vit_large_patch14_336")[4:6] == (14, 336)
+    w, l, hw, mr, patch, img, tags = parse_timm_vit_name(
+        "vit_so400m_patch14_siglip_384")
+    assert (w, l, hw) == (1152, 27, 72) and mr == 3.7362
+    assert patch == 14 and img == 384 and tags == {"siglip"}
+    assert parse_timm_vit_name("vit_medium_patch16_gap_256")[6] == {"gap"}
     with pytest.raises(ValueError):
         parse_timm_vit_name("convnext_base")
 
