@@ -103,14 +103,21 @@ class CandidateScorer:
         """Scorer for THIS host's sentences in a multi-host run: batch
         buffers shard over the local devices only.  Each host attacks
         its own batch slice (per-host shapes can differ), so there is
-        no global dispatch; single-process returns self."""
+        no global dispatch; single-process returns self.
+
+        Cached: the jitted fns live in per-instance cached_properties,
+        so a fresh scorer per call would recompile every batch."""
         import jax
         if jax.process_count() == 1:
             return self
-        from jax.sharding import Mesh
-        local = Mesh(np.asarray(jax.local_devices()), ("data",))
-        return CandidateScorer(self.cfg, self.dtype, self.bucket,
-                               mesh=local)
+        cached = getattr(self, "_host_local", None)
+        if cached is None:
+            from jax.sharding import Mesh
+            local = Mesh(np.asarray(jax.local_devices()), ("data",))
+            cached = CandidateScorer(self.cfg, self.dtype, self.bucket,
+                                     mesh=local)
+            self._host_local = cached
+        return cached
 
     def _bucket(self, tokens):
         return bucket_tokens(tokens) if self._can_bucket else np.asarray(tokens)

@@ -72,7 +72,12 @@ def _masked_crc(data: bytes) -> int:
 # ---------------------------------------------------------------------------
 
 def iter_tfrecords(path: str, verify_crc: bool = True) -> Iterator[bytes]:
-    """Yield raw record payloads from one .tfrecord file."""
+    """Yield raw record payloads from one .tfrecord file.
+
+    `verify_crc` checks the length crc always (cheap, catches framing
+    corruption) and the payload crc when True — the payload check is a
+    pure-Python byte loop, so large image datasets should pass False
+    (the dataset classes below do)."""
     with open(path, "rb") as f:
         while True:
             head = f.read(12)
@@ -80,13 +85,29 @@ def iter_tfrecords(path: str, verify_crc: bool = True) -> Iterator[bytes]:
                 return
             (length,), (lcrc,) = struct.unpack("<Q", head[:8]), \
                 struct.unpack("<I", head[8:])
-            if verify_crc and _masked_crc(head[:8]) != lcrc:
+            if _masked_crc(head[:8]) != lcrc:
                 raise IOError(f"{path}: corrupt length crc")
             data = f.read(length)
             dcrc = struct.unpack("<I", f.read(4))[0]
             if verify_crc and _masked_crc(data) != dcrc:
                 raise IOError(f"{path}: corrupt record crc")
             yield data
+
+
+def count_tfrecords(path: str) -> int:
+    """Record count via frame-header seeks (payload bytes untouched)."""
+    n = 0
+    with open(path, "rb") as f:
+        while True:
+            head = f.read(12)
+            if len(head) < 12:
+                return n
+            (length,), (lcrc,) = struct.unpack("<Q", head[:8]), \
+                struct.unpack("<I", head[8:])
+            if _masked_crc(head[:8]) != lcrc:
+                raise IOError(f"{path}: corrupt length crc")
+            f.seek(length + 4, os.SEEK_CUR)
+            n += 1
 
 
 def write_tfrecord(path: str, records: Sequence[bytes]) -> None:
@@ -239,20 +260,54 @@ def encode_example(features: Dict[str, list]) -> bytes:
 # Dataset directory / split resolution
 # ---------------------------------------------------------------------------
 
-_SLICE_RE = re.compile(r"^(\w+)(?:\[(\d+)%?:(\d+)?%?\])?$")
+_SLICE_RE = re.compile(r"^(\w+)(?:\[([0-9]+%?)?:([0-9]+%?)?\])?$")
+
+
+def parse_split_spec(split_spec: str):
+    """'train' / 'train[80%:]' / 'test[:50%]' / 'train[800:]' →
+    (base, lo, hi) where lo/hi are (value, is_percent) or None —
+    tfds sub-split slice syntax, absolute indices included."""
+    m = _SLICE_RE.match(split_spec)
+    if not m:
+        raise ValueError(f"bad split spec {split_spec!r}")
+
+    def bound(s):
+        if s is None:
+            return None
+        if s.endswith("%"):
+            return (int(s[:-1]), True)
+        return (int(s), False)
+
+    return m.group(1), bound(m.group(2)), bound(m.group(3))
+
+
+def _resolve_bound(b, n: int, default: int) -> int:
+    if b is None:
+        return default
+    value, is_pct = b
+    return value * n // 100 if is_pct else min(value, n)
 
 
 def find_tfds_dir(root: str, tfds_name: str) -> Optional[str]:
     """Locate the version dir holding the tfrecord shards.
 
-    Accepts `root` = the version dir itself, the tfds_name dir, or a
-    tfds data_dir containing `<tfds_name>/<version>/`."""
+    Accepts `root` = the version dir itself, the tfds_name dir, a tfds
+    data_dir containing `<tfds_name>/<version>/`, or a builder-config
+    layout `<tfds_name>/<config>/<version>/` (e.g.
+    diabetic_retinopathy_detection/btgraham-300/3.0.0).  A bare
+    `<root>/*` is only searched when `root` itself is named after the
+    dataset — matching an arbitrary sibling dataset's shards would
+    silently evaluate the wrong data."""
     cands = [root]
     cands += sorted(glob.glob(os.path.join(root, tfds_name, "*")))
-    cands += sorted(glob.glob(os.path.join(root, "*")))
+    cands += sorted(glob.glob(os.path.join(root, tfds_name, "*", "*")))
+    base = os.path.basename(os.path.normpath(root))
+    if base == tfds_name:
+        cands += sorted(glob.glob(os.path.join(root, "*")))
+        cands += sorted(glob.glob(os.path.join(root, "*", "*")))
     for c in cands:
         if os.path.isdir(c) and glob.glob(
-                os.path.join(c, "*.tfrecord-*")):
+                os.path.join(c, f"{tfds_name}-*.tfrecord-*")):
             return c
     return None
 
@@ -261,28 +316,43 @@ def _split_files(d: str, split: str) -> List[str]:
     return sorted(glob.glob(os.path.join(d, f"*-{split}.tfrecord-*")))
 
 
-def load_split_records(d: str, split_spec: str) -> List[bytes]:
-    """Read a split, supporting tfds percent sub-splits
-    ('train[80%:]') in record order — the carving task_adaptation
-    applies to datasets without a native test split."""
-    m = _SLICE_RE.match(split_spec)
-    if not m:
-        raise ValueError(f"bad split spec {split_spec!r}")
-    base, lo, hi = m.group(1), m.group(2), m.group(3)
+def _split_file_list(d: str, split_spec: str):
+    """(files, start, stop, total) for a (possibly sliced) split —
+    counted via frame-header seeks, payloads untouched."""
+    base, lo, hi = parse_split_spec(split_spec)
     files = _split_files(d, base)
     if not files:
         raise FileNotFoundError(
             f"no shards for split {base!r} under {d} (expected "
             f"'*-{base}.tfrecord-NNNNN-of-NNNNN')")
-    records: List[bytes] = []
+    counts = [count_tfrecords(f) for f in files]
+    n = sum(counts)
+    a = _resolve_bound(lo, n, 0)
+    b = _resolve_bound(hi, n, n)
+    return files, a, b, n
+
+
+def iter_split_records(d: str, split_spec: str) -> Iterator[bytes]:
+    """Stream a split's records in order, applying tfds-style slice
+    bounds — the carving task_adaptation applies to datasets without a
+    native test split.  Nothing is held in memory beyond one record."""
+    files, a, b, _ = _split_file_list(d, split_spec)
+    i = 0
     for f in files:
-        records.extend(iter_tfrecords(f))
-    if lo is not None or hi is not None:
-        n = len(records)
-        a = int(lo) * n // 100 if lo else 0
-        b = int(hi) * n // 100 if hi else n
-        records = records[a:b]
-    return records
+        if i >= b:
+            return
+        for rec in iter_tfrecords(f, verify_crc=False):
+            if i >= b:
+                return
+            if i >= a:
+                yield rec
+            i += 1
+
+
+def load_split_records(d: str, split_spec: str) -> List[bytes]:
+    """Materialised variant of `iter_split_records` (small datasets /
+    tests)."""
+    return list(iter_split_records(d, split_spec))
 
 
 # ---------------------------------------------------------------------------
@@ -332,6 +402,9 @@ class VtabSpec:
     num_classes: Optional[int] = None
     image_key: str = "image"
     classnames: Optional[Sequence[str]] = None
+    # task_adaptation tfds_splits['train'] — carved so it never
+    # overlaps the carved test split
+    train_split: str = "train"
 
 
 # tfds resisc45 ClassLabel names (the aerial-scene classes the
@@ -353,24 +426,34 @@ RESISC45_CLASSES = (
 # Split carving follows task_adaptation/data/<name>.py (train/val/test
 # percentages of datasets without a native test split).
 VTAB_TFDS: Dict[str, VtabSpec] = {
+    # resisc45 has only a tfds 'train' split; VTAB carves 60/20/20
     "resisc45": VtabSpec("resisc45", _label_of("label"), "train[80%:]", 45,
-                         classnames=RESISC45_CLASSES),
+                         classnames=RESISC45_CLASSES,
+                         train_split="train[:60%]"),
     "dmlab": VtabSpec("dmlab", _label_of("label"), "test", 6),
     "pcam": VtabSpec("patch_camelyon", _label_of("label"), "test", 2),
     "diabetic_retinopathy": VtabSpec(
         "diabetic_retinopathy_detection", _label_of("label"), "test", 5),
     "clevr_count_all": VtabSpec("clevr", _clevr_count_all,
-                                "validation", 8),
+                                "validation", 8,
+                                train_split="train[:90%]"),
     "clevr_closest_object_distance": VtabSpec(
-        "clevr", _clevr_closest_object_distance, "validation", 6),
+        "clevr", _clevr_closest_object_distance, "validation", 6,
+        train_split="train[:90%]"),
+    # dsprites has one 'train' split; VTAB carves 85/5/10
     "dsprites_label_orientation": VtabSpec(
-        "dsprites", _label_of("label_orientation"), "train[90%:]", 40),
+        "dsprites", _label_of("label_orientation"), "train[90%:]", 40,
+        train_split="train[:85%]"),
     "dsprites_label_x_position": VtabSpec(
-        "dsprites", _label_of("label_x_position"), "train[90%:]", 32),
+        "dsprites", _label_of("label_x_position"), "train[90%:]", 32,
+        train_split="train[:85%]"),
+    # smallnorb: VTAB carves val/test as halves of the native tfds
+    # 'test' split (task_adaptation smallnorb.py: val='test[:50%]',
+    # test='test[50%:]')
     "smallnorb_label_azimuth": VtabSpec(
-        "smallnorb", _label_of("label_azimuth"), "test", 18),
+        "smallnorb", _label_of("label_azimuth"), "test[50%:]", 18),
     "smallnorb_label_elevation": VtabSpec(
-        "smallnorb", _label_of("label_elevation"), "test", 9),
+        "smallnorb", _label_of("label_elevation"), "test[50%:]", 9),
     "kitti_closest_vehicle_distance": VtabSpec(
         "kitti", _kitti_closest_vehicle_distance, "test", 4),
 }
@@ -388,7 +471,10 @@ class TfdsClassificationDataset:
     """(image, label) dataset over a tfds-layout directory.
 
     Batched iteration protocol matches the other benchmark datasets:
-    yields (images [B,H,W,3] float32 after preprocess, labels [B])."""
+    yields (images [B,H,W,3] float32 after preprocess, labels [B]).
+    Records stream from disk per batch (nothing materialised: the
+    diabetic_retinopathy test split alone is multiple GB); the split
+    size comes from frame-header seeks at construction."""
 
     def __init__(self, name: str, root: str, preprocess,
                  split: str = "test", batch_size: int = 64):
@@ -400,13 +486,19 @@ class TfdsClassificationDataset:
         if d is None:
             raise FileNotFoundError(
                 f"{name}: no tfds layout under {root!r} — expected "
-                f"'{root}/{self.spec.tfds_name}/<version>/"
+                f"'{root}/{self.spec.tfds_name}/[<config>/]<version>/"
                 f"{self.spec.tfds_name}-<split>.tfrecord-NNNNN-of-NNNNN' "
                 "(a tensorflow_datasets data_dir; build it once with "
                 "tfds elsewhere and copy it in, no tensorflow needed "
                 "here)")
-        split_spec = self.spec.test_split if split == "test" else split
-        self.records = load_split_records(d, split_spec)
+        self.dir = d
+        # 'test'/'train' map to the VTAB carves (task_adaptation
+        # tfds_splits) so train never overlaps the carved test;
+        # explicit slice specs pass through
+        self.split_spec = {"test": self.spec.test_split,
+                           "train": self.spec.train_split}.get(split, split)
+        _, a, b, _ = _split_file_list(d, self.split_spec)
+        self._num = max(0, b - a)
         self.preprocess = preprocess
         self.batch_size = batch_size
         self.classes = list(
@@ -414,21 +506,23 @@ class TfdsClassificationDataset:
             or [str(i) for i in range(self.spec.num_classes or 0)])
 
     def __len__(self):
-        return (len(self.records) + self.batch_size - 1) // self.batch_size
+        return (self._num + self.batch_size - 1) // self.batch_size
 
     @property
     def num_samples(self):
-        return len(self.records)
+        return self._num
 
     def __iter__(self):
-        bs = self.batch_size
-        for i in range(0, len(self.records), bs):
-            imgs, labels = [], []
-            for rec in self.records[i:i + bs]:
-                ex = parse_example(rec)
-                img = _decode_image(ex, self.spec.image_key)
-                if self.preprocess is not None:
-                    img = self.preprocess(img)
-                imgs.append(np.asarray(img))
-                labels.append(self.spec.label_fn(ex))
+        imgs, labels = [], []
+        for rec in iter_split_records(self.dir, self.split_spec):
+            ex = parse_example(rec)
+            img = _decode_image(ex, self.spec.image_key)
+            if self.preprocess is not None:
+                img = self.preprocess(img)
+            imgs.append(np.asarray(img))
+            labels.append(self.spec.label_fn(ex))
+            if len(imgs) == self.batch_size:
+                yield np.stack(imgs), np.asarray(labels, np.int64)
+                imgs, labels = [], []
+        if imgs:
             yield np.stack(imgs), np.asarray(labels, np.int64)

@@ -348,18 +348,22 @@ def patchify(images: jnp.ndarray, patch_size: int) -> jnp.ndarray:
     return x.reshape(B, gh * gw, p * p * C)
 
 
-def patch_dropout(x: jnp.ndarray, rate: float, key) -> jnp.ndarray:
+def patch_dropout(x: jnp.ndarray, rate: float, key,
+                  cls_token: bool = True) -> jnp.ndarray:
     """Training-time patch dropout (reference `transformer.py:50-87`):
-    keep the class token + a per-sample random subset of
-    ceil((1-rate)·N) patch tokens.  Identity when rate == 0."""
+    keep the class token (when the tower has one) + a per-sample random
+    subset of ceil((1-rate)·N) patch tokens.  Identity when rate == 0."""
     if rate <= 0:
         return x
     B, S, D = x.shape
-    num_patches = S - 1
+    lead = 1 if cls_token else 0
+    num_patches = S - lead
     num_keep = max(1, int(num_patches * (1 - rate)))
     scores = jax.random.uniform(key, (B, num_patches))
-    keep = jnp.argsort(scores, axis=-1)[:, :num_keep] + 1  # skip cls
+    keep = jnp.argsort(scores, axis=-1)[:, :num_keep] + lead
     patches = jnp.take_along_axis(x, keep[:, :, None], axis=1)
+    if not cls_token:
+        return patches
     return jnp.concatenate([x[:, :1], patches], axis=1)
 
 
@@ -382,7 +386,8 @@ def encode_image(params: Params, cfg: VisionConfig, images: jnp.ndarray,
     rate = cfg.patch_dropout if patch_dropout_rate is None \
         else patch_dropout_rate
     if rate > 0 and dropout_key is not None:
-        x = patch_dropout(x, rate, dropout_key)
+        x = patch_dropout(x, rate, dropout_key,
+                          cls_token="class_embedding" in params)
     if "ln_pre" in params:              # absent in timm ViT towers
         x = layers.layer_norm(params["ln_pre"], x, cfg.ln_eps)
     # under remat (FARE's differentiated encodes) the Pallas path is a

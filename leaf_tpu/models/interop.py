@@ -355,6 +355,10 @@ def checkpoint_quick_gelu(path: str) -> Optional[bool]:
     import json
 
     d = path if os.path.isdir(path) else os.path.dirname(path)
+    if not d:
+        # a bare filename has no config directory — reading ./config.json
+        # would adopt an unrelated file's activation
+        return None
     oc = os.path.join(d, "open_clip_config.json")
     if os.path.exists(oc):
         with open(oc) as f:

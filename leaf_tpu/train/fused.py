@@ -256,10 +256,24 @@ class FusedLeafStep:
 
         `batch` is the HOST-LOCAL batch; the shard_map'd phases see the
         global batch (hosts' arrays are stitched by put_batch), so the
-        divisibility check is against the global size."""
-        if self.mesh is not None \
-                and batch * jax.process_count() % self.mesh.shape["data"] \
-                == 0:
+        divisibility check is against the global size.  Multi-host has
+        no fallback: stitching host-local arrays requires the local
+        batch to divide the local device count, so an indivisible batch
+        is a hard error (the data layer's equal-batch rounding
+        guarantees divisibility in real runs; reference
+        `data_AT.py:513-521`)."""
+        if self.mesh is None:
+            return self._plain
+        n = self.mesh.shape["data"]
+        if jax.process_count() > 1:
+            local = n // jax.process_count()
+            if batch % local:
+                raise ValueError(
+                    f"multi-host fused step needs the per-host batch "
+                    f"({batch}) divisible by the per-host device count "
+                    f"({local}); pad or drop the final partial batch")
+            return self.phase1, self.phase1_cached, self.phase2
+        if batch % n == 0:
             return self.phase1, self.phase1_cached, self.phase2
         return self._plain
 

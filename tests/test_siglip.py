@@ -349,3 +349,19 @@ def test_registry_breadth_and_hf_text_route(tmp_path):
     assert np.asarray(model.encode_image(imgs)).shape == (2, 16)
     with pytest.raises(ValueError, match="HF-text-tower"):
         factory.create_model("tiny-roberta-test", pretrained="x.pt")
+
+
+def test_patch_dropout_cls_less_tower():
+    """patch_dropout on a class-token-less tower must treat ALL tokens
+    as droppable patches (no index-0 pinning)."""
+    from leaf_tpu.models.clip import patch_dropout
+
+    x = np.arange(4 * 8 * 2, dtype=np.float32).reshape(4, 8, 2)
+    out = patch_dropout(jax.numpy.asarray(x), 0.5, jax.random.PRNGKey(0),
+                        cls_token=False)
+    assert out.shape == (4, 4, 2)
+    # with cls: token 0 kept verbatim, 3 of 7 patches
+    out2 = patch_dropout(jax.numpy.asarray(x), 0.5, jax.random.PRNGKey(0),
+                         cls_token=True)
+    assert out2.shape == (4, 4, 2)
+    np.testing.assert_array_equal(np.asarray(out2[:, 0]), x[:, 0])

@@ -161,3 +161,79 @@ def test_pcam_tfds_fallback(tmp_path):
     ds, task, classnames, _ = build_dataset("pcam", root, None,
                                             split="test", batch_size=4)
     assert ds.num_samples == 4 and len(classnames) == 2
+
+
+def test_parse_split_spec_variants():
+    from leaf_tpu.benchmark.tfds_datasets import parse_split_spec
+
+    assert parse_split_spec("train") == ("train", None, None)
+    assert parse_split_spec("train[80%:]") == ("train", (80, True), None)
+    assert parse_split_spec("test[:50%]") == ("test", None, (50, True))
+    assert parse_split_spec("train[5%:95%]") == ("train", (5, True),
+                                                 (95, True))
+    # absolute indices are NOT percents
+    assert parse_split_spec("train[800:]") == ("train", (800, False), None)
+    with pytest.raises(ValueError):
+        parse_split_spec("train[a:b]")
+
+
+def test_absolute_and_lower_open_slices(tmp_path):
+    from leaf_tpu.benchmark.tfds_datasets import load_split_records
+
+    recs = [encode_example({"label": [i]}) for i in range(10)]
+    d = tmp_path / "ds" / "1.0.0"
+    d.mkdir(parents=True)
+    write_tfrecord(str(d / "ds-train.tfrecord-00000-of-00001"), recs)
+    assert len(load_split_records(str(d), "train[:50%]")) == 5
+    assert len(load_split_records(str(d), "train[8:]")) == 2
+    assert len(load_split_records(str(d), "train[20%:30%]")) == 1
+
+
+def test_smallnorb_vtab_test_carve(tmp_path):
+    """VTAB smallnorb: test = second half of the native tfds test split
+    (task_adaptation smallnorb.py), train untouched."""
+    rng = np.random.default_rng(5)
+    examples = [{"image": [_png_bytes(rng)], "label_azimuth": [i % 18]}
+                for i in range(8)]
+    root = _make_tfds_dir(tmp_path, "smallnorb", "test", examples)
+    ds = TfdsClassificationDataset("smallnorb_label_azimuth", root, None,
+                                   split="test", batch_size=8)
+    assert ds.num_samples == 4
+    _, labels = next(iter(ds))
+    np.testing.assert_array_equal(labels, [4, 5, 6, 7])
+
+
+def test_train_split_carved_never_overlaps_test(tmp_path):
+    rng = np.random.default_rng(6)
+    examples = [{"image": [_png_bytes(rng)], "label": [i]}
+                for i in range(10)]
+    root = _make_tfds_dir(tmp_path, "resisc45", "train", examples)
+    tr = TfdsClassificationDataset("resisc45", root, None, split="train",
+                                   batch_size=10)
+    te = TfdsClassificationDataset("resisc45", root, None, split="test",
+                                   batch_size=10)
+    _, tr_labels = next(iter(tr))
+    _, te_labels = next(iter(te))
+    assert set(tr_labels) & set(te_labels) == set()
+    assert tr.num_samples == 6 and te.num_samples == 2
+
+
+def test_find_tfds_dir_config_level_and_no_cross_dataset(tmp_path):
+    from leaf_tpu.benchmark.tfds_datasets import find_tfds_dir
+
+    rng = np.random.default_rng(7)
+    # builder-config layout: <root>/<name>/<config>/<version>/
+    d = tmp_path / "diabetic_retinopathy_detection" / "btgraham-300" / "3.0.0"
+    d.mkdir(parents=True)
+    write_tfrecord(
+        str(d / "diabetic_retinopathy_detection-test.tfrecord-00000-of-00001"),
+        [encode_example({"image": [_png_bytes(rng)], "label": [0]})])
+    assert find_tfds_dir(str(tmp_path),
+                         "diabetic_retinopathy_detection") == str(d)
+
+    # a sibling dataset's shards must NOT resolve for another name
+    c = tmp_path / "clevr" / "3.1.0"
+    c.mkdir(parents=True)
+    write_tfrecord(str(c / "clevr-validation.tfrecord-00000-of-00001"),
+                   [encode_example({"label": [0]})])
+    assert find_tfds_dir(str(tmp_path / "clevr"), "kitti") is None
