@@ -95,6 +95,10 @@ class FareConfig:
     output_normalize: bool = False
     grad_clip: bool = False
     log_freq: int = 10
+    # rolling crash-recovery checkpoint cadence (reference saves a
+    # 'fallback' model every 20 steps and GCs the previous one,
+    # `adversarial_training_clip.py:481-490,253-255`); 0 disables
+    fallback_freq: int = 20
     eval_freq: int = 50
     # rematerialise residual blocks in differentiated encodes.  Without
     # it, the PGD backward through a ViT-L at the canonical bs=128
@@ -203,12 +207,15 @@ def train_fare(model_params, cfg: CLIPConfig, fcfg: FareConfig, data_iter,
                classifier=None, seed: int = 0,
                on_step: Optional[Callable[[int, Dict], None]] = None,
                checkpoint_fn: Optional[Callable[[int, Any], None]] = None,
+               fallback_fn: Optional[Callable[[int, Any], None]] = None,
                mesh=None) -> Dict:
     """Run FARE training for fcfg.steps optimizer steps.
 
     data_iter yields (images [B,H,W,3] in [0,1], targets or None).
     Checkpointing: 10 evenly-spaced milestones + the final step
-    (reference `adversarial_training_clip.py:474-490`).
+    (reference `adversarial_training_clip.py:474-490`); `fallback_fn`
+    runs every `fcfg.fallback_freq` steps for crash recovery (the
+    reference's rolling fallback_<step>.pt, `:481-490`).
     With a mesh, image/target batches shard over `data` (params
     replicated; GSPMD inserts the grad psum — the reference's
     DataParallel, `adversarial_training_clip.py:189-191`).
@@ -259,6 +266,9 @@ def train_fare(model_params, cfg: CLIPConfig, fcfg: FareConfig, data_iter,
                      (time.time() - t0) / step_total)
         if checkpoint_fn is not None and step_total in milestones:
             checkpoint_fn(step_total, state)
+        if fallback_fn is not None and fcfg.fallback_freq \
+                and step_total % fcfg.fallback_freq == 0:
+            fallback_fn(step_total, state)
 
     out_params = dict(model_params)
     out_params["visual"] = state.text_params

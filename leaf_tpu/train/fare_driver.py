@@ -67,6 +67,10 @@ def parse_args(argv=None):
     p.add_argument("--output-dir", type=str, default="./fare_out")
     p.add_argument("--experiment-name", type=str, default="FARE")
     p.add_argument("--log-freq", type=int, default=10)
+    p.add_argument("--fallback-freq", type=int, default=20,
+                   help="rolling crash-recovery checkpoint cadence "
+                        "(reference saves fallback_<step> every 20 "
+                        "steps); 0 disables")
     p.add_argument("--eval-freq", type=int, default=50)
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
@@ -109,7 +113,8 @@ def main(argv=None):
         loss=args.loss, loss_clean=args.loss_clean,
         clean_weight=args.clean_weight, trades=args.trades,
         output_normalize=args.output_normalize, log_freq=args.log_freq,
-        eval_freq=args.eval_freq, remat=args.remat)
+        eval_freq=args.eval_freq, remat=args.remat,
+        fallback_freq=args.fallback_freq)
 
     out_dir = os.path.join(args.output_dir, args.experiment_name)
     os.makedirs(out_dir, exist_ok=True)
@@ -120,11 +125,30 @@ def main(argv=None):
                              {"visual_params": state.text_params,
                               "step": state.step})
 
+    def fallback_fn(step, state):
+        # rolling crash-recovery checkpoint: save fallback_<step>, then
+        # GC the previous one (reference `adversarial_training_clip.py:
+        # 481-490,253-255`); all processes call the collective save,
+        # master alone removes old dirs
+        import shutil
+
+        import jax as _jax
+        ckpt.save_named(ckpt_dir, f"fallback_{step}",
+                        {"visual_params": state.text_params,
+                         "step": state.step})
+        if _jax.process_index() == 0 and os.path.isdir(ckpt_dir):
+            for name in os.listdir(ckpt_dir):
+                if name.startswith("fallback_") \
+                        and name != f"fallback_{step}":
+                    shutil.rmtree(os.path.join(ckpt_dir, name),
+                                  ignore_errors=True)
+
     from leaf_tpu.parallel import create_mesh
     mesh = create_mesh()
     out = train_fare(model.params, cfg, fcfg, repeat_forever(),
                      classifier=classifier, seed=args.seed,
-                     checkpoint_fn=checkpoint_fn, mesh=mesh)
+                     checkpoint_fn=checkpoint_fn,
+                     fallback_fn=fallback_fn, mesh=mesh)
     LOG.info("FARE done: %d steps, final loss %.5g", out["steps"],
              out["final_loss"])
     ckpt.wait_for_checkpoints()   # async Orbax commit must not race exit

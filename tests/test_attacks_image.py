@@ -171,11 +171,16 @@ def test_fare_driver_end_to_end(tmp_path):
         "--imagenet-root", str(tmp_path / "data"),
         "--steps", "2", "--warmup", "1", "--batch-size", "2",
         "--eps", "8", "--iterations-adv", "2", "--stepsize-adv", "4",
-        "--precision", "fp32",
+        "--precision", "fp32", "--fallback-freq", "1",
         "--output-dir", str(tmp_path / "out"),
         "--experiment-name", "smoke"])
     assert out["steps"] == 2
     assert np.isfinite(out["final_loss"])
+    # rolling fallback: only the LAST one survives (old ones GC'd,
+    # reference adversarial_training_clip.py:481-490,253-255)
+    ck = tmp_path / "out" / "smoke" / "checkpoints"
+    fallbacks = [d for d in os.listdir(ck) if d.startswith("fallback_")]
+    assert fallbacks == ["fallback_2"]
 
 
 def test_l1_projection_matches_reference():
