@@ -264,6 +264,12 @@ class FusedLeafStep:
         `data_AT.py:513-521`)."""
         if self.mesh is None:
             return self._plain
+        if any(ax != "data" and size > 1
+               for ax, size in self.mesh.shape.items()):
+            # tensor-parallel meshes keep the GSPMD phases: the
+            # shard_map bodies declare params replicated (P()), which
+            # would silently all-gather TP-sharded params per shard
+            return self._plain
         n = self.mesh.shape["data"]
         if jax.process_count() > 1:
             local = n // jax.process_count()

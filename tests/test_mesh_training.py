@@ -285,3 +285,31 @@ def test_fused_step_mesh_indivisible_batch_falls_back(tiny):
     fused = FusedLeafStep(cfg, tx, tok, rho=4, mesh=mesh)
     state, info = fused(state, frozen, texts, np.random.default_rng(3))
     assert np.isfinite(float(info["metrics"]["loss"]))
+
+
+def test_fused_step_tp_mesh_uses_gspmd_phases(tiny):
+    """On a dp x tp mesh the fused step must keep the GSPMD phases —
+    the shard_map bodies declare params replicated and would silently
+    all-gather TP-sharded params."""
+    from jax.sharding import Mesh
+
+    from leaf_tpu.parallel.sharding import shard_params
+    from leaf_tpu.tokenizer import get_tokenizer
+    from leaf_tpu.train.fused import FusedLeafStep
+
+    cfg, params = tiny
+    mesh = Mesh(np.asarray(jax.devices()).reshape(4, 2), ("data", "model"))
+    tok = get_tokenizer()
+    tx = make_optimizer(cosine_lr(1e-4, 2, 10), weight_decay=1e-4)
+    fused = FusedLeafStep(cfg, tx, tok, rho=4, mesh=mesh)
+    assert fused._phases(8) == fused._plain
+
+    p_tp = shard_params({"text": params["text"]}, mesh,
+                        model_axis="model")["text"]
+    state = TrainState.create(jax.tree.map(jnp.copy, p_tp), tx)
+    frozen = shard_params({"text": jax.tree.map(np.asarray,
+                                                params["text"])},
+                          mesh, model_axis="model")["text"]
+    texts = [f"a tp photo number {i}" for i in range(8)]
+    state, info = fused(state, frozen, texts, np.random.default_rng(5))
+    assert np.isfinite(float(info["metrics"]["loss"]))
