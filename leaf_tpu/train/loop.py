@@ -109,9 +109,21 @@ def train_one_epoch_text_only(
     loader_it = iter(info.loader)
     batch = next(loader_it, None)
     prepared = None
+    # --profile-dir: trace steps 2-5 of epoch 0 (past compiles) with
+    # jax.profiler — the runtime-observability hook standing in for the
+    # reference's torch.profiler path
+    profile_dir = getattr(args, "profile_dir", "") or ""
+    profiling = False
     i = -1
     while batch is not None:
         i += 1
+        if profile_dir and epoch == 0:
+            if i == 2 and not profiling:
+                jax.profiler.start_trace(profile_dir)
+                profiling = True
+            elif i == 5 and profiling:
+                jax.profiler.stop_trace()
+                profiling = False
         images, texts = batch
         del images  # text-only objective ignores images
         i_accum = i // args.accum_freq
@@ -192,5 +204,7 @@ def train_one_epoch_text_only(
             batch_time_m.reset()
             data_time_m.reset()
 
+    if profiling:
+        jax.profiler.stop_trace()
     log_data.setdefault("train/loss", losses_m.avg if losses_m.count else 0.0)
     return state, log_data

@@ -71,6 +71,11 @@ def parse_args(args: Optional[List[str]] = None) -> argparse.Namespace:
     p.add_argument("--grad-clip-norm", type=float, default=None)
     p.add_argument("--accum-freq", type=int, default=1)
     p.add_argument("--grad-checkpointing", action="store_true", default=False)
+    p.add_argument("--profile-dir", default="",
+                   help="capture a jax.profiler trace of training steps "
+                        "2-5 into this directory (xprof/tensorboard "
+                        "viewable; the torch.profiler-equivalent "
+                        "observability hook)")
     p.add_argument("--precision", default="fp32",
                    choices=["fp32", "bf16", "amp"],
                    help="'amp' maps to bf16 compute on TPU")

@@ -229,3 +229,14 @@ def test_leaf_driver_rejects_contrastive_flags(tmp_path):
         run_driver(tmp_path, ["--siglip"])
     with _pytest.raises(ValueError, match="vision tower"):
         run_driver(tmp_path, ["--no-lock-image"])
+
+
+def test_profile_dir_captures_trace(tmp_path):
+    """--profile-dir writes a jax.profiler (xprof) trace of steps 2-5."""
+    import glob as _glob
+
+    prof = tmp_path / "trace"
+    run_driver(tmp_path, ["--name", "prof", "--profile-dir", str(prof)])
+    files = _glob.glob(str(prof / "**" / "*"), recursive=True)
+    assert any("xplane" in f or f.endswith(".trace.json.gz")
+               for f in files), files
