@@ -22,9 +22,12 @@ from leaf_tpu.models.config import CLIPConfig
 
 
 def trace_model(params, cfg: CLIPConfig, batch_size: int = 1,
-                dtype=jnp.float32):
+                dtype=jnp.float32, normalize: bool = False):
     """Return (exported_text, exported_image): `jax.export.Exported`
-    objects for the two encoders with fixed shapes."""
+    objects for the two encoders with fixed shapes.  `normalize` bakes
+    L2 normalization into the artifact (match it to however the
+    consumer compares features — serve.py exports with its own
+    setting so artifact and .npz features agree)."""
     from jax import export as jexport
 
     tokens_spec = jax.ShapeDtypeStruct(
@@ -35,9 +38,10 @@ def trace_model(params, cfg: CLIPConfig, batch_size: int = 1,
         (batch_size, image_size, image_size, 3), dtype)
 
     text_fn = jax.jit(lambda t: lclip.encode_text(
-        params["text"], cfg.text, t, cfg.quick_gelu, dtype=dtype))
+        params["text"], cfg.text, t, cfg.quick_gelu,
+        normalize=normalize, dtype=dtype))
     image_fn = jax.jit(lambda im: lclip.encode_image_model(
-        params, cfg, im, dtype=dtype))
+        params, cfg, im, normalize=normalize, dtype=dtype))
 
     exported_text = jexport.export(text_fn)(tokens_spec)
     exported_image = jexport.export(image_fn)(images_spec)
@@ -56,11 +60,12 @@ def load_exported(path: str):
 
 
 def export_model(params, cfg: CLIPConfig, output_dir: str,
-                 batch_size: int = 1, dtype=jnp.float32) -> Tuple[str, str]:
+                 batch_size: int = 1, dtype=jnp.float32,
+                 normalize: bool = False) -> Tuple[str, str]:
     """Serialise both encoders; returns the two artifact paths."""
     os.makedirs(output_dir, exist_ok=True)
     exported_text, exported_image = trace_model(params, cfg, batch_size,
-                                                dtype)
+                                                dtype, normalize)
     text_path = os.path.join(output_dir, f"{cfg.name}.text.stablehlo")
     image_path = os.path.join(output_dir, f"{cfg.name}.image.stablehlo")
     save_exported(exported_text, text_path)

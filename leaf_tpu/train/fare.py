@@ -208,7 +208,8 @@ def train_fare(model_params, cfg: CLIPConfig, fcfg: FareConfig, data_iter,
                on_step: Optional[Callable[[int, Dict], None]] = None,
                checkpoint_fn: Optional[Callable[[int, Any], None]] = None,
                fallback_fn: Optional[Callable[[int, Any], None]] = None,
-               mesh=None) -> Dict:
+               mesh=None, init_state: Optional[TrainState] = None,
+               start_step: int = 0) -> Dict:
     """Run FARE training for fcfg.steps optimizer steps.
 
     data_iter yields (images [B,H,W,3] in [0,1], targets or None).
@@ -216,6 +217,9 @@ def train_fare(model_params, cfg: CLIPConfig, fcfg: FareConfig, data_iter,
     (reference `adversarial_training_clip.py:474-490`); `fallback_fn`
     runs every `fcfg.fallback_freq` steps for crash recovery (the
     reference's rolling fallback_<step>.pt, `:481-490`).
+    `init_state`/`start_step` resume from a recovered checkpoint
+    (params + optimizer moments + step counter; the data stream
+    restarts, like the reference's manual fallback recovery).
     With a mesh, image/target batches shard over `data` (params
     replicated; GSPMD inserts the grad psum — the reference's
     DataParallel, `adversarial_training_clip.py:189-191`).
@@ -228,8 +232,17 @@ def train_fare(model_params, cfg: CLIPConfig, fcfg: FareConfig, data_iter,
     frozen_visual = jax.tree.map(jnp.copy, model_params["visual"])
     # copy into the state: the jitted step donates its buffers, which
     # must not alias the caller's params
-    state = TrainState.create(jax.tree.map(jnp.copy,
-                                           model_params["visual"]), tx)
+    if init_state is not None:
+        state = TrainState(
+            text_params=jax.tree.map(jnp.asarray, init_state.text_params),
+            opt_state=jax.tree.map(jnp.asarray, init_state.opt_state),
+            step=jnp.asarray(init_state.step))
+        if mesh is not None:
+            from leaf_tpu.parallel.mesh import replicate
+            state = replicate(state, mesh)
+    else:
+        state = TrainState.create(jax.tree.map(jnp.copy,
+                                               model_params["visual"]), tx)
     attack = make_fare_attack(cfg, fcfg)
     train_step = make_fare_train_step(cfg, fcfg, tx)
     anchor_encode = jax.jit(lambda p, x: encode_vision(
@@ -237,8 +250,10 @@ def train_fare(model_params, cfg: CLIPConfig, fcfg: FareConfig, data_iter,
 
     milestones = {int(fcfg.steps * (i + 1) / 10) for i in range(10)}
     key = jax.random.PRNGKey(seed)
+    if start_step:
+        key = jax.random.fold_in(key, start_step)
     loss_m = AverageMeter()
-    step_total = 0
+    step_total = start_step
     t0 = time.time()
     for images, targets in data_iter:
         if step_total >= fcfg.steps:
@@ -263,7 +278,7 @@ def train_fare(model_params, cfg: CLIPConfig, fcfg: FareConfig, data_iter,
             LOG.info("FARE step %d/%d loss %.5g (%.5g) cos %.4f [%.2fs/step]",
                      step_total, fcfg.steps, loss_m.val, loss_m.avg,
                      float(metrics["cos_sim"]),
-                     (time.time() - t0) / step_total)
+                     (time.time() - t0) / max(step_total - start_step, 1))
         if checkpoint_fn is not None and step_total in milestones:
             checkpoint_fn(step_total, state)
         if fallback_fn is not None and fcfg.fallback_freq \

@@ -73,7 +73,27 @@ def parse_args(argv=None):
                         "steps); 0 disables")
     p.add_argument("--eval-freq", type=int, default=50)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--resume", default="",
+                   help="'latest' resumes from the newest fallback/"
+                        "milestone checkpoint in the output dir "
+                        "(params + optimizer moments + step; the data "
+                        "stream restarts)")
     return p.parse_args(argv)
+
+
+def _latest_fare_checkpoint(ckpt_dir: str):
+    """(step, path) of the newest fallback_<N>/epoch_<N> dir, or None."""
+    import re
+    if not os.path.isdir(ckpt_dir):
+        return None
+    best = None
+    for name in os.listdir(ckpt_dir):
+        m = re.match(r"^(?:fallback|epoch)_(\d+)$", name)
+        if m and os.path.isdir(os.path.join(ckpt_dir, name)):
+            step = int(m.group(1))
+            if best is None or step > best[0]:
+                best = (step, os.path.join(ckpt_dir, name))
+    return best
 
 
 def main(argv=None):
@@ -120,10 +140,16 @@ def main(argv=None):
     os.makedirs(out_dir, exist_ok=True)
     ckpt_dir = os.path.join(out_dir, "checkpoints")
 
+    def payload(state):
+        # optimizer moments ride along — without them a recovered run
+        # resets Adam state and diverges from the pre-crash trajectory
+        # (the reference saves fallback_<step>_opt.pt alongside,
+        # `adversarial_training_clip.py:482-487`)
+        return {"visual_params": state.text_params,
+                "opt_state": state.opt_state, "step": state.step}
+
     def checkpoint_fn(step, state):
-        ckpt.save_checkpoint(ckpt_dir, step,
-                             {"visual_params": state.text_params,
-                              "step": state.step})
+        ckpt.save_checkpoint(ckpt_dir, step, payload(state))
 
     def fallback_fn(step, state):
         # rolling crash-recovery checkpoint: save fallback_<step>, then
@@ -133,9 +159,7 @@ def main(argv=None):
         import shutil
 
         import jax as _jax
-        ckpt.save_named(ckpt_dir, f"fallback_{step}",
-                        {"visual_params": state.text_params,
-                         "step": state.step})
+        ckpt.save_named(ckpt_dir, f"fallback_{step}", payload(state))
         if _jax.process_index() == 0 and os.path.isdir(ckpt_dir):
             for name in os.listdir(ckpt_dir):
                 if name.startswith("fallback_") \
@@ -143,12 +167,53 @@ def main(argv=None):
                     shutil.rmtree(os.path.join(ckpt_dir, name),
                                   ignore_errors=True)
 
+    # resume: params + optimizer moments + step from the newest
+    # fallback/milestone (crash recovery; the data stream restarts,
+    # like the reference's manual fallback reload)
+    init_state = None
+    start_step = 0
+    if args.resume:
+        if args.resume != "latest":
+            raise ValueError("--resume only supports 'latest'")
+        found = _latest_fare_checkpoint(ckpt_dir)
+        if found is not None:
+            start_step, path = found
+            LOG.info("resuming FARE from %s (step %d)", path, start_step)
+            from leaf_tpu.train.fare import make_fare_optimizer
+            from leaf_tpu.train.step import TrainState
+            tx = make_fare_optimizer(fcfg)
+            like = {"visual_params": model.params["visual"],
+                    "opt_state": tx.init(model.params["visual"]),
+                    "step": np.asarray(0)}
+            try:
+                loaded = ckpt.load_checkpoint(path, like=like)
+            except ValueError:
+                # pre-opt_state payload: recover params, fresh moments
+                loaded = ckpt.load_checkpoint(
+                    path, like={"visual_params": like["visual_params"],
+                                "step": like["step"]})
+                loaded["opt_state"] = like["opt_state"]
+            init_state = TrainState(text_params=loaded["visual_params"],
+                                    opt_state=loaded["opt_state"],
+                                    step=loaded["step"])
+
     from leaf_tpu.parallel import create_mesh
     mesh = create_mesh()
     out = train_fare(model.params, cfg, fcfg, repeat_forever(),
                      classifier=classifier, seed=args.seed,
                      checkpoint_fn=checkpoint_fn,
-                     fallback_fn=fallback_fn, mesh=mesh)
+                     fallback_fn=fallback_fn, mesh=mesh,
+                     init_state=init_state, start_step=start_step)
+    # completed runs clean their fallbacks up (reference
+    # `adversarial_training_clip.py:253-255`); the milestone
+    # checkpoints are the durable artifacts
+    if out["steps"] >= fcfg.steps and jax.process_index() == 0 \
+            and os.path.isdir(ckpt_dir):
+        import shutil
+        for name in os.listdir(ckpt_dir):
+            if name.startswith("fallback_"):
+                shutil.rmtree(os.path.join(ckpt_dir, name),
+                              ignore_errors=True)
     LOG.info("FARE done: %d steps, final loss %.5g", out["steps"],
              out["final_loss"])
     ckpt.wait_for_checkpoints()   # async Orbax commit must not race exit

@@ -109,9 +109,9 @@ def train_one_epoch_text_only(
     loader_it = iter(info.loader)
     batch = next(loader_it, None)
     prepared = None
-    # --profile-dir: trace steps 2-5 of epoch 0 (past compiles) with
-    # jax.profiler — the runtime-observability hook standing in for the
-    # reference's torch.profiler path
+    # --profile-dir: trace batches 2-5 (inclusive) of epoch 0, past the
+    # compile batches, with jax.profiler — the runtime-observability
+    # hook standing in for the reference's torch.profiler path
     profile_dir = getattr(args, "profile_dir", "") or ""
     profiling = False
     i = -1
@@ -121,7 +121,7 @@ def train_one_epoch_text_only(
             if i == 2 and not profiling:
                 jax.profiler.start_trace(profile_dir)
                 profiling = True
-            elif i == 5 and profiling:
+            elif i == 6 and profiling:
                 jax.profiler.stop_trace()
                 profiling = False
         images, texts = batch

@@ -72,8 +72,9 @@ def parse_args(args: Optional[List[str]] = None) -> argparse.Namespace:
     p.add_argument("--accum-freq", type=int, default=1)
     p.add_argument("--grad-checkpointing", action="store_true", default=False)
     p.add_argument("--profile-dir", default="",
-                   help="capture a jax.profiler trace of training steps "
-                        "2-5 into this directory (xprof/tensorboard "
+                   help="capture a jax.profiler trace of epoch-0 "
+                        "batches 2-5 (micro-batches when accum-freq>1) "
+                        "into this directory (xprof/tensorboard "
                         "viewable; the torch.profiler-equivalent "
                         "observability hook)")
     p.add_argument("--precision", default="fp32",

@@ -176,11 +176,25 @@ def test_fare_driver_end_to_end(tmp_path):
         "--experiment-name", "smoke"])
     assert out["steps"] == 2
     assert np.isfinite(out["final_loss"])
-    # rolling fallback: only the LAST one survives (old ones GC'd,
-    # reference adversarial_training_clip.py:481-490,253-255)
+    # completed runs GC ALL fallbacks (reference
+    # adversarial_training_clip.py:253-255); milestones remain
     ck = tmp_path / "out" / "smoke" / "checkpoints"
-    fallbacks = [d for d in os.listdir(ck) if d.startswith("fallback_")]
-    assert fallbacks == ["fallback_2"]
+    assert not [d for d in os.listdir(ck) if d.startswith("fallback_")]
+    assert os.path.isdir(ck / "epoch_2")
+
+    # --resume latest: params + optimizer moments + step from the
+    # newest checkpoint; continues to the new step budget
+    out2 = fare_driver.main([
+        "--model", "ViT-tiny-test",
+        "--imagenet-root", str(tmp_path / "data"),
+        "--steps", "4", "--warmup", "1", "--batch-size", "2",
+        "--eps", "8", "--iterations-adv", "2", "--stepsize-adv", "4",
+        "--precision", "fp32", "--fallback-freq", "1",
+        "--resume", "latest",
+        "--output-dir", str(tmp_path / "out"),
+        "--experiment-name", "smoke"])
+    assert out2["steps"] == 4
+    assert int(out2["state"].step) == 4
 
 
 def test_l1_projection_matches_reference():
