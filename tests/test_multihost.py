@@ -178,3 +178,49 @@ def test_two_process_driver_end_to_end(tmp_path):
     sp_loss = float(sp["results"][-1]["train_loss"])
     mh_loss = float(a["rows1"][-1]["train_loss"])
     np.testing.assert_allclose(mh_loss, sp_loss, rtol=1e-4)
+
+
+CONTRASTIVE_WORKER = textwrap.dedent("""
+    import os, sys, json
+    proc_id = int(sys.argv[1]); port = sys.argv[2]; logs = sys.argv[3]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(f"localhost:{port}", 2, proc_id)
+    sys.path.insert(0, %(repo)r)
+    import leaf_tpu.train.contrastive_driver as cd
+
+    ARGS = [
+        "--model", "ViT-tiny-test", "--dataset-type", "synthetic",
+        "--train-num-samples", "8", "--batch-size", "4",
+        "--warmup", "1", "--lr", "1e-3",
+        "--logs", logs, "--name", "mhc", "--epochs", "1",
+    ]
+    out = cd.main(ARGS)
+    print(json.dumps({"proc": proc_id,
+                      "step": int(out["state"].step)}), flush=True)
+""") % {"repo": REPO}
+
+
+@pytest.mark.timeout(900)
+def test_two_process_contrastive_driver(tmp_path):
+    """The contrastive pretrainer CLI across two real processes:
+    collective orbax saves, shard_map'd InfoNCE over the global batch."""
+    script = tmp_path / "cworker.py"
+    script.write_text(CONTRASTIVE_WORKER)
+    logs = tmp_path / "logs"
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), str(i), str(port), str(logs)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True)
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=840)
+        assert p.returncode == 0, err[-4000:]
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+    assert all(o["step"] == 2 for o in outs)
+    assert (logs / "mhc" / "results.csv").exists()
