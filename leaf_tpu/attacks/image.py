@@ -25,14 +25,23 @@ from leaf_tpu.models.config import CLIPConfig
 from leaf_tpu.models.preprocess import OPENAI_DATASET_MEAN, OPENAI_DATASET_STD
 
 
-def _normalize_images(x: jnp.ndarray) -> jnp.ndarray:
-    mean = jnp.asarray(OPENAI_DATASET_MEAN, x.dtype)
-    std = jnp.asarray(OPENAI_DATASET_STD, x.dtype)
+def _normalize_images(x: jnp.ndarray, cfg=None) -> jnp.ndarray:
+    """Pixel [0,1] → model input.  `cfg` (a CLIPConfig) selects the
+    model's preprocess stats; None/unset → OpenAI CLIP stats (SigLIP
+    configs carry 0.5/0.5)."""
+    mean_v = OPENAI_DATASET_MEAN
+    std_v = OPENAI_DATASET_STD
+    if cfg is not None and getattr(cfg, "image_mean", None):
+        mean_v = cfg.image_mean
+        std_v = cfg.image_std or std_v
+    mean = jnp.asarray(mean_v, x.dtype)
+    std = jnp.asarray(std_v, x.dtype)
     return (x - mean) / std
 
 
 def _encode(params, cfg: CLIPConfig, images, normalize, dtype):
-    return lclip.encode_image_model(params, cfg, _normalize_images(images),
+    return lclip.encode_image_model(params, cfg,
+                                    _normalize_images(images, cfg),
                                     normalize=normalize, dtype=dtype)
 
 

@@ -118,7 +118,8 @@ def evaluate_captioning(params, coca_cfg, tokenizer, dataset, key,
     for images, caption_lists in dataset:
         key, sub = jax.random.split(key)
         tokens = generate(params, coca_cfg,
-                          _normalize_images(jnp.asarray(images)), sub,
+                          _normalize_images(jnp.asarray(images), coca_cfg),
+                          sub,
                           seq_len=seq_len)
         for row, refs in zip(np.asarray(tokens), caption_lists):
             ids = [int(t) for t in row

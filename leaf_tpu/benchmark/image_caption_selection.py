@@ -24,7 +24,7 @@ def evaluate_image_caption_selection(params, cfg: CLIPConfig, tokenizer,
     total = 0
     for images, caption_lists in dataset:
         img_f = np.asarray(lclip.encode_image_model(
-            params, cfg, _normalize_images(jnp.asarray(images)),
+            params, cfg, _normalize_images(jnp.asarray(images), cfg),
             normalize=True))
         flat = [c for caps in caption_lists for c in caps]
         txt_f = np.asarray(lclip.encode_text(

@@ -26,7 +26,7 @@ def extract_features(params, cfg: CLIPConfig, loader) -> Tuple[np.ndarray,
     feats, labels = [], []
     enc_jit = jax.jit(
         lambda p, im: lclip.encode_image_model(p, cfg,
-                                               _normalize_images(im)))
+                                               _normalize_images(im, cfg)))
     enc = lambda im: enc_jit(params, im)  # params as arg, not constant
     for images, lab in loader:
         feats.append(np.asarray(enc(jnp.asarray(images))))

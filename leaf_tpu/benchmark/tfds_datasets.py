@@ -312,6 +312,16 @@ def find_tfds_dir(root: str, tfds_name: str) -> Optional[str]:
     return None
 
 
+_COUNT_CACHE: Dict[tuple, int] = {}
+
+
+def _cached_count(path: str) -> int:
+    key = (path, os.path.getmtime(path))
+    if key not in _COUNT_CACHE:
+        _COUNT_CACHE[key] = count_tfrecords(path)
+    return _COUNT_CACHE[key]
+
+
 def _split_files(d: str, split: str) -> List[str]:
     return sorted(glob.glob(os.path.join(d, f"*-{split}.tfrecord-*")))
 
@@ -325,28 +335,58 @@ def _split_file_list(d: str, split_spec: str):
         raise FileNotFoundError(
             f"no shards for split {base!r} under {d} (expected "
             f"'*-{base}.tfrecord-NNNNN-of-NNNNN')")
-    counts = [count_tfrecords(f) for f in files]
+    counts = [_cached_count(f) for f in files]
     n = sum(counts)
     a = _resolve_bound(lo, n, 0)
     b = _resolve_bound(hi, n, n)
     return files, a, b, n
 
 
+def _skip_records(fh, n: int) -> int:
+    """Seek past n records (frame headers only); returns records skipped."""
+    done = 0
+    while done < n:
+        head = fh.read(12)
+        if len(head) < 12:
+            return done
+        (length,) = struct.unpack("<Q", head[:8])
+        fh.seek(length + 4, os.SEEK_CUR)
+        done += 1
+    return done
+
+
 def iter_split_records(d: str, split_spec: str) -> Iterator[bytes]:
     """Stream a split's records in order, applying tfds-style slice
     bounds — the carving task_adaptation applies to datasets without a
-    native test split.  Nothing is held in memory beyond one record."""
+    native test split.  Nothing is held in memory beyond one record;
+    whole files below the slice start are skipped by their (cached)
+    counts and leading records inside the boundary file are seeked
+    past, so a `train[80%:]` test split never reads the 80% of
+    payload bytes it does not use."""
     files, a, b, _ = _split_file_list(d, split_spec)
+    counts = [_COUNT_CACHE[(f, os.path.getmtime(f))] for f in files]
     i = 0
-    for f in files:
+    for f, cnt in zip(files, counts):
         if i >= b:
             return
-        for rec in iter_tfrecords(f, verify_crc=False):
-            if i >= b:
-                return
-            if i >= a:
-                yield rec
-            i += 1
+        if i + cnt <= a:          # entirely below the slice
+            i += cnt
+            continue
+        with open(f, "rb") as fh:
+            if i < a:
+                i += _skip_records(fh, a - i)
+            while i < b:
+                head = fh.read(12)
+                if len(head) < 12:
+                    break
+                (length,) = struct.unpack("<Q", head[:8])
+                (lcrc,) = struct.unpack("<I", head[8:])
+                if _masked_crc(head[:8]) != lcrc:
+                    raise IOError(f"{f}: corrupt length crc")
+                data = fh.read(length)
+                fh.seek(4, os.SEEK_CUR)
+                yield data
+                i += 1
 
 
 def load_split_records(d: str, split_spec: str) -> List[bytes]:
@@ -506,6 +546,12 @@ class TfdsClassificationDataset:
             or [str(i) for i in range(self.spec.num_classes or 0)])
 
     def __len__(self):
+        # sample count — the protocol of the sibling benchmark datasets
+        # (builder.TorchClassificationDataset); batches via num_batches
+        return self._num
+
+    @property
+    def num_batches(self):
         return (self._num + self.batch_size - 1) // self.batch_size
 
     @property

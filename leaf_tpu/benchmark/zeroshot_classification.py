@@ -29,7 +29,7 @@ LOG = logging.getLogger(__name__)
 def _logits_fn(params, cfg: CLIPConfig, classifier):
     def f(images):
         feats = lclip.encode_image_model(params, cfg,
-                                         _normalize_images(images),
+                                         _normalize_images(images, cfg),
                                          normalize=True)
         return 100.0 * feats.astype(jnp.float32) @ classifier
     return f

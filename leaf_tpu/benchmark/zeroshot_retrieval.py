@@ -40,7 +40,7 @@ def evaluate_zeroshot_retrieval(
     for images in image_loader:
         chunk = jnp.asarray(images)
         img_feats.append(np.asarray(lclip.encode_image_model(
-            params, cfg, _normalize_images(chunk), normalize=True)))
+            params, cfg, _normalize_images(chunk, cfg), normalize=True)))
     image_embs = np.concatenate(img_feats, 0)
 
     txt_feats = []

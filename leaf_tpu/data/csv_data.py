@@ -15,11 +15,15 @@ class CsvDataset:
     def __init__(self, filename: str, preprocess: Callable,
                  img_key: str = "filepath", caption_key: str = "title",
                  sep: str = "\t", batch_size: int = 64, seed: int = 0,
-                 shuffle: bool = False):
+                 shuffle: bool = False, drop_last: bool = False):
         self.preprocess = preprocess
         self.batch_size = batch_size
         self.seed = seed
         self.shuffle = shuffle
+        # training pipelines drop the final partial batch (the
+        # reference's equal-batch rounding, data_AT.py:513-521; a
+        # partial batch is also indivisible on multi-host meshes)
+        self.drop_last = drop_last
         self.epoch = -1
         self.root = os.path.dirname(os.path.abspath(filename))
         with open(filename, newline="") as f:
@@ -33,6 +37,8 @@ class CsvDataset:
 
     @property
     def num_batches(self) -> int:
+        if self.drop_last:
+            return len(self.images) // self.batch_size
         return -(-len(self.images) // self.batch_size)
 
     def set_epoch(self, epoch: int):
@@ -62,7 +68,7 @@ class CsvDataset:
 def get_csv_dataset(filename: str, preprocess, batch_size: int = 64,
                     img_key: str = "filepath", caption_key: str = "title",
                     sep: str = "\t", shuffle: bool = False,
-                    seed: int = 0) -> DataInfo:
+                    seed: int = 0, drop_last: bool = False) -> DataInfo:
     ds = CsvDataset(filename, preprocess, img_key, caption_key, sep,
-                    batch_size, seed, shuffle)
+                    batch_size, seed, shuffle, drop_last)
     return DataInfo(ds, num_batches=ds.num_batches, num_samples=len(ds))

@@ -53,7 +53,7 @@ def compute_clipscores(
         for i in range(0, len(images), batch_size):
             chunk = jnp.asarray(images[i:i + batch_size])
             out.append(np.asarray(lclip.encode_image_model(
-                params, cfg, _normalize_images(chunk))))
+                params, cfg, _normalize_images(chunk, cfg))))
         return np.concatenate(out, 0)
 
     def embed_texts(texts):

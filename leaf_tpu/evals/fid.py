@@ -67,7 +67,7 @@ def make_clip_feature_fn(params, cfg, batch_size: int = 64) -> Callable:
     def enc_jit(params, cfg, images):
         # params as an argument, not a baked-in module constant
         return lclip.encode_image_model(params, cfg,
-                                        _normalize_images(images),
+                                        _normalize_images(images, cfg),
                                         normalize=False)
 
     enc = lambda images: enc_jit(params, cfg, images)  # noqa: E731

@@ -166,7 +166,7 @@ def main(argv=None):
     embeds = []
     for batch in ds.image_batches():
         embeds.append(np.asarray(lclip.encode_image_model(
-            model.params, cfg, _normalize_images(jnp.asarray(batch)),
+            model.params, cfg, _normalize_images(jnp.asarray(batch), cfg),
             normalize=True)))
     image_embeds = np.concatenate(embeds, 0)
     out = eval_retrieval(scorer, model.params, tokenizer, image_embeds,

@@ -39,7 +39,7 @@ LOG = logging.getLogger(__name__)
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _clean_logits(params, cfg: CLIPConfig, images, classifier):
-    feats = lclip.encode_image_model(params, cfg, _normalize_images(images),
+    feats = lclip.encode_image_model(params, cfg, _normalize_images(images, cfg),
                                      normalize=True)
     return 100.0 * feats @ classifier
 
@@ -112,7 +112,7 @@ def run_text_classification(scorer: CandidateScorer, params, tokenizer,
 def encode_anchor_images(params, cfg: CLIPConfig, textcls, preprocess):
     """Normalised class-anchor image embeddings [K, D]."""
     images = jnp.asarray(textcls.anchor_images(preprocess))
-    feats = lclip.encode_image_model(params, cfg, _normalize_images(images),
+    feats = lclip.encode_image_model(params, cfg, _normalize_images(images, cfg),
                                      normalize=True)
     return feats
 

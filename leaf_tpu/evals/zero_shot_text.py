@@ -34,7 +34,7 @@ def class_anchor_features(scorer: CandidateScorer, params, tokenizer,
                                   normalize=True)
     from leaf_tpu.attacks.image import _normalize_images
     images = jnp.asarray(textcls.anchor_images(preprocess))
-    return lclip.encode_image_model(params, cfg, _normalize_images(images),
+    return lclip.encode_image_model(params, cfg, _normalize_images(images, cfg),
                                     normalize=True)
 
 

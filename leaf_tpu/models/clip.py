@@ -188,7 +188,9 @@ def init_vision_tower(key, cfg: VisionConfig, quick_gelu: bool = False) -> Param
         p["class_embedding"] = scale * jax.random.normal(
             k[1], (cfg.width,), jnp.float32)
     if cfg.attn_pool:
-        p["attn_pool"] = init_attn_pool(k[5], cfg.width)
+        # timm AttentionPoolLatent inherits the trunk's mlp_ratio
+        # (SO400M: 3.7362 -> hidden 4304, not 4608)
+        p["attn_pool"] = init_attn_pool(k[5], cfg.width, cfg.mlp_ratio)
     if cfg.ln_pre:
         p["ln_pre"] = layers.init_layer_norm(cfg.width)
     if cfg.patch_bias:

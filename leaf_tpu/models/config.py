@@ -117,6 +117,11 @@ class CLIPConfig:
     # set → ConvNeXt vision tower (models/convnext.ConvNeXtVisionSpec;
     # typed loosely to keep config.py free of model-module imports)
     convnext: Optional[object] = None
+    # per-model preprocess statistics (reference preprocess_cfg /
+    # pretrained-tag mean/std): None → OpenAI CLIP stats.  SigLIP-family
+    # towers train on inception-style (0.5, 0.5, 0.5) normalization.
+    image_mean: Optional[Tuple[float, float, float]] = None
+    image_std: Optional[Tuple[float, float, float]] = None
 
 
 def _cfg(name, embed_dim, v_layers, v_width, v_patch, t_width, t_heads, t_layers,
@@ -404,7 +409,7 @@ def _register_siglip_models() -> None:
     }
     for name, (trunk, embed, image, ctx, vocab, tw, th, tl, tmr,
                tok) in specs.items():
-        register_model(config_from_open_clip_dict(name, {
+        cfg = config_from_open_clip_dict(name, {
             "embed_dim": embed,
             "init_logit_bias": -10,
             "vision_cfg": {"image_size": image, "timm_model_name": trunk,
@@ -416,11 +421,16 @@ def _register_siglip_models() -> None:
                          "mlp_ratio": tmr, "no_causal_mask": True,
                          "proj_bias": True, "pool_type": "last",
                          "norm_kwargs": {"eps": 1e-6}},
-        }))
+        })
+        # SigLIP towers train on inception-style stats (reference
+        # `pretrained.py` _slpcfg: mean=std=(0.5, 0.5, 0.5))
+        register_model(dataclasses.replace(
+            cfg, image_mean=(0.5, 0.5, 0.5), image_std=(0.5, 0.5, 0.5)))
     # CI-sized SigLIP-style model (not in the reference)
     register_model(CLIPConfig(
         name="siglip-tiny-test", embed_dim=64,
         init_logit_scale=1.0, init_logit_bias=-10.0,
+        image_mean=(0.5, 0.5, 0.5), image_std=(0.5, 0.5, 0.5),
         text=TextConfig(context_length=16, vocab_size=512, width=64,
                         heads=2, layers=2, output_dim=64,
                         no_causal_mask=True, proj_bias=True,
@@ -635,7 +645,11 @@ def _register_hf_text_models() -> None:
         }
         if "siglip" in name:
             d["init_logit_bias"] = -10
-        register_model(config_from_open_clip_dict(name, d))
+        cfg = config_from_open_clip_dict(name, d)
+        if "siglip" in name:
+            cfg = dataclasses.replace(cfg, image_mean=(0.5, 0.5, 0.5),
+                                      image_std=(0.5, 0.5, 0.5))
+        register_model(cfg)
 
 
 _register_hf_text_models()

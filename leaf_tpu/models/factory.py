@@ -82,6 +82,12 @@ def _config_from_hub(model_name: str, config_only: bool = False):
             d = json.load(f)
         cfg = config_from_open_clip_dict(model_name,
                                          d.get("model_cfg", d))
+        pc = d.get("preprocess_cfg") or {}
+        if pc.get("mean") or pc.get("std"):
+            cfg = dataclasses.replace(
+                cfg,
+                image_mean=tuple(pc["mean"]) if pc.get("mean") else None,
+                image_std=tuple(pc["std"]) if pc.get("std") else None)
     elif os.path.exists(hf):
         with open(hf) as f:
             d = json.load(f)
@@ -204,7 +210,9 @@ def create_model_and_transforms(
     text-only training never augments images)."""
     model = create_model(model_name, pretrained, precision, seed,
                          force_quick_gelu, force_patch_dropout)
-    preprocess = image_transform(model.cfg.vision.image_size)
+    preprocess = image_transform(model.cfg.vision.image_size,
+                                 mean=model.cfg.image_mean,
+                                 std=model.cfg.image_std)
     return model, preprocess, preprocess
 
 

@@ -52,12 +52,21 @@ def denormalize(images: np.ndarray,
     return images * std + mean
 
 
-def image_transform(image_size: int, do_normalize: bool = True):
+INCEPTION_MEAN = (0.5, 0.5, 0.5)
+INCEPTION_STD = (0.5, 0.5, 0.5)
+
+
+def image_transform(image_size: int, do_normalize: bool = True,
+                    mean: Optional[Sequence[float]] = None,
+                    std: Optional[Sequence[float]] = None):
     """Return fn: PIL image / uint8 array → NHWC float32 [H, W, 3].
 
     Pipeline: bicubic resize shorter side → center crop → scale to
-    [0,1] → (optional) OpenAI-CLIP normalize.
+    [0,1] → (optional) normalize with `mean`/`std` (default OpenAI CLIP
+    stats; SigLIP-family configs carry (0.5, 0.5, 0.5)).
     """
+    mean = OPENAI_DATASET_MEAN if mean is None else tuple(mean)
+    std = OPENAI_DATASET_STD if std is None else tuple(std)
     def transform(img) -> np.ndarray:
         if isinstance(img, np.ndarray):
             from PIL import Image
@@ -67,7 +76,7 @@ def image_transform(image_size: int, do_normalize: bool = True):
         arr = np.asarray(img, dtype=np.float32) / 255.0
         arr = center_crop(arr, image_size)
         if do_normalize:
-            arr = normalize(arr)
+            arr = normalize(arr, mean, std)
         return arr
 
     return transform

@@ -146,10 +146,6 @@ _METACLIP = "https://dl.fbaipublicfiles.com/MMPT/metaclip/"
 # off the -quickgelu names, exactly as in the reference.
 _EXTRA_TAGS = {
     "ViT-B-32": dict(
-        laion400m_e31=dict(url=_GH_W + "vit_b_32-quickgelu-laion400m_e31-"
-                           "d867053b.pt", sha256="d867053b"),
-        laion400m_e32=dict(url=_GH_W + "vit_b_32-quickgelu-laion400m_e32-"
-                           "46683a32.pt", sha256="46683a32"),
         datacomp_m_s128m_b4k=_hub("laion/CLIP-ViT-B-32-DataComp.M-s128M-b4K"),
         datacomp_s_s13m_b4k=_hub("laion/CLIP-ViT-B-32-DataComp.S-s13M-b4K"),
         commonpool_m_clip_s128m_b4k=_hub(
@@ -158,6 +154,14 @@ _EXTRA_TAGS = {
             "laion/CLIP-ViT-B-32-CommonPool.S.clip-s13M-b4K"),
     ),
     "ViT-B-32-quickgelu": dict(
+        # the laion400m B-32 weights are QuickGELU (see the filename);
+        # the reference lists them under BOTH names, but loading them
+        # into the GELU config is exactly the silent-activation footgun
+        # this repo removes, so only the -quickgelu name carries them
+        laion400m_e31=dict(url=_GH_W + "vit_b_32-quickgelu-laion400m_e31-"
+                           "d867053b.pt", sha256="d867053b"),
+        laion400m_e32=dict(url=_GH_W + "vit_b_32-quickgelu-laion400m_e32-"
+                           "46683a32.pt", sha256="46683a32"),
         metaclip_400m=dict(url=_METACLIP + "b32_400m.pt", sha256=""),
         metaclip_fullcc=dict(url=_METACLIP + "b32_fullcc2.5b.pt",
                              sha256=""),

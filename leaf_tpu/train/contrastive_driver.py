@@ -202,7 +202,8 @@ def main(args=None) -> Dict:
     # eval normalises inside its jitted logits fn)
     from leaf_tpu.data import get_data, get_imagenet
     from leaf_tpu.models.preprocess import image_transform
-    preprocess = image_transform(cfg.vision.image_size, do_normalize=True)
+    preprocess = image_transform(cfg.vision.image_size, do_normalize=True,
+                             mean=cfg.image_mean, std=cfg.image_std)
     imagenet_val, args.imagenet_val = args.imagenet_val, None
     data = get_data(args, preprocess, process_index=jax.process_index(),
                     process_count=jax.process_count())

@@ -293,7 +293,7 @@ def main(args=None) -> Dict:
                 from leaf_tpu.attacks.image import _normalize_images
                 for images, texts in data["val"].loader:
                     yield np.asarray(_normalize_images(
-                        jnp.asarray(images))), texts
+                        jnp.asarray(images), cfg)), texts
 
             metrics.update(evaluate_contrastive(
                 eval_params(), cfg, norm_loader(), tokenizer, dtype=dtype))

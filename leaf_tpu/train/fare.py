@@ -42,7 +42,7 @@ def encode_vision(visual_params, cfg: CLIPConfig, images, output_normalize,
     """Images in [0,1] → embedding (normalisation folded in, reference
     ClipVisionModel `adversarial_training_clip.py:263-281`)."""
     return lclip.encode_image(visual_params, cfg.vision,
-                              _normalize_images(images), cfg.quick_gelu,
+                              _normalize_images(images, cfg), cfg.quick_gelu,
                               normalize=output_normalize, dtype=dtype,
                               remat=remat)
 

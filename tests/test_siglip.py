@@ -365,3 +365,27 @@ def test_patch_dropout_cls_less_tower():
                          cls_token=True)
     assert out2.shape == (4, 4, 2)
     np.testing.assert_array_equal(np.asarray(out2[:, 0]), x[:, 0])
+
+
+def test_siglip_preprocess_uses_inception_stats():
+    """SigLIP configs carry (0.5, 0.5, 0.5) stats; the transform and
+    the device-side normalizer must honor them (reference `_slpcfg`
+    mean/std)."""
+    from PIL import Image
+
+    from leaf_tpu.attacks.image import _normalize_images
+    from leaf_tpu.models import create_model_and_transforms
+
+    model, preprocess, _ = create_model_and_transforms("siglip-tiny-test")
+    gray = Image.new("RGB", (64, 64), (128, 128, 128))
+    arr = preprocess(gray)
+    # (128/255 - 0.5) / 0.5 ~= 0.0039 — near zero, NOT the OpenAI-stats
+    # value (~0.07..0.28 depending on channel)
+    assert abs(float(np.mean(arr))) < 0.01
+
+    x = jax.numpy.full((1, 4, 4, 3), 0.5)
+    dev = np.asarray(_normalize_images(x, model.cfg))
+    np.testing.assert_allclose(dev, 0.0, atol=1e-6)
+    # default stats still OpenAI for non-SigLIP configs
+    dev2 = np.asarray(_normalize_images(x, get_model_config("ViT-tiny-test")))
+    assert abs(float(dev2.mean())) > 0.05
