@@ -210,6 +210,9 @@ def init_clip(key, cfg: CLIPConfig) -> Params:
     elif cfg.convnext is not None:
         from leaf_tpu.models.convnext import init_convnext
         visual = init_convnext(kv, cfg.convnext)
+    elif cfg.trunk is not None:
+        from leaf_tpu.models import trunks
+        visual = trunks.init(kv, cfg.trunk)
     else:
         visual = init_vision_tower(kv, cfg.vision, cfg.quick_gelu)
     p = {
@@ -242,6 +245,10 @@ def encode_image_model(params: Params, cfg: CLIPConfig, images: jnp.ndarray,
         from leaf_tpu.models.convnext import encode_image_convnext
         return encode_image_convnext(params["visual"], cfg.convnext, images,
                                      normalize=normalize, dtype=dtype)
+    if cfg.trunk is not None:
+        from leaf_tpu.models import trunks
+        return trunks.encode(params["visual"], cfg.trunk, images,
+                             normalize=normalize, dtype=dtype, remat=remat)
     return encode_image(params["visual"], cfg.vision, images,
                         cfg.quick_gelu, normalize, dtype, remat,
                         dropout_key=dropout_key)

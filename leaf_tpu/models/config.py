@@ -122,6 +122,10 @@ class CLIPConfig:
     # towers train on inception-style (0.5, 0.5, 0.5) normalization.
     image_mean: Optional[Tuple[float, float, float]] = None
     image_std: Optional[Tuple[float, float, float]] = None
+    # set → non-ViT timm trunk family spec (EVA / ViTamin / Swin / ...;
+    # a frozen dataclass registered in models/trunks.py — typed loosely
+    # to keep config.py free of model-module imports)
+    trunk: Optional[object] = None
 
 
 def _cfg(name, embed_dim, v_layers, v_width, v_patch, t_width, t_heads, t_layers,
@@ -222,7 +226,23 @@ def config_from_open_clip_dict(name: str, d: dict) -> CLIPConfig:
     embed = d["embed_dim"]
     resnet = None
     convnext = None
-    if str(v.get("timm_model_name", "")).startswith("convnext"):
+    trunk = None
+    if v.get("timm_model_name"):
+        from leaf_tpu.models.trunks import spec_for_timm_name
+        trunk = spec_for_timm_name(
+            v["timm_model_name"], embed,
+            image_size=v.get("image_size"),
+            pool=v.get("timm_pool", "avg"),
+            proj=v.get("timm_proj", "linear"))
+    if trunk is not None:
+        # placeholder ViT config (carries image_size/output_dim only)
+        vision = VisionConfig(image_size=trunk.image_size,
+                              patch_size=getattr(trunk, "patch_size", 16),
+                              width=getattr(trunk, "width", 768),
+                              layers=getattr(trunk, "layers", 12),
+                              output_dim=embed)
+        layers = None
+    elif str(v.get("timm_model_name", "")).startswith("convnext"):
         from leaf_tpu.models.convnext import convnext_spec
         convnext = convnext_spec(
             v["timm_model_name"], embed,
@@ -294,7 +314,7 @@ def config_from_open_clip_dict(name: str, d: dict) -> CLIPConfig:
                       quick_gelu=bool(d.get("quick_gelu", False)),
                       init_logit_scale=d.get("init_logit_scale", 2.6592),
                       init_logit_bias=d.get("init_logit_bias"),
-                      resnet=resnet, convnext=convnext)
+                      resnet=resnet, convnext=convnext, trunk=trunk)
 
 
 def config_from_hf_dict(name: str, d: dict) -> CLIPConfig:
@@ -585,6 +605,101 @@ def _register_more_timm_models() -> None:
 
 
 _register_more_timm_models()
+
+
+def _register_eva_models() -> None:
+    """EVA family (reference `model_configs/EVA01-g-14*.json`,
+    `EVA02-*.json`): timm eva trunks with token pool and the trunk
+    classifier as projection (timm_proj null), standard CLIP text
+    towers under custom_text."""
+    specs = {
+        # name: (trunk, embed, image, t_width, t_heads, t_layers)
+        "EVA01-g-14": ("eva_giant_patch14_224", 1024, 224, 768, 12, 12),
+        "EVA01-g-14-plus": ("eva_giant_patch14_224", 1024, 224,
+                            1024, 16, 24),
+        "EVA02-B-16": ("eva02_base_patch16_clip_224", 512, 224,
+                       512, 8, 12),
+        "EVA02-L-14": ("eva02_large_patch14_clip_224", 768, 224,
+                       768, 12, 12),
+        "EVA02-L-14-336": ("eva02_large_patch14_clip_336", 768, 336,
+                           768, 12, 12),
+        "EVA02-E-14": ("eva02_enormous_patch14_clip_224", 1024, 224,
+                       1024, 16, 24),
+        "EVA02-E-14-plus": ("eva02_enormous_patch14_clip_224", 1024, 224,
+                            1280, 20, 32),
+    }
+    for name, (trunk, embed, image, tw, th, tl) in specs.items():
+        register_model(config_from_open_clip_dict(name, {
+            "embed_dim": embed,
+            "vision_cfg": {"timm_model_name": trunk, "timm_pool": "token",
+                           "timm_proj": None, "image_size": image},
+            "text_cfg": {"context_length": 77, "vocab_size": 49408,
+                         "width": tw, "heads": th, "layers": tl},
+        }))
+    # CI-sized EVA02-style trunk (not in the reference): exercises
+    # rope + SwiGLU + sub-LN at test scale
+    from leaf_tpu.models.eva import EvaVisionSpec
+    register_model(CLIPConfig(
+        name="eva-tiny-test", embed_dim=64,
+        text=TextConfig(context_length=16, vocab_size=512, width=64,
+                        heads=2, layers=2, output_dim=64),
+        vision=VisionConfig(image_size=32, patch_size=8, width=64,
+                            layers=2, output_dim=64),
+        trunk=EvaVisionSpec(name="eva-tiny", image_size=32, patch_size=8,
+                            width=64, layers=2, heads=2, mlp_hidden=128,
+                            output_dim=64, swiglu=True, rope=True,
+                            inner_attn_ln=True, mlp_ln=True,
+                            fused_qkv=False, ref_feat_size=4)))
+
+
+_register_eva_models()
+
+
+def _register_vitamin_models() -> None:
+    """ViTamin family (reference `model_configs/ViTamin-*.json`): timm
+    vitamin trunks, timm_pool='' (trunk-default avg+fc_norm pooling),
+    open_clip linear projection head."""
+    specs = {
+        # name: (trunk, embed, image, t_width, t_heads, t_layers)
+        "ViTamin-S": ("vitamin_small_224", 384, 224, 384, 6, 12),
+        "ViTamin-S-LTT": ("vitamin_small_224", 768, 224, 768, 12, 12),
+        "ViTamin-B": ("vitamin_base_224", 512, 224, 512, 8, 12),
+        "ViTamin-B-LTT": ("vitamin_base_224", 768, 224, 768, 12, 12),
+        "ViTamin-L": ("vitamin_large_224", 768, 224, 768, 12, 12),
+        "ViTamin-L-256": ("vitamin_large_256", 768, 256, 768, 12, 12),
+        "ViTamin-L-336": ("vitamin_large_336", 768, 336, 768, 12, 12),
+        "ViTamin-L2": ("vitamin_large2_224", 1024, 224, 1024, 16, 24),
+        "ViTamin-L2-256": ("vitamin_large2_256", 1024, 256, 1024, 16, 24),
+        "ViTamin-L2-336": ("vitamin_large2_336", 1024, 336, 1024, 16, 24),
+        "ViTamin-XL-256": ("vitamin_xlarge_256", 1152, 256, 1152, 16, 27),
+        "ViTamin-XL-336": ("vitamin_xlarge_336", 1152, 336, 1152, 16, 27),
+        # image_size 256 matching the reference JSON (its trunk name
+        # says 384; the config's image_size wins, as in TimmModel)
+        "ViTamin-XL-384": ("vitamin_xlarge_384", 1152, 256, 1152, 16, 27),
+    }
+    for name, (trunk, embed, image, tw, th, tl) in specs.items():
+        register_model(config_from_open_clip_dict(name, {
+            "embed_dim": embed,
+            "vision_cfg": {"timm_model_name": trunk, "timm_pool": "",
+                           "timm_proj": "linear", "image_size": image},
+            "text_cfg": {"context_length": 77, "vocab_size": 49408,
+                         "width": tw, "heads": th, "layers": tl},
+        }))
+    # CI-sized ViTamin-style trunk (not in the reference)
+    from leaf_tpu.models.vitamin import ViTaminVisionSpec
+    spec = ViTaminVisionSpec(name="vitamin-tiny", image_size=32,
+                             dims=(8, 16, 32), depths=(1, 2), vit_depth=2,
+                             heads=2, output_dim=64)
+    register_model(CLIPConfig(
+        name="vitamin-tiny-test", embed_dim=64,
+        text=TextConfig(context_length=16, vocab_size=512, width=64,
+                        heads=2, layers=2, output_dim=64),
+        vision=VisionConfig(image_size=32, patch_size=16, width=32,
+                            layers=2, output_dim=64),
+        trunk=spec))
+
+
+_register_vitamin_models()
 
 
 # HF-text-tower models (CustomTextCLIP route — reference

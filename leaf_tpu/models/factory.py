@@ -49,8 +49,9 @@ class CLIPModel:
     def encode_image(self, images, params: Optional[Params] = None,
                      normalize: bool = False):
         p = self.params if params is None else params
-        return clip.encode_image(p["visual"], self.cfg.vision, images,
-                                 self.cfg.quick_gelu, normalize, self.dtype)
+        # full-model dispatch: ViT / ModifiedResNet / convnext / trunk
+        return clip.encode_image_model(p, self.cfg, images,
+                                       normalize=normalize, dtype=self.dtype)
 
     def forward(self, images=None, tokens=None, params: Optional[Params] = None):
         p = self.params if params is None else params

@@ -185,6 +185,9 @@ def openclip_to_params(sd: Mapping[str, Any], cfg: CLIPConfig) -> Params:
         if cfg.convnext is not None:
             from leaf_tpu.models.convnext import timm_convnext_to_params
             visual = timm_convnext_to_params(sd, cfg.convnext)
+        elif cfg.trunk is not None:
+            from leaf_tpu.models import trunks
+            visual = trunks.from_timm(sd, cfg.trunk)
         else:
             from leaf_tpu.models.timm_vision import timm_vit_to_params
             # auto-detect the projection head kind from the state dict

@@ -23,8 +23,13 @@ VIT_CONFIGS = [m for m in list_models()
                # SigLIP (timm-trunk/custom-text) and CLIPA
                # (causal-mask-free text, no ln_pre) cannot be expressed
                # as HF CLIPModel / open_clip CLIP state dicts — their
-               # ingestion is covered by tests/test_siglip.py
-               and "SigLIP" not in m and "CLIPA" not in m]
+               # ingestion is covered by tests/test_siglip.py.  Trunk
+               # configs (EVA / ViTamin / ... — includes "ViTamin-*",
+               # which startswith("ViT")) likewise have no HF CLIPModel
+               # form; their timm-checkpoint ingestion is covered by
+               # tests/test_eva.py and tests/test_vitamin.py.
+               and "SigLIP" not in m and "CLIPA" not in m
+               and get_model_config(m).trunk is None]
 RN_CONFIGS = [m for m in list_models() if m.startswith("RN")]
 
 
