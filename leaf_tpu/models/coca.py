@@ -22,6 +22,7 @@ Greedy/top-k generation is `generate()` — one jitted `lax.scan`.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -58,6 +59,14 @@ class CoCaConfig:
     quick_gelu: bool = False
     init_logit_scale: float = 2.6592
     pad_id: int = 0
+    # set → the text tower is a HuggingFace model (reference
+    # `coca_roberta-ViT-B-32.json`: hf_model_name + custom_text); the
+    # multimodal decoder width must equal the HF hidden size, and the
+    # decoder vocab stays text.vocab_size (the reference keeps the
+    # CLIP-BPE decoder vocab even for HF towers, coca_model.py:114-118)
+    hf_text_name: Optional[str] = None
+    hf_pooler: str = "mean_pooler"
+    hf_proj: Optional[str] = "linear"
 
 
 # -- registry ----------------------------------------------------------------
@@ -100,6 +109,47 @@ def coca_base() -> CoCaConfig:
         n_queries=256, attn_pooler_heads=8)
 
 
+def coca_roberta_vit_b_32() -> CoCaConfig:
+    """reference `model_configs/coca_roberta-ViT-B-32.json`: roberta-base
+    text tower (output_tokens), ViT-B-32 vision, width-768 decoder.
+
+    NOTE (upstream-faithful): the captioning decoder of this config is
+    width-inconsistent in the reference itself — the attentional pooler
+    emits embed_dim(512)-wide image embs while the decoder's cross
+    attention is a plain width(768) nn.MultiheadAttention with no kdim
+    (`coca_model.py:120-131`, `transformer.py:836-849`), so its
+    forward/generate raise upstream exactly as they do here (coca_base
+    shares the same inconsistency).  The contrastive towers
+    (encode_image/encode_text) are fully functional."""
+    return CoCaConfig(
+        name="coca_roberta-ViT-B-32", embed_dim=512,
+        text=TextConfig(context_length=76, width=768, heads=12, layers=12,
+                        output_dim=512),
+        vision=VisionConfig(image_size=224, patch_size=32, width=768,
+                            layers=12, output_dim=512),
+        multimodal=MultimodalConfig(context_length=76, width=768, heads=8,
+                                    layers=12),
+        hf_text_name="roberta-base")
+
+
+def coca_roberta_tiny_test() -> CoCaConfig:
+    """CI-sized HF-text CoCa (not in the reference): a 2-layer roberta
+    tower standing in for roberta-base."""
+    return CoCaConfig(
+        name="coca-roberta-tiny-test", embed_dim=64,
+        text=TextConfig(context_length=16, width=64, heads=2, layers=2,
+                        output_dim=64),
+        vision=VisionConfig(image_size=64, patch_size=16, width=64,
+                            layers=2, head_width=32, output_dim=64),
+        # self-consistent widths (embed == mm width == hf hidden) so the
+        # captioning path actually runs — unlike the reference's
+        # full-size config, see coca_roberta_vit_b_32
+        multimodal=MultimodalConfig(context_length=16, width=64, heads=2,
+                                    layers=2, vocab_size=100),
+        n_queries=8, attn_pooler_heads=2,
+        hf_text_name="_tiny_roberta_test")
+
+
 def coca_tiny_test() -> CoCaConfig:
     """CI-sized CoCa (not in the reference; mirrors ViT-tiny-test)."""
     return CoCaConfig(
@@ -114,7 +164,25 @@ def coca_tiny_test() -> CoCaConfig:
 
 
 COCA_CONFIGS = {"coca_ViT-B-32": coca_vit_b_32, "coca_ViT-L-14": coca_vit_l_14,
-                "coca_base": coca_base, "coca-tiny-test": coca_tiny_test}
+                "coca_base": coca_base, "coca-tiny-test": coca_tiny_test,
+                "coca_roberta-ViT-B-32": coca_roberta_vit_b_32,
+                "coca-roberta-tiny-test": coca_roberta_tiny_test}
+
+
+@functools.lru_cache(maxsize=8)
+def _hf_tower_cached(name: str, pooler: str, proj: Optional[str],
+                     embed_dim: int):
+    from leaf_tpu.models.hf_text import HFTextTower
+    return HFTextTower(name, output_dim=embed_dim, pooler_type=pooler,
+                       proj_type=proj)
+
+
+def hf_text_tower(cfg: CoCaConfig):
+    """The (stateless-apply) HF text tower for an hf_text CoCa config.
+    Cached: module construction is expensive and the tower is pure —
+    all weights live in the params pytree."""
+    return _hf_tower_cached(cfg.hf_text_name, cfg.hf_pooler, cfg.hf_proj,
+                            cfg.embed_dim)
 
 
 def get_coca_config(name: str) -> CoCaConfig:
@@ -161,12 +229,15 @@ def _init_attn_pooler(key, d_model: int, context_dim: int,
 def init_coca(key, cfg: CoCaConfig) -> Params:
     from leaf_tpu.models.clip import init_text_tower, init_vision_tower
     kt, kv, kp, km, kc = jax.random.split(key, 5)
-    text = init_text_tower(kt, cfg.text)
-    # CLS embedding + one extra positional slot (num_pos = ctx + 1)
-    text["cls_emb"] = 0.01 * jax.random.normal(
-        kc, (cfg.text.width,), jnp.float32)
-    text["positional_embedding"] = 0.01 * jax.random.normal(
-        kt, (cfg.text.context_length + 1, cfg.text.width), jnp.float32)
+    if cfg.hf_text_name:
+        text = hf_text_tower(cfg).params
+    else:
+        text = init_text_tower(kt, cfg.text)
+        # CLS embedding + one extra positional slot (num_pos = ctx + 1)
+        text["cls_emb"] = 0.01 * jax.random.normal(
+            kc, (cfg.text.width,), jnp.float32)
+        text["positional_embedding"] = 0.01 * jax.random.normal(
+            kt, (cfg.text.context_length + 1, cfg.text.width), jnp.float32)
 
     vision = init_vision_tower(kv, cfg.vision)
     # with attentional pooling, ln_post/proj act on embed_dim
@@ -268,7 +339,16 @@ def encode_text_coca(params: Params, cfg: CoCaConfig, tokens: jnp.ndarray,
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """→ (text latent [B, D], token embs [B, S, width])
     (reference `transformer.py:776-809` with embed_cls=True: CLS
-    appended at the END, pooled='last', ln_final after pooling)."""
+    appended at the END, pooled='last', ln_final after pooling).
+
+    HF-text configs (coca_roberta-ViT-B-32) route through the HF tower's
+    output_tokens path instead (reference hf_model.py:157-168)."""
+    if cfg.hf_text_name:
+        pooled, token_embs = hf_text_tower(cfg).call_with_tokens(
+            params["text"], tokens)
+        if normalize:
+            pooled = l2_normalize(pooled)
+        return pooled.astype(dtype), token_embs.astype(dtype)
     p = params["text"]
     tc = cfg.text
     B, S = tokens.shape

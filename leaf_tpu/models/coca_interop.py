@@ -18,10 +18,34 @@ from leaf_tpu.models.interop import _np, _openclip_block_stack, _stack
 Params = Dict[str, Any]
 
 
+def _hf_text_to_params(sd: Mapping[str, Any], cfg: CoCaConfig) -> Params:
+    """`text.transformer.*` (torch HF keys) + `text.proj.weight` →
+    {"hf": flax tree, "proj": {...}} via transformers' pt→flax
+    converter (reference hf_model.py wraps the torch AutoModel; the
+    linear proj is bias-free, hf_model.py:149-152)."""
+    import torch
+    from transformers.modeling_flax_pytorch_utils import (
+        convert_pytorch_state_dict_to_flax,
+    )
+
+    from leaf_tpu.models.coca import hf_text_tower
+    tower = hf_text_tower(cfg)
+    pt = {k[len("text.transformer."):]: torch.as_tensor(np.asarray(_np(v)))
+          for k, v in sd.items() if k.startswith("text.transformer.")}
+    flax_tree = convert_pytorch_state_dict_to_flax(pt, tower.module)
+    proj = {}
+    if "text.proj.weight" in sd:
+        proj["w"] = _np(sd["text.proj.weight"]).T
+    return {"hf": flax_tree, "proj": proj}
+
+
 def coca_openclip_to_params(sd: Mapping[str, Any], cfg: CoCaConfig) -> Params:
     sd = {k[len("module."):] if k.startswith("module.") else k: v
           for k, v in sd.items()}
 
+    if cfg.hf_text_name:
+        text = _hf_text_to_params(sd, cfg)
+        return _assemble(sd, cfg, text)
     text = {
         "token_embedding": _np(sd["text.token_embedding.weight"]),
         "positional_embedding": _np(sd["text.positional_embedding"]),
@@ -32,7 +56,10 @@ def coca_openclip_to_params(sd: Mapping[str, Any], cfg: CoCaConfig) -> Params:
                      "bias": _np(sd["text.ln_final.bias"])},
         "text_projection": _np(sd["text.text_projection"]),
     }
+    return _assemble(sd, cfg, text)
 
+
+def _assemble(sd: Mapping[str, Any], cfg: CoCaConfig, text: Params) -> Params:
     conv = _np(sd["visual.conv1.weight"])
     visual = {
         "patch_embedding": conv.transpose(2, 3, 1, 0).reshape(-1, conv.shape[0]),

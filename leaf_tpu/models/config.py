@@ -201,14 +201,29 @@ for base in ["ViT-B-32", "ViT-B-16", "ViT-L-14", "ViT-L-14-336"]:
         b, name=base + "-quickgelu", quick_gelu=True)
 
 
-def list_models() -> Tuple[str, ...]:
-    return tuple(sorted(_REGISTRY))
+def list_models(include_coca: bool = True) -> Tuple[str, ...]:
+    """All registry names.  CoCa models (their configs are CoCaConfig,
+    not CLIPConfig — models/coca.py COCA_CONFIGS) are listed so the
+    registry surface matches the reference's single model_configs/ dir;
+    build them via factory.create_model or coca.create_coca_model."""
+    names = set(_REGISTRY)
+    if include_coca:
+        from leaf_tpu.models.coca import COCA_CONFIGS  # lazy: avoids cycle
+        names |= set(COCA_CONFIGS)
+    return tuple(sorted(names))
 
 
 def get_model_config(name: str) -> CLIPConfig:
     if name not in _REGISTRY:
+        from leaf_tpu.models.coca import COCA_CONFIGS
+        if name in COCA_CONFIGS:
+            raise KeyError(
+                f"'{name}' is a CoCa model: its config is a CoCaConfig, "
+                "not a CLIPConfig — use models.coca.get_coca_config / "
+                "factory.create_model")
         raise KeyError(
-            f"Unknown model '{name}'. Available: {', '.join(list_models())}")
+            f"Unknown model '{name}'. "
+            f"Available: {', '.join(list_models(include_coca=False))}")
     return _REGISTRY[name]
 
 
@@ -653,6 +668,54 @@ def _register_eva_models() -> None:
 
 
 _register_eva_models()
+
+
+def _register_relpos_swin_models() -> None:
+    """The two remaining timm-trunk singletons (reference
+    `model_configs/swin_base_patch4_window7_224.json`,
+    `vit_relpos_medium_patch16_cls_224.json`)."""
+    register_model(config_from_open_clip_dict(
+        "swin_base_patch4_window7_224", {
+            "embed_dim": 640,
+            "vision_cfg": {"timm_model_name": "swin_base_patch4_window7_224",
+                           "timm_pool": "", "timm_proj": "linear",
+                           "image_size": 224},
+            "text_cfg": {"context_length": 77, "vocab_size": 49408,
+                         "width": 640, "heads": 10, "layers": 12},
+        }))
+    register_model(config_from_open_clip_dict(
+        "vit_relpos_medium_patch16_cls_224", {
+            "embed_dim": 512,
+            "vision_cfg": {
+                "timm_model_name": "vit_relpos_medium_patch16_cls_224",
+                "timm_pool": "", "timm_proj": "linear", "image_size": 224},
+            "text_cfg": {"context_length": 77, "vocab_size": 49408,
+                         "width": 512, "heads": 8, "layers": 12},
+        }))
+    # CI-sized variants (not in the reference)
+    from leaf_tpu.models.relpos_vit import RelPosViTSpec
+    from leaf_tpu.models.swin import SwinVisionSpec
+    register_model(CLIPConfig(
+        name="swin-tiny-test", embed_dim=64,
+        text=TextConfig(context_length=16, vocab_size=512, width=64,
+                        heads=2, layers=2, output_dim=64),
+        vision=VisionConfig(image_size=32, patch_size=4, width=16,
+                            layers=4, output_dim=64),
+        trunk=SwinVisionSpec(name="swin-tiny", image_size=32, patch_size=4,
+                             embed_dim=16, depths=(2, 2), heads=(2, 4),
+                             window=4, output_dim=64)))
+    register_model(CLIPConfig(
+        name="relpos-tiny-test", embed_dim=64,
+        text=TextConfig(context_length=16, vocab_size=512, width=64,
+                        heads=2, layers=2, output_dim=64),
+        vision=VisionConfig(image_size=32, patch_size=8, width=64,
+                            layers=2, output_dim=64),
+        trunk=RelPosViTSpec(name="relpos-tiny", image_size=32, patch_size=8,
+                            width=64, layers=2, heads=2, rel_pos_dim=16,
+                            output_dim=64)))
+
+
+_register_relpos_swin_models()
 
 
 def _register_vitamin_models() -> None:

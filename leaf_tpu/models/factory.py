@@ -62,6 +62,49 @@ class CLIPModel:
         return self.params["logit_scale"]
 
 
+@dataclasses.dataclass
+class CoCaModel:
+    """Factory bundle for CoCa configs (reference builds CoCa through
+    the same create_model entry, `factory.py` model class dispatch)."""
+    cfg: Any            # CoCaConfig
+    params: Params
+    dtype: Any = jnp.float32
+
+    def encode_image(self, images, params: Optional[Params] = None,
+                     normalize: bool = True):
+        from leaf_tpu.models import coca
+        p = self.params if params is None else params
+        latent, _ = coca.encode_image_coca(p, self.cfg, images,
+                                           normalize=normalize,
+                                           dtype=self.dtype)
+        return latent
+
+    def encode_text(self, tokens, params: Optional[Params] = None,
+                    normalize: bool = True):
+        from leaf_tpu.models import coca
+        p = self.params if params is None else params
+        latent, _ = coca.encode_text_coca(p, self.cfg, tokens,
+                                          normalize=normalize,
+                                          dtype=self.dtype)
+        return latent
+
+    def forward(self, images, tokens, params: Optional[Params] = None):
+        from leaf_tpu.models import coca
+        p = self.params if params is None else params
+        return coca.forward(p, self.cfg, images, tokens, dtype=self.dtype)
+
+    def generate(self, images, key=None, **kw):
+        from leaf_tpu.models import coca
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        return coca.generate(self.params, self.cfg, images, key,
+                             dtype=self.dtype, **kw)
+
+    @property
+    def logit_scale(self):
+        return self.params["logit_scale"]
+
+
 def _config_from_hub(model_name: str, config_only: bool = False):
     """hf-hub: model name → (CLIPConfig, local snapshot dir).
 
@@ -119,6 +162,13 @@ def create_model(
     hub snapshot (reference `factory.py:200-207`): the config comes
     from `open_clip_config.json` (or an HF `config.json`), and the
     snapshot becomes the default `pretrained` source."""
+    dtype0 = {"fp32": jnp.float32, "bf16": jnp.bfloat16,
+              "bfloat16": jnp.bfloat16}[precision]
+    from leaf_tpu.models.coca import COCA_CONFIGS, create_coca_model
+    if model_name in COCA_CONFIGS:
+        params, ccfg = create_coca_model(model_name, pretrained=pretrained,
+                                         seed=seed)
+        return CoCaModel(cfg=ccfg, params=params, dtype=dtype0)
     if model_name.startswith("hf-hub:"):
         cfg, snapshot = _config_from_hub(model_name)
         if not pretrained:

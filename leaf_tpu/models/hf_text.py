@@ -24,6 +24,43 @@ POOLERS = ("mean_pooler", "max_pooler", "cls_pooler",
            "cls_last_hidden_state_pooler")
 
 
+def _offline_hf_config(name: str):
+    """Known hub configs reconstructible without network access (the
+    container has no hub cache).  Values are the published config.json
+    of the named checkpoint."""
+    import transformers
+    if name == "roberta-base":
+        return transformers.RobertaConfig(
+            vocab_size=50265, hidden_size=768, num_hidden_layers=12,
+            num_attention_heads=12, intermediate_size=3072,
+            max_position_embeddings=514, type_vocab_size=1,
+            layer_norm_eps=1e-5, pad_token_id=1, bos_token_id=0,
+            eos_token_id=2)
+    if name == "_tiny_roberta_test":
+        # CI-sized stand-in used by coca-roberta-tiny-test
+        return transformers.RobertaConfig(
+            vocab_size=100, hidden_size=64, num_hidden_layers=2,
+            num_attention_heads=2, intermediate_size=128,
+            max_position_embeddings=40, type_vocab_size=1,
+            pad_token_id=1)
+    return None
+
+
+def resolve_hf_config(name: str):
+    """AutoConfig for `name`, preferring a local cache, then the known
+    offline table (zero-egress container), then the hub."""
+    import transformers
+    try:
+        return transformers.AutoConfig.from_pretrained(
+            name, local_files_only=True)
+    except (OSError, EnvironmentError, ValueError):
+        pass
+    cfg = _offline_hf_config(name)
+    if cfg is not None:
+        return cfg
+    return transformers.AutoConfig.from_pretrained(name)
+
+
 def _pool(last_hidden: jnp.ndarray, pooler_output, attention_mask,
           pooler_type: str) -> jnp.ndarray:
     mask = attention_mask.astype(last_hidden.dtype)[..., None]
@@ -60,9 +97,9 @@ class HFTextTower:
             self.config = module.config
             hf_params = module.params
         else:
-            self.config = (transformers.AutoConfig.from_pretrained(
-                config_or_name) if isinstance(config_or_name, str)
-                else config_or_name)
+            self.config = (resolve_hf_config(config_or_name)
+                           if isinstance(config_or_name, str)
+                           else config_or_name)
             module = transformers.FlaxAutoModel.from_config(
                 self.config, add_pooling_layer=(pooler_type == "cls_pooler"))
             hf_params = module.params
@@ -96,7 +133,9 @@ class HFTextTower:
     def __call__(self, params: Dict[str, Any], input_ids,
                  attention_mask=None, normalize: bool = False):
         if attention_mask is None:
-            attention_mask = (jnp.asarray(input_ids) != 0).astype(jnp.int32)
+            # reference hf_model.py:150: mask from the tower's own pad id
+            pad = getattr(self.config, "pad_token_id", 0) or 0
+            attention_mask = (jnp.asarray(input_ids) != pad).astype(jnp.int32)
         out = self.module(input_ids=jnp.asarray(input_ids),
                           attention_mask=attention_mask,
                           params=params["hf"])
@@ -113,6 +152,35 @@ class HFTextTower:
             from leaf_tpu.models.clip import l2_normalize
             pooled = l2_normalize(pooled)
         return pooled
+
+    def call_with_tokens(self, params: Dict[str, Any], input_ids,
+                         attention_mask=None, normalize: bool = False):
+        """(projected pooled [B, out], token states [B, S(-1), width]) —
+        the reference's `output_tokens=True` path (`hf_model.py:157-168`):
+        the cls position is dropped from the token states only for the
+        cls pooler; token states are NOT projected."""
+        if attention_mask is None:
+            pad = getattr(self.config, "pad_token_id", 0) or 0
+            attention_mask = (jnp.asarray(input_ids) != pad).astype(jnp.int32)
+        out = self.module(input_ids=jnp.asarray(input_ids),
+                          attention_mask=attention_mask,
+                          params=params["hf"])
+        pooler_output = getattr(out, "pooler_output", None)
+        pooled = _pool(out.last_hidden_state, pooler_output, attention_mask,
+                       self.pooler_type)
+        proj = params["proj"]
+        if "w" in proj:
+            pooled = pooled @ proj["w"]
+        elif "w1" in proj:
+            h = jax.nn.gelu(pooled @ proj["w1"], approximate=False)
+            pooled = h @ proj["w2"] + proj["b2"]
+        if normalize:
+            from leaf_tpu.models.clip import l2_normalize
+            pooled = l2_normalize(pooled)
+        tokens = out.last_hidden_state
+        if self.pooler_type in ("cls_pooler", "cls_last_hidden_state_pooler"):
+            tokens = tokens[:, 1:]
+        return pooled, tokens
 
 
 def create_custom_text_clip(vision_cfg, hf_text: HFTextTower, embed_dim: int,
