@@ -718,6 +718,61 @@ def _register_relpos_swin_models() -> None:
 _register_relpos_swin_models()
 
 
+def _register_mobileclip_models() -> None:
+    """MobileCLIP family (reference `model_configs/MobileCLIP-{B,S1,S2}
+    .json`): MCi hybrid-ViT / FastViT trunks with the trunk classifier
+    as projection; S1/S2 text towers are non-causal.  All MobileCLIP
+    checkpoints train WITHOUT input normalization — mean (0,0,0), std
+    (1,1,1) (reference `pretrained.py:69-75` `_mccfg`)."""
+    def register_mc(cfg):
+        register_model(dataclasses.replace(
+            cfg, image_mean=(0.0, 0.0, 0.0), image_std=(1.0, 1.0, 1.0)))
+
+    register_mc(config_from_open_clip_dict("MobileCLIP-B", {
+        "embed_dim": 512,
+        "vision_cfg": {"timm_model_name": "vit_base_mci_224",
+                       "timm_pool": "token", "timm_proj": None,
+                       "image_size": 224},
+        "text_cfg": {"context_length": 77, "vocab_size": 49408,
+                     "width": 512, "heads": 8, "layers": 12,
+                     "no_causal_mask": False},
+    }))
+    for name, trunk in (("MobileCLIP-S1", "fastvit_mci1"),
+                        ("MobileCLIP-S2", "fastvit_mci2")):
+        register_mc(config_from_open_clip_dict(name, {
+            "embed_dim": 512,
+            "vision_cfg": {"timm_model_name": trunk, "timm_pool": "avg",
+                           "timm_proj": None, "image_size": 256},
+            "text_cfg": {"context_length": 77, "vocab_size": 49408,
+                         "width": 512, "heads": 8, "layers": 12,
+                         "no_causal_mask": True},
+        }))
+    # CI-sized variants (not in the reference)
+    from leaf_tpu.models.mci import FastVitSpec, MciViTSpec
+    register_model(CLIPConfig(
+        name="mci-vit-tiny-test", embed_dim=64,
+        text=TextConfig(context_length=16, vocab_size=512, width=64,
+                        heads=2, layers=2, output_dim=64),
+        vision=VisionConfig(image_size=32, patch_size=16, width=32,
+                            layers=2, output_dim=64),
+        trunk=MciViTSpec(name="mci-vit-tiny", image_size=32, width=32,
+                         layers=2, heads=2, stem_channels=(8, 8, 32),
+                         stem_kernels=(4, 2, 2), output_dim=64)))
+    register_model(CLIPConfig(
+        name="fastvit-tiny-test", embed_dim=64,
+        text=TextConfig(context_length=16, vocab_size=512, width=64,
+                        heads=2, layers=2, output_dim=64),
+        vision=VisionConfig(image_size=32, patch_size=4, width=8,
+                            layers=4, output_dim=64),
+        trunk=FastVitSpec(name="fastvit-tiny", image_size=32,
+                          dims=(8, 16, 32, 64), depths=(1, 2, 2, 1),
+                          mlp_ratio=2.0, attn_head_dim=8,
+                          output_dim=64)))
+
+
+_register_mobileclip_models()
+
+
 def _register_vitamin_models() -> None:
     """ViTamin family (reference `model_configs/ViTamin-*.json`): timm
     vitamin trunks, timm_pool='' (trunk-default avg+fc_norm pooling),

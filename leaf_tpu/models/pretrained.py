@@ -218,6 +218,14 @@ _EXTRA_TAGS = {
     "ViT-g-14": dict(
         laion2b_s34b_b88k=_hub("laion/CLIP-ViT-g-14-laion2B-s34B-b88K"),
     ),
+    # MobileCLIP (reference pretrained.py:455-464; mean/std (0,0,0)/
+    # (1,1,1) ride on the model configs, config.py)
+    "MobileCLIP-B": dict(
+        datacompdr=_hub("apple/MobileCLIP-B-OpenCLIP"),
+        datacompdr_lt=_hub("apple/MobileCLIP-B-LT-OpenCLIP"),
+    ),
+    "MobileCLIP-S1": dict(datacompdr=_hub("apple/MobileCLIP-S1-OpenCLIP")),
+    "MobileCLIP-S2": dict(datacompdr=_hub("apple/MobileCLIP-S2-OpenCLIP")),
     "ViT-B-16-SigLIP": dict(webli=_hub("timm/ViT-B-16-SigLIP")),
     "ViT-B-16-SigLIP-256": dict(webli=_hub("timm/ViT-B-16-SigLIP-256")),
     "ViT-B-16-SigLIP-384": dict(webli=_hub("timm/ViT-B-16-SigLIP-384")),

@@ -96,6 +96,36 @@ def _np(v) -> np.ndarray:
             else np.asarray(v, np.float32))
 
 
+def timm_vit_blocks_to_stack(sd: Mapping[str, Any], trunk_prefix: str,
+                             n_layers: int) -> Dict[str, Any]:
+    """timm ViT `blocks.N.*` keys → the leaf_tpu stacked-block pytree
+    (shared by the generic ViT mapping below and the MCi hybrid ViT,
+    models/mci.py)."""
+    g = lambda k: _np(sd[trunk_prefix + k])  # noqa: E731
+
+    def stack(fmt, transpose=False):
+        per = []
+        for i in range(n_layers):
+            w = g(fmt.format(i))
+            per.append(w.T if transpose else w)
+        return np.stack(per)
+
+    return {
+        "ln_1": {"scale": stack("blocks.{}.norm1.weight"),
+                 "bias": stack("blocks.{}.norm1.bias")},
+        "attn": {"qkv_w": stack("blocks.{}.attn.qkv.weight", True),
+                 "qkv_b": stack("blocks.{}.attn.qkv.bias"),
+                 "out_w": stack("blocks.{}.attn.proj.weight", True),
+                 "out_b": stack("blocks.{}.attn.proj.bias")},
+        "ln_2": {"scale": stack("blocks.{}.norm2.weight"),
+                 "bias": stack("blocks.{}.norm2.bias")},
+        "mlp": {"fc_w": stack("blocks.{}.mlp.fc1.weight", True),
+                "fc_b": stack("blocks.{}.mlp.fc1.bias"),
+                "proj_w": stack("blocks.{}.mlp.fc2.weight", True),
+                "proj_b": stack("blocks.{}.mlp.fc2.bias")},
+    }
+
+
 def timm_vit_to_params(sd: Mapping[str, Any], cfg: VisionConfig,
                        trunk_prefix: str = "visual.trunk.",
                        head_prefix: str = "visual.head.",
@@ -113,32 +143,12 @@ def timm_vit_to_params(sd: Mapping[str, Any], cfg: VisionConfig,
     p = conv.shape[-1]
     patch_embedding = conv.transpose(2, 3, 1, 0).reshape(p * p * 3, -1)
 
-    def stack(fmt, transpose=False):
-        per = []
-        for i in range(cfg.layers):
-            w = g(fmt.format(i))
-            per.append(w.T if transpose else w)
-        return np.stack(per)
-
     out = {
         "patch_embedding": patch_embedding,
         "patch_bias": g("patch_embed.proj.bias"),
         "positional_embedding": g("pos_embed").reshape(
             -1, cfg.width),
-        "blocks": {
-            "ln_1": {"scale": stack("blocks.{}.norm1.weight"),
-                     "bias": stack("blocks.{}.norm1.bias")},
-            "attn": {"qkv_w": stack("blocks.{}.attn.qkv.weight", True),
-                     "qkv_b": stack("blocks.{}.attn.qkv.bias"),
-                     "out_w": stack("blocks.{}.attn.proj.weight", True),
-                     "out_b": stack("blocks.{}.attn.proj.bias")},
-            "ln_2": {"scale": stack("blocks.{}.norm2.weight"),
-                     "bias": stack("blocks.{}.norm2.bias")},
-            "mlp": {"fc_w": stack("blocks.{}.mlp.fc1.weight", True),
-                    "fc_b": stack("blocks.{}.mlp.fc1.bias"),
-                    "proj_w": stack("blocks.{}.mlp.fc2.weight", True),
-                    "proj_b": stack("blocks.{}.mlp.fc2.bias")},
-        },
+        "blocks": timm_vit_blocks_to_stack(sd, trunk_prefix, cfg.layers),
         "ln_post": {"scale": g("norm.weight"), "bias": g("norm.bias")},
     }
     if trunk_prefix + "cls_token" in sd:
