@@ -103,6 +103,8 @@ _PRETRAINED: Dict[str, Dict[str, Dict[str, str]]] = {
     "ViT-H-14": {
         "laion2b": dict(
             url="hf-hub:laion/CLIP-ViT-H-14-laion2B-s32B-b79K", sha256=""),
+        "laion2b_s32b_b79k": dict(
+            url="hf-hub:laion/CLIP-ViT-H-14-laion2B-s32B-b79K", sha256=""),
         "fare2": dict(url="hf-hub:chs20/fare2-clip-vit-h", sha256=""),
         "leaf": dict(
             url="hf-hub:LEAF-CLIP/CLIP-ViT-H-rho50-k1-constrained-FARE2",
@@ -111,12 +113,16 @@ _PRETRAINED: Dict[str, Dict[str, Dict[str, str]]] = {
     "ViT-g-14": {
         "laion2b": dict(
             url="hf-hub:laion/CLIP-ViT-g-14-laion2B-s12B-b42K", sha256=""),
+        "laion2b_s12b_b42k": dict(
+            url="hf-hub:laion/CLIP-ViT-g-14-laion2B-s12B-b42K", sha256=""),
         "leaf": dict(
             url="hf-hub:LEAF-CLIP/CLIP-ViT-g-rho50-k1-constrained-FARE2",
             sha256=""),
     },
     "ViT-bigG-14": {
         "laion2b": dict(
+            url="hf-hub:laion/CLIP-ViT-bigG-14-laion2B-39B-b160k", sha256=""),
+        "laion2b_s39b_b160k": dict(
             url="hf-hub:laion/CLIP-ViT-bigG-14-laion2B-39B-b160k", sha256=""),
         "leaf": dict(
             url="hf-hub:LEAF-CLIP/CLIP-ViT-bigG-rho50-k1-constrained-FARE2",
@@ -146,12 +152,52 @@ _METACLIP = "https://dl.fbaipublicfiles.com/MMPT/metaclip/"
 # off the -quickgelu names, exactly as in the reference.
 _EXTRA_TAGS = {
     "ViT-B-32": dict(
+        laion2b_e16=dict(url=_GH_W + "vit_b_32-laion2b_e16-af8dbd0c.pth",
+                         sha256="af8dbd0c"),
         datacomp_m_s128m_b4k=_hub("laion/CLIP-ViT-B-32-DataComp.M-s128M-b4K"),
         datacomp_s_s13m_b4k=_hub("laion/CLIP-ViT-B-32-DataComp.S-s13M-b4K"),
         commonpool_m_clip_s128m_b4k=_hub(
             "laion/CLIP-ViT-B-32-CommonPool.M.clip-s128M-b4K"),
+        commonpool_m_laion_s128m_b4k=_hub(
+            "laion/CLIP-ViT-B-32-CommonPool.M.laion-s128M-b4K"),
+        commonpool_m_image_s128m_b4k=_hub(
+            "laion/CLIP-ViT-B-32-CommonPool.M.image-s128M-b4K"),
+        commonpool_m_text_s128m_b4k=_hub(
+            "laion/CLIP-ViT-B-32-CommonPool.M.text-s128M-b4K"),
+        commonpool_m_basic_s128m_b4k=_hub(
+            "laion/CLIP-ViT-B-32-CommonPool.M.basic-s128M-b4K"),
+        commonpool_m_s128m_b4k=_hub(
+            "laion/CLIP-ViT-B-32-CommonPool.M-s128M-b4K"),
         commonpool_s_clip_s13m_b4k=_hub(
             "laion/CLIP-ViT-B-32-CommonPool.S.clip-s13M-b4K"),
+        commonpool_s_laion_s13m_b4k=_hub(
+            "laion/CLIP-ViT-B-32-CommonPool.S.laion-s13M-b4K"),
+        commonpool_s_image_s13m_b4k=_hub(
+            "laion/CLIP-ViT-B-32-CommonPool.S.image-s13M-b4K"),
+        commonpool_s_text_s13m_b4k=_hub(
+            "laion/CLIP-ViT-B-32-CommonPool.S.text-s13M-b4K"),
+        commonpool_s_basic_s13m_b4k=_hub(
+            "laion/CLIP-ViT-B-32-CommonPool.S.basic-s13M-b4K"),
+        commonpool_s_s13m_b4k=_hub(
+            "laion/CLIP-ViT-B-32-CommonPool.S-s13M-b4K"),
+    ),
+    "RN50x16": dict(
+        openai=dict(
+            url=_OPENAI_BASE + "52378b407f34354e150460fe41077663dd5b39c54cd0"
+                "bfd2b27167a4a06ec9aa/RN50x16.pt",
+            sha256="52378b407f34354e150460fe41077663dd5b39c54cd0bfd2b27167a4"),
+    ),
+    "RN50x64": dict(
+        openai=dict(
+            url=_OPENAI_BASE + "be1cfb55d75a9666199fb2206c106743da0f6468c9d3"
+                "27f3e0d0a543a9919d9c/RN50x64.pt",
+            sha256="be1cfb55d75a9666199fb2206c106743da0f6468c9d327f3e0d0a543"),
+    ),
+    "ViT-L-14-336": dict(
+        openai=dict(
+            url=_OPENAI_BASE + "3035c92b350959924f9f00213499208652fc7ea05064"
+                "3e8b385c2dac08641f02/ViT-L-14-336px.pt",
+            sha256="3035c92b350959924f9f00213499208652fc7ea050643e8b385c2dac"),
     ),
     "ViT-B-32-quickgelu": dict(
         # the laion400m B-32 weights are QuickGELU (see the filename);
@@ -178,8 +224,19 @@ _EXTRA_TAGS = {
         datacomp_xl_s13b_b90k=_hub(
             "laion/CLIP-ViT-B-16-DataComp.XL-s13B-b90K"),
         datacomp_l_s1b_b8k=_hub("laion/CLIP-ViT-B-16-DataComp.L-s1B-b8K"),
+        laion2b_s34b_b88k=_hub("laion/CLIP-ViT-B-16-laion2B-s34B-b88K"),
         commonpool_l_clip_s1b_b8k=_hub(
             "laion/CLIP-ViT-B-16-CommonPool.L.clip-s1B-b8K"),
+        commonpool_l_laion_s1b_b8k=_hub(
+            "laion/CLIP-ViT-B-16-CommonPool.L.laion-s1B-b8K"),
+        commonpool_l_image_s1b_b8k=_hub(
+            "laion/CLIP-ViT-B-16-CommonPool.L.image-s1B-b8K"),
+        commonpool_l_text_s1b_b8k=_hub(
+            "laion/CLIP-ViT-B-16-CommonPool.L.text-s1B-b8K"),
+        commonpool_l_basic_s1b_b8k=_hub(
+            "laion/CLIP-ViT-B-16-CommonPool.L.basic-s1B-b8K"),
+        commonpool_l_s1b_b8k=_hub(
+            "laion/CLIP-ViT-B-16-CommonPool.L-s1B-b8K"),
         dfn2b=_hub("apple/DFN2B-CLIP-ViT-B-16"),
     ),
     "ViT-B-16-quickgelu": dict(
@@ -200,6 +257,14 @@ _EXTRA_TAGS = {
                            sha256="3d133497"),
         commonpool_xl_clip_s13b_b90k=_hub(
             "laion/CLIP-ViT-L-14-CommonPool.XL.clip-s13B-b90K"),
+        # hub snapshot's open_clip_config.json carries the Inception
+        # (0.5,0.5,0.5) preprocess stats this checkpoint trained with;
+        # the factory adopts them from the snapshot (factory.py)
+        laion2b_s32b_b82k=_hub("laion/CLIP-ViT-L-14-laion2B-s32B-b82K"),
+        commonpool_xl_laion_s13b_b90k=_hub(
+            "laion/CLIP-ViT-L-14-CommonPool.XL.laion-s13B-b90K"),
+        commonpool_xl_s13b_b90k=_hub(
+            "laion/CLIP-ViT-L-14-CommonPool.XL-s13B-b90K"),
     ),
     "ViT-L-14-quickgelu": dict(
         metaclip_400m=dict(url=_METACLIP + "l14_400m.pt", sha256=""),
@@ -261,6 +326,9 @@ _EXTRA_TAGS = {
     "convnext_base_w_320": dict(
         laion_aesthetic_s13b_b82k=_hub(
             "laion/CLIP-convnext_base_w_320-laion_aesthetic-s13B-b82K"),
+        laion_aesthetic_s13b_b82k_augreg=_hub(
+            "laion/CLIP-convnext_base_w_320-laion_aesthetic-s13B-b82K-"
+            "augreg"),
     ),
     "convnext_large_d": dict(
         laion2b_s26b_b102k_augreg=_hub(
@@ -275,6 +343,8 @@ _EXTRA_TAGS = {
     "convnext_xxlarge": dict(
         laion2b_s34b_b82k_augreg=_hub(
             "laion/CLIP-convnext_xxlarge-laion2B-s34B-b82K-augreg"),
+        laion2b_s34b_b82k_augreg_rewind=_hub(
+            "laion/CLIP-convnext_xxlarge-laion2B-s34B-b82K-augreg-rewind"),
         laion2b_s34b_b82k_augreg_soup=_hub(
             "laion/CLIP-convnext_xxlarge-laion2B-s34B-b82K-augreg-soup"),
     ),

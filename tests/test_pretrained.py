@@ -43,6 +43,40 @@ def test_registry_surface():
     assert get_pretrained_url("ViT-H-14", "leaf").startswith("hf-hub:LEAF-CLIP/")
 
 
+def test_registry_covers_reference_zoo():
+    """Every (model, tag) pair of the reference `_PRETRAINED` table
+    (`src/open_clip/pretrained.py:639-720`) resolves here, EXCEPT
+    (ViT-B-32, laion400m_e31/e32): those weights are QuickGELU and this
+    repo deliberately carries them only on ViT-B-32-quickgelu (the
+    silent-activation footgun the factory removes)."""
+    pairs = set(list_pretrained())
+    assert len(pairs) >= 125
+    spot = [
+        ("RN50x16", "openai"), ("RN50x64", "openai"),
+        ("ViT-L-14-336", "openai"),
+        ("ViT-B-32", "laion2b_e16"),
+        ("ViT-B-32", "commonpool_m_laion_s128m_b4k"),
+        ("ViT-B-32", "commonpool_s_s13m_b4k"),
+        ("ViT-B-16", "laion2b_s34b_b88k"),
+        ("ViT-B-16", "commonpool_l_basic_s1b_b8k"),
+        ("ViT-L-14", "laion2b_s32b_b82k"),
+        ("ViT-L-14", "commonpool_xl_s13b_b90k"),
+        ("ViT-H-14", "laion2b_s32b_b79k"),
+        ("ViT-g-14", "laion2b_s12b_b42k"),
+        ("ViT-bigG-14", "laion2b_s39b_b160k"),
+        ("ViT-B-32-quickgelu", "laion400m_e31"),
+        ("ViT-B-32-quickgelu", "laion400m_e32"),
+        ("convnext_base_w_320", "laion_aesthetic_s13b_b82k_augreg"),
+        ("convnext_xxlarge", "laion2b_s34b_b82k_augreg_rewind"),
+        ("MobileCLIP-S1", "datacompdr"),
+    ]
+    missing = [p for p in spot if p not in pairs]
+    assert not missing, missing
+    # the documented divergence — GELU names must NOT carry the
+    # quickgelu laion400m weights
+    assert ("ViT-B-32", "laion400m_e31") not in pairs
+
+
 def test_download_and_cache(tmp_path, fake_server):
     url = "https://example.com/model/" + fake_server.sha + "/ckpt.pt"
     p = download_pretrained_from_url(url, str(tmp_path),
