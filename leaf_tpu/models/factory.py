@@ -200,7 +200,11 @@ def create_model(
                             pooler_type=cfg.text.hf_pooler_type,
                             proj_type=cfg.text.hf_proj_type, seed=seed)
         kv = jax.random.PRNGKey(seed + 1)
-        if cfg.convnext is not None:
+        if cfg.trunk is not None:
+            # nllb-clip-*-siglip carry timm SigLIP trunks
+            from leaf_tpu.models import trunks
+            visual = trunks.init(kv, cfg.trunk)
+        elif cfg.convnext is not None:
             from leaf_tpu.models.convnext import init_convnext
             visual = init_convnext(kv, cfg.convnext)
         else:

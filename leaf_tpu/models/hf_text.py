@@ -43,6 +43,43 @@ def _offline_hf_config(name: str):
             num_attention_heads=2, intermediate_size=128,
             max_position_embeddings=40, type_vocab_size=1,
             pad_token_id=1)
+    if name in ("xlm-roberta-base", "xlm-roberta-large"):
+        large = name.endswith("large")
+        return transformers.XLMRobertaConfig(
+            vocab_size=250002,
+            hidden_size=1024 if large else 768,
+            num_hidden_layers=24 if large else 12,
+            num_attention_heads=16 if large else 12,
+            intermediate_size=4096 if large else 3072,
+            max_position_embeddings=514, type_vocab_size=1,
+            layer_norm_eps=1e-5, pad_token_id=1, bos_token_id=0,
+            eos_token_id=2)
+    if name in ("google/mt5-base", "google/mt5-xl"):
+        xl = name.endswith("xl")
+        return transformers.MT5Config(
+            vocab_size=250112,
+            d_model=2048 if xl else 768,
+            d_kv=64,
+            d_ff=5120 if xl else 2048,
+            num_layers=24 if xl else 12,
+            num_heads=32 if xl else 12,
+            relative_attention_num_buckets=32, dropout_rate=0.1,
+            layer_norm_epsilon=1e-6, feed_forward_proj="gated-gelu",
+            tie_word_embeddings=False, pad_token_id=0, eos_token_id=1,
+            decoder_start_token_id=0)
+    if name in ("facebook/nllb-200-distilled-600M",
+                "facebook/nllb-200-distilled-1.3B"):
+        big = name.endswith("1.3B")
+        return transformers.M2M100Config(
+            vocab_size=256206, d_model=1024,
+            encoder_layers=24 if big else 12,
+            decoder_layers=24 if big else 12,
+            encoder_attention_heads=16, decoder_attention_heads=16,
+            encoder_ffn_dim=8192 if big else 4096,
+            decoder_ffn_dim=8192 if big else 4096,
+            max_position_embeddings=1024, activation_function="relu",
+            scale_embedding=True, pad_token_id=1, bos_token_id=0,
+            eos_token_id=2, decoder_start_token_id=2)
     return None
 
 
@@ -78,6 +115,40 @@ def _pool(last_hidden: jnp.ndarray, pooler_output, attention_mask,
     raise ValueError(f"unknown pooler {pooler_type!r}")
 
 
+def _build_module(config, pooler_type: str, pretrained_from=None):
+    """Architecture-aware module construction (reference
+    `hf_model.py:87-110`: encoder-decoder towers use only the encoder):
+
+      * m2m_100 (the nllb-clip towers) — transformers has no Flax
+        M2M100, so the native JAX encoder in models/m2m100.py is used;
+      * t5/mt5 — `FlaxAutoModel` would build the full encoder-decoder
+        (whose __call__ demands decoder inputs); build the
+        `Flax*EncoderModel` instead;
+      * everything else — `FlaxAutoModel` (bert/roberta-family, which
+        also accepts `add_pooling_layer`).
+    """
+    import transformers
+
+    mt = getattr(config, "model_type", "")
+    if mt == "m2m_100":
+        from leaf_tpu.models.m2m100 import M2M100EncoderModule
+        if pretrained_from is not None:
+            return M2M100EncoderModule.from_pretrained(pretrained_from,
+                                                       config=config)
+        return M2M100EncoderModule(config)
+    if mt in ("t5", "mt5"):
+        cls = (transformers.FlaxMT5EncoderModel if mt == "mt5"
+               else transformers.FlaxT5EncoderModel)
+        if pretrained_from is not None:
+            return cls.from_pretrained(pretrained_from)
+        return cls(config)
+    if pretrained_from is not None:
+        return transformers.FlaxAutoModel.from_pretrained(
+            pretrained_from, add_pooling_layer=(pooler_type == "cls_pooler"))
+    return transformers.FlaxAutoModel.from_config(
+        config, add_pooling_layer=(pooler_type == "cls_pooler"))
+
+
 class HFTextTower:
     """Flax HF model + pooler + projection as (params pytree, apply fn).
 
@@ -91,17 +162,15 @@ class HFTextTower:
         import transformers
 
         if isinstance(config_or_name, str) and pretrained:
-            module = transformers.FlaxAutoModel.from_pretrained(
-                config_or_name,
-                add_pooling_layer=(pooler_type == "cls_pooler"))
-            self.config = module.config
+            self.config = resolve_hf_config(config_or_name)
+            module = _build_module(self.config, pooler_type,
+                                   pretrained_from=config_or_name)
             hf_params = module.params
         else:
             self.config = (resolve_hf_config(config_or_name)
                            if isinstance(config_or_name, str)
                            else config_or_name)
-            module = transformers.FlaxAutoModel.from_config(
-                self.config, add_pooling_layer=(pooler_type == "cls_pooler"))
+            module = _build_module(self.config, pooler_type)
             hf_params = module.params
         self.module = module
         self.pooler_type = pooler_type

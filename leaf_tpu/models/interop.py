@@ -381,18 +381,22 @@ def checkpoint_quick_gelu(path: str) -> Optional[bool]:
     return None
 
 
-def load_pretrained(path: str, cfg: CLIPConfig) -> Params:
-    """Load an HF or OpenCLIP checkpoint file/dir into a pytree,
-    auto-detecting the key schema."""
+def resolve_checkpoint_file(path: str) -> str:
+    """Snapshot dir → the weights file inside it (no-op for files)."""
     if os.path.isdir(path):
         for cand in ("open_clip_model.safetensors", "model.safetensors",
                      "open_clip_pytorch_model.bin", "pytorch_model.bin"):
             f = os.path.join(path, cand)
             if os.path.exists(f):
-                path = f
-                break
-        else:
-            raise FileNotFoundError(f"no checkpoint file found under {path}")
+                return f
+        raise FileNotFoundError(f"no checkpoint file found under {path}")
+    return path
+
+
+def load_pretrained(path: str, cfg: CLIPConfig) -> Params:
+    """Load an HF or OpenCLIP checkpoint file/dir into a pytree,
+    auto-detecting the key schema."""
+    path = resolve_checkpoint_file(path)
     sd = load_state_dict_file(path)
     keys = set(sd.keys())
     if any(k.startswith("text_model.") for k in keys):
