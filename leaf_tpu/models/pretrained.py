@@ -358,6 +358,58 @@ _EXTRA_TAGS = {
         mscoco_finetuned_laion2b_s13b_b90k=_hub(
             "laion/mscoco_finetuned_CoCa-ViT-L-14-laion2B-s13B-b90k"),
     ),
+    # EVA (reference pretrained.py:364-380; timm-hosted)
+    "EVA01-g-14": dict(laion400m_s11b_b41k=_hub(
+        "timm/eva_giant_patch14_clip_224.laion400m_s11b_b41k")),
+    "EVA01-g-14-plus": dict(merged2b_s11b_b114k=_hub(
+        "timm/eva_giant_patch14_plus_clip_224.merged2b_s11b_b114k")),
+    "EVA02-B-16": dict(merged2b_s8b_b131k=_hub(
+        "timm/eva02_base_patch16_clip_224.merged2b_s8b_b131k")),
+    "EVA02-L-14": dict(merged2b_s4b_b131k=_hub(
+        "timm/eva02_large_patch14_clip_224.merged2b_s4b_b131k")),
+    "EVA02-L-14-336": dict(merged2b_s6b_b61k=_hub(
+        "timm/eva02_large_patch14_clip_336.merged2b_s6b_b61k")),
+    "EVA02-E-14": dict(laion2b_s4b_b115k=_hub(
+        "timm/eva02_enormous_patch14_clip_224.laion2b_s4b_b115k")),
+    "EVA02-E-14-plus": dict(laion2b_s9b_b144k=_hub(
+        "timm/eva02_enormous_patch14_plus_clip_224.laion2b_s9b_b144k")),
+    # CLIPA (reference pretrained.py:421-439)
+    "ViT-L-14-CLIPA": dict(
+        datacomp1b=_hub("UCSC-VLAA/ViT-L-14-CLIPA-datacomp1B")),
+    "ViT-L-14-CLIPA-336": dict(
+        datacomp1b=_hub("UCSC-VLAA/ViT-L-14-CLIPA-336-datacomp1B")),
+    "ViT-H-14-CLIPA": dict(
+        datacomp1b=_hub("UCSC-VLAA/ViT-H-14-CLIPA-datacomp1B")),
+    "ViT-H-14-CLIPA-336": dict(
+        laion2b=_hub("UCSC-VLAA/ViT-H-14-CLIPA-336-laion2B"),
+        datacomp1b=_hub("UCSC-VLAA/ViT-H-14-CLIPA-336-datacomp1B"),
+    ),
+    "ViT-bigG-14-CLIPA": dict(
+        datacomp1b=_hub("UCSC-VLAA/ViT-bigG-14-CLIPA-datacomp1B")),
+    "ViT-bigG-14-CLIPA-336": dict(
+        datacomp1b=_hub("UCSC-VLAA/ViT-bigG-14-CLIPA-336-datacomp1B")),
+    # nllb-clip (reference pretrained.py:441-464)
+    "nllb-clip-base": dict(v1=_hub("visheratin/nllb-clip-base-oc")),
+    "nllb-clip-large": dict(v1=_hub("visheratin/nllb-clip-large-oc")),
+    "nllb-clip-base-siglip": dict(
+        v1=_hub("visheratin/nllb-clip-base-siglip"),
+        mrl=_hub("visheratin/nllb-siglip-mrl-base"),
+    ),
+    "nllb-clip-large-siglip": dict(
+        v1=_hub("visheratin/nllb-clip-large-siglip"),
+        mrl=_hub("visheratin/nllb-siglip-mrl-large"),
+    ),
+    # ViTamin (reference pretrained.py:466-517; repos name the exact
+    # weight file — the 3-component hf-hub form)
+    **{f"ViTamin-{v}": dict(datacomp1b=_hub(
+        f"jienengchen/ViTamin-{r}/pytorch_model.bin"))
+       for v, r in [("S", "S"), ("S-LTT", "S-LTT"), ("B", "B"),
+                    ("B-LTT", "B-LTT"), ("L", "L-224px"),
+                    ("L-256", "L-256px"), ("L-336", "L-336px"),
+                    ("L-384", "L-384px"), ("L2", "L2-224px"),
+                    ("L2-256", "L2-256px"), ("L2-336", "L2-336px"),
+                    ("L2-384", "L2-384px"), ("XL-256", "XL-256px"),
+                    ("XL-336", "XL-336px"), ("XL-384", "XL-384px")]},
 }
 for _model, _tags in _EXTRA_TAGS.items():
     _PRETRAINED.setdefault(_model, {}).update(_tags)
@@ -453,6 +505,11 @@ def download_pretrained_from_hf(
     """
     repo = hf_id[len("hf-hub:"):] if hf_id.startswith("hf-hub:") else hf_id
     repo = repo.rstrip("/")
+    # reference pretrained.py `_pcfg(hf_hub='org/repo/file.bin')`: a
+    # third path component names the exact weight file (ViTamin zoo)
+    explicit_file = None
+    if repo.count("/") == 2:
+        repo, explicit_file = repo.rsplit("/", 1)
     local = os.path.join(cache_dir or DEFAULT_CACHE_DIR, "hf",
                          repo.replace("/", "--"))
     os.makedirs(local, exist_ok=True)
@@ -464,6 +521,15 @@ def download_pretrained_from_hf(
 
     fetch = hf_download or _default_hf_download
     errors = []
+    if explicit_file is not None and not config_only:
+        for f in HF_CONFIG_FILES:
+            try:
+                fetch(repo, f, local)
+                break
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+        fetch(repo, explicit_file, local)
+        return local
     for f in HF_CONFIG_FILES:        # config is optional but preferred
         try:
             fetch(repo, f, local)

@@ -3,12 +3,14 @@
 sha256 mismatch → retry, persistent mismatch → error)."""
 import hashlib
 import os
+import sys
 
 import numpy as np
 import pytest
 
 from leaf_tpu.models.pretrained import (
     check_sha256,
+    download_pretrained_from_hf,
     download_pretrained_from_url,
     get_pretrained_url,
     list_pretrained,
@@ -75,6 +77,64 @@ def test_registry_covers_reference_zoo():
     # the documented divergence — GELU names must NOT carry the
     # quickgelu laion400m weights
     assert ("ViT-B-32", "laion400m_e31") not in pairs
+
+
+@pytest.mark.skipif(not os.path.isdir("/root/reference"),
+                    reason="reference checkout not mounted")
+def test_registry_covers_reference_zoo_exhaustively():
+    """Load the reference `pretrained.py` standalone and diff its whole
+    `list_pretrained()` against ours — only the two documented
+    quickgelu-footgun omissions may differ."""
+    import importlib.util
+    import types
+
+    pkg = types.ModuleType("_refoc")
+    pkg.__path__ = ["/root/reference/src/open_clip"]
+    sys.modules["_refoc"] = pkg
+    try:
+        for sub in ("constants", "version", "pretrained"):
+            spec = importlib.util.spec_from_file_location(
+                f"_refoc.{sub}",
+                f"/root/reference/src/open_clip/{sub}.py")
+            mod = importlib.util.module_from_spec(spec)
+            sys.modules[f"_refoc.{sub}"] = mod
+            spec.loader.exec_module(mod)
+        ref = set(sys.modules["_refoc.pretrained"].list_pretrained())
+    finally:
+        for k in list(sys.modules):
+            if k.startswith("_refoc"):
+                del sys.modules[k]
+    ours = set(list_pretrained())
+    allowed = {("ViT-B-32", "laion400m_e31"), ("ViT-B-32", "laion400m_e32")}
+    missing = (ref - ours) - allowed
+    assert not missing, sorted(missing)
+
+
+def test_hf_hub_explicit_weight_file(tmp_path):
+    """3-component `hf-hub:org/repo/file.bin` ids (the ViTamin zoo,
+    reference pretrained.py:466-517) fetch exactly that file."""
+    fetched = []
+
+    def fake_fetch(repo, fname, local):
+        fetched.append((repo, fname))
+        if fname.endswith(".json"):
+            raise OSError("no config in this repo")
+        p = os.path.join(local, fname)
+        with open(p, "wb") as f:
+            f.write(b"weights")
+        return p
+
+    local = download_pretrained_from_hf(
+        "hf-hub:jienengchen/ViTamin-S/pytorch_model.bin",
+        cache_dir=str(tmp_path), hf_download=fake_fetch)
+    assert os.path.exists(os.path.join(local, "pytorch_model.bin"))
+    assert ("jienengchen/ViTamin-S", "pytorch_model.bin") in fetched
+    # second resolve hits the cache — no new fetches
+    n = len(fetched)
+    download_pretrained_from_hf(
+        "hf-hub:jienengchen/ViTamin-S/pytorch_model.bin",
+        cache_dir=str(tmp_path), hf_download=fake_fetch)
+    assert len(fetched) == n
 
 
 def test_download_and_cache(tmp_path, fake_server):
