@@ -67,6 +67,10 @@ class CoCaConfig:
     hf_text_name: Optional[str] = None
     hf_pooler: str = "mean_pooler"
     hf_proj: Optional[str] = "linear"
+    # per-model preprocess statistics (None → OpenAI CLIP stats), same
+    # contract as CLIPConfig.image_mean/image_std
+    image_mean: Optional[Tuple[float, float, float]] = None
+    image_std: Optional[Tuple[float, float, float]] = None
 
 
 # -- registry ----------------------------------------------------------------
