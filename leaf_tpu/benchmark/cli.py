@@ -57,10 +57,34 @@ def _expand_datasets(specs: List[str]) -> List[str]:
 
 def _load_model(args, model_name: str, pretrained: str):
     """Create (params, cfg, tokenizer, preprocess) once per model —
-    shared across every dataset of an eval run."""
+    shared across every dataset of an eval run.
+
+    `--model-type` mirrors the reference dispatch
+    (`model_loading/__init__.py:9-14`): hf_clip treats the model name as
+    an HF repo id (pretrained must be empty/none, `hf_clip.py:9-10`);
+    ja_clip requires the optional japanese_clip package, exactly as
+    upstream (`japanese_clip.py:36-39`)."""
     from leaf_tpu.models import create_model, get_tokenizer
     from leaf_tpu.models.preprocess import image_transform
 
+    model_type = getattr(args, "model_type", "open_clip")
+    if model_type == "ja_clip":
+        try:
+            import japanese_clip  # noqa: F401
+        except ImportError:
+            raise ImportError(
+                "Install `japanese_clip` by `pip install "
+                "git+https://github.com/rinnakk/japanese-clip.git`")
+        raise NotImplementedError(
+            "ja_clip models use rinna's own loader; no JAX port exists "
+            "— use --model-type open_clip with an hf-hub: id instead")
+    if model_type == "hf_clip":
+        if pretrained not in ("", "none", None):
+            raise ValueError(
+                "--model-type hf_clip takes the HF repo id as --model; "
+                "--pretrained must be empty (reference hf_clip.py:9)")
+        if not model_name.startswith("hf-hub:"):
+            model_name = "hf-hub:" + model_name
     model = create_model(model_name, pretrained or None,
                          precision=args.precision)
     cfg = model.cfg
@@ -262,6 +286,13 @@ def main(argv: List[str] | None = None):
                         "collection (openclip_base, openai, leaf, fare, "
                         "openclip_all), or a .txt file of pairs")
     e.add_argument("--pretrained", default="")
+    e.add_argument("--model-type", default="open_clip",
+                   choices=["open_clip", "hf_clip", "ja_clip"],
+                   help="model loading route (reference model_loading/"
+                        "__init__.py TYPE2FUNC): open_clip = the native "
+                        "factory; hf_clip = --model is an HF repo id "
+                        "(LEAF-CLIP releases); ja_clip needs the optional "
+                        "japanese_clip package")
     e.add_argument("--precision", default="fp32")
     e.add_argument("--task", default="auto",
                    choices=["auto", "zeroshot_classification",

@@ -81,6 +81,30 @@ def test_cli_imagefolder_classification(tmp_path):
                                          "zeroshot_classification.json"))
 
 
+def test_cli_model_type_dispatch(tmp_path):
+    """--model-type mirrors the reference TYPE2FUNC dispatch
+    (model_loading/__init__.py): hf_clip rejects a --pretrained tag,
+    ja_clip raises the upstream install hint when the optional package
+    is absent."""
+    import pytest
+
+    from leaf_tpu.benchmark.cli import main
+    make_imagefolder(tmp_path / "data")
+    base = ["eval", "--dataset", "imagefolder",
+            "--dataset-root", str(tmp_path / "data"),
+            "--task", "zeroshot_classification", "--batch-size", "4"]
+    with pytest.raises(ValueError, match="hf_clip"):
+        main(base + ["--model", "LEAF-CLIP/x", "--model-type", "hf_clip",
+                     "--pretrained", "openai"])
+    with pytest.raises(ImportError, match="japanese_clip"):
+        main(base + ["--model", "rinna/japanese-clip-vit-b-16",
+                     "--model-type", "ja_clip"])
+    # open_clip (default) unchanged
+    res = main(base + ["--model", "ViT-tiny-test",
+                       "--model-type", "open_clip"])
+    assert 0.0 <= res[0]["metrics"]["acc1"] <= 1.0
+
+
 def test_cli_interpolate_beta_zero_equals_other(tmp_path):
     """--interpolate --beta 0 must evaluate the OTHER checkpoint."""
     import jax
