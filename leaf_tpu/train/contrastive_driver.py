@@ -146,6 +146,13 @@ def main(args=None) -> Dict:
     os.makedirs(out_dir, exist_ok=True)
     LOG.info("contrastive run: %s → %s", run_name, out_dir)
 
+    sync_thread = None
+    if master:
+        from leaf_tpu.utils.file_utils import copy_codebase, start_run_mirror
+        if args.copy_codebase:
+            copy_codebase(out_dir)
+        sync_thread = start_run_mirror(args, out_dir, run_name)
+
     mesh = create_mesh(
         tuple(int(x) for x in args.mesh_shape.split(","))
         if args.mesh_shape else None)
@@ -385,6 +392,8 @@ def main(args=None) -> Dict:
             save(completed)
 
     ckpt.wait_for_checkpoints()
+    if sync_thread is not None:
+        sync_thread.stop(final_sync=True)
     if tracker is not None:
         tracker.finish()
     return {"results": results.rows if results is not None else [],

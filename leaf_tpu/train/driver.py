@@ -92,6 +92,16 @@ def main(args=None) -> Dict:
                       level=logging.DEBUG if args.debug else logging.INFO)
     LOG.info("run: %s → %s", run_name, out_dir)
 
+    # codebase snapshot + remote mirror (reference
+    # `train_AT_text_only.py:189-213`): master-only; one verified sync
+    # pass before training, then a background thread, final sync at end
+    sync_thread = None
+    if jax.process_index() == 0:
+        from leaf_tpu.utils.file_utils import copy_codebase, start_run_mirror
+        if args.copy_codebase:
+            copy_codebase(out_dir)
+        sync_thread = start_run_mirror(args, out_dir, run_name)
+
     mesh = create_mesh(
         tuple(int(x) for x in args.mesh_shape.split(","))
         if args.mesh_shape else None)
@@ -200,8 +210,31 @@ def main(args=None) -> Dict:
     # rank-0 discovers the latest checkpoint, everyone loads the same
     # one (reference `train_AT_text_only.py:184-186`)
     start_epoch = 0
-    resume = broadcast_object(
-        ckpt.resolve_resume(args.resume, ckpt_dir) if master else None)
+
+    def _discover_resume():
+        found = ckpt.resolve_resume(args.resume, ckpt_dir)
+        # with a remote mirror, `latest` must consider the remote too —
+        # the local run dir may be a fresh machine (reference
+        # `train_AT_text_only.py:158-179`)
+        if args.remote_sync and args.resume == "latest":
+            if args.save_most_recent:
+                raise ValueError(
+                    "cannot use --save-most-recent with --remote-sync and "
+                    "--resume latest (reference errors likewise)")
+            remote_ckpts = os.path.join(args.remote_sync, run_name,
+                                        "checkpoints")
+            if "://" in remote_ckpts:
+                LOG.warning("remote latest-discovery skipped: %s is not a "
+                            "local path (checkpoints load locally)",
+                            remote_ckpts)
+            elif os.path.isdir(remote_ckpts):
+                remote = ckpt.resolve_resume("latest", remote_ckpts)
+                if remote is not None and (found is None
+                                           or remote[0] > found[0]):
+                    found = remote
+        return found
+
+    resume = broadcast_object(_discover_resume() if master else None)
     if resume is not None:
         epoch_done, path = resume
         LOG.info("resuming from %s (epoch %d)", path, epoch_done)
@@ -343,6 +376,8 @@ def main(args=None) -> Dict:
             ckpt.save_latest(ckpt_dir, completed, payload())
 
     ckpt.wait_for_checkpoints()
+    if sync_thread is not None:
+        sync_thread.stop(final_sync=True)
     if tracker is not None:
         tracker.finish()
     return {"results": results.rows if results is not None else [],

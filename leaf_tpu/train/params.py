@@ -52,6 +52,15 @@ def parse_args(args: Optional[List[str]] = None) -> argparse.Namespace:
     p.add_argument("--log-every-n-steps", type=int, default=100)
     p.add_argument("--debug", action="store_true", default=False)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--remote-sync", type=str, default=None,
+                   help="remote dir the run dir is mirrored to "
+                        "(reference params_AT.py:428)")
+    p.add_argument("--remote-sync-frequency", type=int, default=300)
+    p.add_argument("--remote-sync-protocol", type=str, default="fsspec",
+                   choices=["fsspec", "local"])
+    p.add_argument("--copy-codebase", action="store_true", default=False,
+                   help="snapshot the leaf_tpu package into the run dir "
+                        "(reference train_AT_text_only.py:590-605)")
 
     # -- optimisation -------------------------------------------------------
     p.add_argument("--batch-size", type=int, default=64)

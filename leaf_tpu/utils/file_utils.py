@@ -72,3 +72,42 @@ class SyncThread:
             self._thread.join(timeout=5)
         if final_sync:
             remote_sync(self.local_dir, self.remote_dir, self.protocol)
+
+
+def start_run_mirror(args, out_dir: str, run_name: str
+                     ) -> Optional[SyncThread]:
+    """Master-side remote mirroring for a run dir (reference
+    `train_AT_text_only.py:193-213`): one verified sync pass (hard error
+    on failure, as upstream exits), then a background thread.  Returns
+    the thread (caller stops it with final_sync=True) or None when
+    --remote-sync is unset."""
+    if not getattr(args, "remote_sync", None):
+        return None
+    remote_run = os.path.join(args.remote_sync, run_name)
+    if not remote_sync(out_dir, remote_run, args.remote_sync_protocol):
+        raise RuntimeError(
+            f"remote sync to {remote_run} failed; fix the target before "
+            "training (reference exits likewise)")
+    LOG.info("remote sync successful: %s", remote_run)
+    return SyncThread(out_dir, remote_run,
+                      frequency_s=args.remote_sync_frequency,
+                      protocol=args.remote_sync_protocol).start()
+
+
+def copy_codebase(out_dir: str) -> None:
+    """Snapshot the leaf_tpu package into <run>/code (reference
+    `copy_codebase`, `train_AT_text_only.py:590-605` — errors if the
+    experiment's code dir already exists)."""
+    import shutil
+
+    import leaf_tpu
+    code_dir = os.path.join(out_dir, "code")
+    if os.path.exists(code_dir):
+        raise FileExistsError(
+            f"experiment code snapshot already exists at {code_dir}; "
+            "use --name to start a new experiment")
+    src = os.path.dirname(os.path.abspath(leaf_tpu.__file__))
+    shutil.copytree(src, os.path.join(code_dir, "leaf_tpu"),
+                    ignore=shutil.ignore_patterns("__pycache__", "*.so",
+                                                  "logs", "wandb"))
+    LOG.info("copied codebase to %s", code_dir)

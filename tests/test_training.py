@@ -208,6 +208,42 @@ def test_resume_explicit_path_other_run(tmp_path):
         os.path.join(tmp_path, "runB", "checkpoints", "frozen"))
 
 
+def test_remote_sync_mirror_and_resume(tmp_path):
+    """--remote-sync mirrors the run dir (verified first pass + final
+    sync) and --resume latest recovers from the mirror after the local
+    run dir is lost (reference train_AT_text_only.py:158-213)."""
+    import shutil
+
+    remote = tmp_path / "remote"
+    run_driver(tmp_path, ["--name", "mir", "--remote-sync", str(remote),
+                          "--remote-sync-protocol", "local"])
+    mirrored = remote / "mir"
+    assert (mirrored / "results.csv").exists()
+    assert (mirrored / "checkpoints" / "epoch_1").is_dir()
+    # local machine dies; a fresh one resumes from the mirror
+    shutil.rmtree(tmp_path / "mir")
+    out = run_driver(tmp_path, ["--name", "mir", "--epochs", "2",
+                                "--resume", "latest",
+                                "--remote-sync", str(remote),
+                                "--remote-sync-protocol", "local"])
+    assert int(out["state"].step) == 8  # epoch 2 continued from epoch 1
+    with pytest.raises(ValueError, match="save-most-recent"):
+        run_driver(tmp_path, ["--name", "mir", "--resume", "latest",
+                              "--remote-sync", str(remote),
+                              "--remote-sync-protocol", "local",
+                              "--save-most-recent"])
+
+
+def test_copy_codebase_snapshot(tmp_path):
+    run_driver(tmp_path, ["--name", "snap", "--copy-codebase"])
+    code = tmp_path / "snap" / "code" / "leaf_tpu"
+    assert (code / "train" / "driver.py").exists()
+    # re-running the same experiment name must refuse (reference
+    # copy_codebase errors on an existing code dir)
+    with pytest.raises(FileExistsError):
+        run_driver(tmp_path, ["--name", "snap", "--copy-codebase"])
+
+
 def test_train_attack_objective_and_weight(tmp_path):
     out_sim = run_driver(tmp_path, ["--attack_objective", "sim",
                                     "--name", "objsim",
