@@ -155,6 +155,14 @@ def attention(p: Params, x: jnp.ndarray, mask: Optional[jnp.ndarray],
 
 
 def mlp(p: Params, x: jnp.ndarray, act) -> jnp.ndarray:
+    # weights may be weight-only-int8 (an `fc_w_scale` next to `fc_w`,
+    # models/quantize.py — the reference's bnb c_fc/c_proj swap)
+    if "fc_w_scale" in p:
+        from leaf_tpu.models.quantize import mlp_weight
+        h = x @ mlp_weight(p, "fc_w", x.dtype) + p["fc_b"].astype(x.dtype)
+        h = act(h)
+        return h @ mlp_weight(p, "proj_w", x.dtype) \
+            + p["proj_b"].astype(x.dtype)
     h = x @ p["fc_w"].astype(x.dtype) + p["fc_b"].astype(x.dtype)
     h = act(h)
     return h @ p["proj_w"].astype(x.dtype) + p["proj_b"].astype(x.dtype)

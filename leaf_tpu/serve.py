@@ -64,6 +64,11 @@ def main(argv=None):
                    help="skip L2 normalization of features")
     p.add_argument("--export", default=None,
                    help="also write the StableHLO AOT artifact here")
+    p.add_argument("--int8-mlp", action="store_true", default=False,
+                   help="weight-only int8 for the transformer MLP "
+                        "linears (the reference's --use-bnb-linear "
+                        "c_fc/c_proj swap, main.py:251-260) — halves "
+                        "resident MLP weight bytes for serving")
     args = p.parse_args(argv)
     if not args.texts and not args.images:
         p.error("need --texts and/or --images")
@@ -80,6 +85,14 @@ def main(argv=None):
     model, _, preprocess = create_model_and_transforms(
         args.model, args.pretrained, precision=args.precision)
     cfg = model.cfg
+    if args.int8_mlp:
+        from leaf_tpu.models.quantize import (quantize_mlp_params,
+                                              quantized_nbytes)
+        before = quantized_nbytes(model.params)
+        model.params = quantize_mlp_params(model.params)
+        logging.info("int8 MLP: params %0.1f → %0.1f MiB",
+                     before / 2**20,
+                     quantized_nbytes(model.params) / 2**20)
     dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
     normalize = not args.no_normalize
     bs = args.batch_size
