@@ -52,6 +52,30 @@ def expand_urls(urls) -> List[str]:
     return out
 
 
+def expand_urls_with_weights(urls, weights):
+    """Per-SOURCE weights expanded to per-shard (reference
+    `data_AT.py:86-103`: each `::`-joined source's weight is repeated
+    for every shard its brace notation expands to)."""
+    if weights is None:
+        return expand_urls(urls), None
+    if isinstance(urls, str):
+        urls = urls.split("::")
+    if isinstance(weights, str):
+        weights = weights.split("::")
+    weights = [float(w) for w in weights]
+    if len(weights) != len(urls):
+        raise ValueError(
+            f"expected one upsampling factor per data source "
+            f"({len(urls)}), got {len(weights)}")
+    all_urls: List[str] = []
+    all_weights: List[float] = []
+    for url, w in zip(urls, weights):
+        shards = expand_urls(url)
+        all_urls.extend(shards)
+        all_weights.extend([w] * len(shards))
+    return all_urls, all_weights
+
+
 def base_plus_ext(path: str) -> Tuple[Optional[str], Optional[str]]:
     """Split 'dir/xyz.ext' → ('dir/xyz', 'ext'); None for dotfiles."""
     m = re.match(r"^((?:.*/)?.+?)\.([^/]*)$", path)
@@ -181,7 +205,13 @@ class WdsDataset:
         self.cfg = cfg
         self.preprocess = preprocess
         self.epoch = -1
-        self.urls = expand_urls(cfg.urls)
+        self.urls, self.shard_weights = expand_urls_with_weights(
+            cfg.urls, cfg.upsampling_factors)
+        if self.shard_weights is not None and not cfg.resampled:
+            raise ValueError(
+                "upsampling factors are only supported when sampling "
+                "with replacement (--dataset-resampled), as upstream "
+                "(data_AT.py:457-458)")
         if cfg.is_train and not cfg.resampled:
             assert len(self.urls) >= cfg.process_count, \
                 "number of shards must be >= number of hosts"
@@ -195,8 +225,8 @@ class WdsDataset:
             # sample shards with replacement, optionally weighted
             rng = random.Random(cfg.seed + epoch + 1000003 * cfg.process_index)
             k = max(1, len(self.urls))
-            if cfg.upsampling_factors is not None:
-                return rng.choices(self.urls, weights=cfg.upsampling_factors, k=k)
+            if self.shard_weights is not None:
+                return rng.choices(self.urls, weights=self.shard_weights, k=k)
             return [rng.choice(self.urls) for _ in range(k)]
         urls = list(self.urls)
         if cfg.is_train:

@@ -105,6 +105,59 @@ def test_wds_host_sharding(tmp_path):
     assert len(s0 | s1) == 4
 
 
+def test_expand_urls_with_weights():
+    """Per-SOURCE factors expand to per-shard weights (reference
+    `data_AT.py:86-103`); count mismatch and non-resampled use error."""
+    from leaf_tpu.data.wds import expand_urls_with_weights
+
+    urls, w = expand_urls_with_weights(
+        "a-{000..002}.tar::b.tar", "2::1")
+    assert urls == ["a-000.tar", "a-001.tar", "a-002.tar", "b.tar"]
+    assert w == [2.0, 2.0, 2.0, 1.0]
+    with pytest.raises(ValueError, match="per data source"):
+        expand_urls_with_weights("a.tar::b.tar", "1::2::3")
+    with pytest.raises(ValueError, match="resampled"):
+        WdsDataset(WdsConfig(urls="a.tar::b.tar", batch_size=2,
+                             is_train=True, upsampling_factors="1::2"))
+
+
+def _source_counts(tmp_path, urls, factors, epochs=60):
+    """Count samples drawn per source over many resampled epochs."""
+    cfg = WdsConfig(urls=urls, batch_size=5, is_train=True, resampled=True,
+                    seed=0, upsampling_factors=factors, num_samples=20,
+                    sample_shuffle_size=1, sample_shuffle_initial=1,
+                    workers=1)
+    ds = WdsDataset(cfg)
+    counts = {}
+    for ep in range(epochs):
+        ds.set_epoch(ep)
+        for _, texts in ds:
+            for t in texts:
+                src = "a" if int(t.split()[-1]) < 10 else "b"
+                counts[src] = counts.get(src, 0) + 1
+    return counts
+
+
+def test_wds_resampled_sampling_frequencies(tmp_path):
+    """The reference's statistical resampling test (`tests/test_wds.py`):
+    with two equal-size sources, unweighted resampling draws ~50/50 and
+    2::1 upsampling draws ~2:1 (rtol 0.2)."""
+    make_shard(tmp_path / "a-000.tar", 5)
+    make_shard(tmp_path / "a-001.tar", 5, key_offset=5)
+    make_shard(tmp_path / "b-000.tar", 5, key_offset=10)
+    make_shard(tmp_path / "b-001.tar", 5, key_offset=15)
+    urls = (str(tmp_path / "a-{000..001}.tar") + "::"
+            + str(tmp_path / "b-{000..001}.tar"))
+
+    counts = _source_counts(tmp_path, urls, None)
+    total = counts["a"] + counts["b"]
+    np.testing.assert_allclose(counts["a"] / total, 0.5, rtol=0.2)
+
+    counts = _source_counts(tmp_path, urls, "2::1")
+    ratio = counts["a"] / counts["b"]
+    np.testing.assert_allclose(ratio, 2.0, rtol=0.2)
+
+
 def test_wds_skips_corrupt_members(tmp_path):
     p = tmp_path / "bad.tar"
     make_shard(p, 3)
