@@ -22,6 +22,16 @@ import pytest  # noqa: E402
 # run on the virtual 8-device host mesh, not through the TPU tunnel.
 jax.config.update("jax_platforms", "cpu")
 
+# Deregister the axon backend factory entirely: its get_backend hook
+# initializes EVERY registered platform, so a down/flaky TPU tunnel
+# would hang the whole suite inside make_c_api_client even though all
+# tests run on CPU.
+try:
+    from jax._src import xla_bridge as _xb
+    _xb._backend_factories.pop("axon", None)
+except Exception:  # noqa: BLE001 — jax internals moved; tests still run
+    pass
+
 # JAX's default matmul precision is bf16-grade (the TPU MXU fast path);
 # parity tests need true fp32 accumulation.
 jax.config.update("jax_default_matmul_precision", "highest")
