@@ -39,6 +39,17 @@ BASELINE_SAMPLES_PER_SEC = 208.0  # estimated A100 reference (see docstring)
 
 
 def main():
+    # watchdog: a down TPU tunnel hangs jax backend init forever inside
+    # make_c_api_client; dump the stack and exit non-zero instead of
+    # stalling the caller (the bench itself finishes in well under this)
+    import faulthandler
+    try:
+        faulthandler.dump_traceback_later(
+            int(os.environ.get("BENCH_WATCHDOG_S", 1800)), exit=True)
+        watchdog = True
+    except Exception:  # noqa: BLE001 — e.g. pytest-captured stderr (no fileno)
+        watchdog = False
+
     from leaf_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
 
@@ -164,6 +175,8 @@ def main():
     if mesh is not None:
         out["mesh_devices"] = n_mesh
         out["per_chip_samples_per_sec"] = round(samples_per_sec / n_mesh, 2)
+    if watchdog:
+        faulthandler.cancel_dump_traceback_later()
     print(json.dumps(out))
 
 
