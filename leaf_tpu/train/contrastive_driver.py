@@ -237,6 +237,20 @@ def main(args=None) -> Dict:
                         weight_decay=args.wd, beta1=args.beta1,
                         beta2=args.beta2, eps=args.eps,
                         grad_clip_norm=args.grad_clip_norm)
+    # LiT-style tower locking (reference main.py:316-325); --lock-image
+    # is a None-sentinel shared with the LEAF driver — only an explicit
+    # --lock-image freezes here
+    if args.lock_image_freeze_bn_stats:
+        LOG.info("--lock-image-freeze-bn-stats: inherent here — the "
+                 "functional towers always normalise with stored "
+                 "running stats (they never update)")
+    if args.lock_image or args.lock_text:
+        from leaf_tpu.train.locking import apply_locking
+        tx = apply_locking(tx, params, args)
+        LOG.info("tower locking: image=%s (unlocked_groups=%d) text=%s "
+                 "(unlocked_layers=%d)", bool(args.lock_image),
+                 args.lock_image_unlocked_groups, args.lock_text,
+                 args.lock_text_unlocked_layers)
     state = TrainState.create(jax.tree.map(jnp.copy, params), tx)
 
     if is_coca:

@@ -118,7 +118,7 @@ def main(args=None) -> Dict:
         raise ValueError(
             "--siglip/--distill-model/--local-loss drive the contrastive "
             "pretrainer; run python -m leaf_tpu.train.contrastive_driver")
-    if not args.lock_image:
+    if args.lock_image is False:   # None (default) = locked
         # the reference freezes model.visual unconditionally for
         # text-only AT (`train_AT_text_only.py:489-490`); only the
         # text tower enters the optimizer here, so an unlocked vision

@@ -107,11 +107,30 @@ def parse_args(args: Optional[List[str]] = None) -> argparse.Namespace:
     p.add_argument("--distill-pretrained", type=str, default=None)
     p.add_argument("--coca-caption-loss-weight", type=float, default=2.0)
     p.add_argument("--coca-contrastive-loss-weight", type=float, default=1.0)
+    p.add_argument("--lock-image-unlocked-groups", type=int, default=0,
+                   help="leave last n image tower groups unlocked "
+                        "(LiT; reference params_AT.py:238, contrastive "
+                        "trainer only)")
+    p.add_argument("--lock-image-freeze-bn-stats", action="store_true",
+                   default=False,
+                   help="accepted for parity (reference params_AT.py:244); "
+                        "a no-op here: the functional towers always "
+                        "normalise with the stored running stats — stats "
+                        "never update, which IS the frozen behaviour")
+    p.add_argument("--lock-text", action="store_true", default=False,
+                   help="freeze the text tower (contrastive trainer; "
+                        "reference main.py:322-325)")
+    p.add_argument("--lock-text-unlocked-layers", type=int, default=0)
+    p.add_argument("--lock-text-freeze-layer-norm",
+                   action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--lock-image", action=argparse.BooleanOptionalAction,
-                   default=True,
-                   help="LEAF always freezes the vision tower "
-                        "(train_AT_text_only.py:489-490); --no-lock-image "
-                        "is rejected by the LEAF driver")
+                   default=None,
+                   help="default differs per driver (None sentinel): the "
+                        "LEAF driver always locks the vision tower and "
+                        "rejects an explicit --no-lock-image "
+                        "(train_AT_text_only.py:489-490); the contrastive "
+                        "trainer defaults to trainable vision and locks "
+                        "LiT-style on --lock-image (main.py:316-321)")
     p.add_argument("--zeroshot-frequency", type=int, default=1)
     p.add_argument("--val-frequency", type=int, default=1)
 
