@@ -30,11 +30,17 @@ __all__ = [
 
 def get_data(args, preprocess: Callable, epoch: int = 0,
              process_index: int = 0, process_count: int = 1,
-             text_only: bool = False) -> Dict[str, object]:
+             text_only: bool = False,
+             preprocess_val: Optional[Callable] = None
+             ) -> Dict[str, object]:
     """Assemble datasets from a parsed-args namespace (see
     `leaf_tpu.train.params`).  `text_only` skips image decode in the
-    train tar pipeline (the LEAF text-AT loop discards images)."""
+    train tar pipeline (the LEAF text-AT loop discards images).
+    `preprocess_val` (default: same as `preprocess`) serves the val /
+    imagenet splits so a RandomResizedCrop train transform never leaks
+    into evaluation (reference `data.py` keeps the pair separate)."""
     data: Dict[str, object] = {}
+    preprocess_val = preprocess_val or preprocess
 
     if getattr(args, "dataset_type", None) == "synthetic":
         data["train"] = get_synthetic_dataset(
@@ -69,16 +75,16 @@ def get_data(args, preprocess: Callable, epoch: int = 0,
         data["val"] = get_wds_dataset(
             WdsConfig(urls=args.val_data, batch_size=args.batch_size,
                       is_train=False, num_samples=args.val_num_samples),
-            preprocess)
+            preprocess_val)
 
     if getattr(args, "imagenet_val", None):
         data["imagenet-val"] = get_imagenet(
-            args.imagenet_val, preprocess, "val", args.batch_size,
+            args.imagenet_val, preprocess_val, "val", args.batch_size,
             n_val=getattr(args, "n_val_imagenet", 1000), seed=args.seed)
 
     if getattr(args, "imagenet_v2", None):
         data["imagenet-v2"] = get_imagenet(
-            args.imagenet_v2, preprocess, "val", args.batch_size,
+            args.imagenet_v2, preprocess_val, "val", args.batch_size,
             n_val=getattr(args, "n_val_imagenet", 1000), seed=args.seed)
 
     if getattr(args, "val_text_classification", None):

@@ -150,6 +150,7 @@ def create_model(
     seed: int = 0,
     force_quick_gelu: bool = False,
     force_patch_dropout: Optional[float] = None,
+    force_image_size: Optional[int] = None,
 ) -> CLIPModel:
     """Build a CLIP model by registry name.
 
@@ -181,6 +182,19 @@ def create_model(
         cfg = dataclasses.replace(
             cfg, vision=dataclasses.replace(
                 cfg.vision, patch_dropout=force_patch_dropout))
+    if force_image_size is not None:
+        # reference factory.py:240-242; pretrained position embeddings
+        # are grid-interpolated after load (interop.
+        # resize_vision_pos_embed ≙ model.py:523-554)
+        if cfg.trunk is not None or cfg.convnext is not None \
+                or cfg.resnet is not None:
+            raise ValueError(
+                "--force-image-size is implemented for ViT towers (the "
+                "reference's resize_pos_embed only handles the ViT grid, "
+                "model.py:523-554)")
+        cfg = dataclasses.replace(
+            cfg, vision=dataclasses.replace(
+                cfg.vision, image_size=force_image_size))
     dtype = {"fp32": jnp.float32, "bf16": jnp.bfloat16,
              "bfloat16": jnp.bfloat16}[precision]
     if cfg.text.hf_model_name:
@@ -247,6 +261,7 @@ def create_model(
                 cfg = dataclasses.replace(cfg, quick_gelu=ckpt_qg)
         params = interop.load_pretrained(pretrained, cfg)
         params = jax.tree.map(jnp.asarray, params)
+        params = interop.resize_vision_pos_embed(params, cfg)
     else:
         params = clip.init_clip(jax.random.PRNGKey(seed), cfg)
     return CLIPModel(cfg=cfg, params=params, dtype=dtype)
@@ -259,16 +274,38 @@ def create_model_and_transforms(
     seed: int = 0,
     force_quick_gelu: bool = False,
     force_patch_dropout: Optional[float] = None,
+    force_image_size: Optional[int] = None,
+    image_mean: Optional[Tuple[float, ...]] = None,
+    image_std: Optional[Tuple[float, ...]] = None,
+    image_interpolation: Optional[str] = None,
+    image_resize_mode: Optional[str] = None,
+    aug_cfg=None,
 ) -> Tuple[CLIPModel, Callable, Callable]:
     """(model, preprocess_train, preprocess_val) — reference
-    `factory.py:375+`.  Both transforms are the eval pipeline (LEAF's
-    text-only training never augments images)."""
+    `factory.py:375+`.  preprocess_train RandomResizedCrops when an
+    `aug_cfg` is given (the contrastive trainer's pipeline,
+    `transform.py:307-351`); LEAF's text-only training never augments
+    images, so it passes no aug_cfg and both transforms are the eval
+    pipeline.  image_mean/std/interpolation/resize_mode override the
+    model's preprocess config (reference params_AT.py:250-264)."""
     model = create_model(model_name, pretrained, precision, seed,
-                         force_quick_gelu, force_patch_dropout)
+                         force_quick_gelu, force_patch_dropout,
+                         force_image_size=force_image_size)
+    mean = image_mean if image_mean is not None else model.cfg.image_mean
+    std = image_std if image_std is not None else model.cfg.image_std
+    interp = image_interpolation or "bicubic"
     preprocess = image_transform(model.cfg.vision.image_size,
-                                 mean=model.cfg.image_mean,
-                                 std=model.cfg.image_std)
-    return model, preprocess, preprocess
+                                 mean=mean, std=std,
+                                 interpolation=interp,
+                                 resize_mode=image_resize_mode or "shortest")
+    if aug_cfg:
+        from leaf_tpu.models.preprocess import train_image_transform
+        preprocess_train = train_image_transform(
+            model.cfg.vision.image_size, mean=mean, std=std,
+            aug_cfg=aug_cfg, interpolation=interp, seed=seed)
+    else:
+        preprocess_train = preprocess
+    return model, preprocess_train, preprocess
 
 
 @functools.lru_cache()

@@ -20,6 +20,8 @@ and `tests/test_interop.py`.
 """
 from __future__ import annotations
 
+import logging
+import math
 import os
 from typing import Any, Dict, Mapping, Optional
 
@@ -402,3 +404,42 @@ def load_pretrained(path: str, cfg: CLIPConfig) -> Params:
     if any(k.startswith("text_model.") for k in keys):
         return hf_to_params(sd, cfg)
     return openclip_to_params(sd, cfg)
+
+
+def resize_vision_pos_embed(params: Params, cfg: CLIPConfig,
+                            method: str = "cubic") -> Params:
+    """Bicubic-interpolate a loaded ViT position-embedding grid to the
+    config's resolution (reference `model.py:523-554` resize_pos_embed,
+    invoked by `factory.py:172` on every load; class token — when
+    present — passes through untouched).  No-op when the sequence
+    length already matches or the tower is not grid-based."""
+    import jax
+    import jax.numpy as jnp
+
+    visual = params.get("visual", {})
+    pe = visual.get("positional_embedding")
+    if pe is None or getattr(cfg.vision, "patch_size", 0) in (0, None):
+        return params
+    grid = cfg.vision.image_size // cfg.vision.patch_size
+    extra = 1 if "class_embedding" in visual else 0
+    new_len = grid * grid + extra
+    if new_len == pe.shape[0]:
+        return params
+    tok, img = pe[:extra], pe[extra:]
+    old_grid = int(math.isqrt(img.shape[0]))
+    if old_grid * old_grid != img.shape[0]:
+        raise ValueError(
+            f"cannot resize a non-square position grid of {img.shape[0]}")
+    logging.getLogger(__name__).info(
+        "resizing position embedding grid %dx%d -> %dx%d",
+        old_grid, old_grid, grid, grid)
+    img = jnp.asarray(img, jnp.float32).reshape(old_grid, old_grid, -1)
+    img = jax.image.resize(img, (grid, grid, img.shape[-1]), method=method,
+                           antialias=True)
+    img = img.reshape(grid * grid, -1)
+    new_pe = jnp.concatenate([jnp.asarray(tok, jnp.float32), img], axis=0) \
+        if extra else img
+    out = dict(params)
+    out["visual"] = dict(visual)
+    out["visual"]["positional_embedding"] = new_pe.astype(pe.dtype)
+    return out

@@ -167,16 +167,27 @@ def main(args=None) -> Dict:
     # coca_* model names and picks CoCaLoss via create_loss)
     from leaf_tpu.models.coca import COCA_CONFIGS
     is_coca = args.model in COCA_CONFIGS
+    preprocess_train = preprocess_val = None
     if is_coca:
         from leaf_tpu.models.coca import create_coca_model
         raw_params, cfg = create_coca_model(args.model, pretrained,
                                             seed=args.seed)
         params = replicate(raw_params, mesh)
     else:
-        model, _, _ = create_model_and_transforms(
+        # the reference's contrastive pipeline ALWAYS RandomResizedCrops
+        # at train time (`transform.py:335-340`, scale default 0.9-1.0);
+        # parse() turns the CLI dict — possibly empty — into the
+        # truthy default cfg so the factory builds the train transform
+        from leaf_tpu.models.preprocess import AugmentationCfg
+        model, preprocess_train, preprocess_val = create_model_and_transforms(
             args.model, pretrained, precision=precision, seed=args.seed,
             force_quick_gelu=args.force_quick_gelu,
-            force_patch_dropout=args.force_patch_dropout)
+            force_patch_dropout=args.force_patch_dropout,
+            force_image_size=args.force_image_size,
+            image_mean=args.image_mean, image_std=args.image_std,
+            image_interpolation=args.image_interpolation,
+            image_resize_mode=args.image_resize_mode,
+            aug_cfg=AugmentationCfg.parse(args.aug_cfg or None))
         cfg = model.cfg
         params = replicate(model.params, mesh)
     tokenizer = get_tokenizer(args.model if not is_coca else "")
@@ -209,11 +220,26 @@ def main(args=None) -> Dict:
     # eval normalises inside its jitted logits fn)
     from leaf_tpu.data import get_data, get_imagenet
     from leaf_tpu.models.preprocess import image_transform
-    preprocess = image_transform(cfg.vision.image_size, do_normalize=True,
-                             mean=cfg.image_mean, std=cfg.image_std)
+    if preprocess_train is None:
+        # CoCa path: the CoCa factory has no transform plumbing; build
+        # the pipeline here honouring the same CLI overrides
+        from leaf_tpu.models.preprocess import train_image_transform
+        mean = args.image_mean or cfg.image_mean
+        std = args.image_std or cfg.image_std
+        interp = args.image_interpolation or "bicubic"
+        preprocess_val = image_transform(
+            cfg.vision.image_size, do_normalize=True, mean=mean, std=std,
+            interpolation=interp,
+            resize_mode=args.image_resize_mode or "shortest")
+        preprocess_train = train_image_transform(
+            cfg.vision.image_size, mean=mean, std=std,
+            aug_cfg=args.aug_cfg or None, interpolation=interp,
+            seed=args.seed)
     imagenet_val, args.imagenet_val = args.imagenet_val, None
-    data = get_data(args, preprocess, process_index=jax.process_index(),
-                    process_count=jax.process_count())
+    data = get_data(args, preprocess_train,
+                    process_index=jax.process_index(),
+                    process_count=jax.process_count(),
+                    preprocess_val=preprocess_val)
     args.imagenet_val = imagenet_val
     if imagenet_val:
         data["imagenet-val"] = get_imagenet(

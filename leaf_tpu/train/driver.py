@@ -127,7 +127,12 @@ def main(args=None) -> Dict:
     model, preprocess_train, preprocess_val = create_model_and_transforms(
         args.model, pretrained, precision=precision, seed=args.seed,
         force_quick_gelu=args.force_quick_gelu,
-        force_patch_dropout=args.force_patch_dropout)
+        force_patch_dropout=args.force_patch_dropout,
+        force_image_size=args.force_image_size,
+        image_mean=args.image_mean, image_std=args.image_std,
+        image_interpolation=args.image_interpolation,
+        image_resize_mode=args.image_resize_mode,
+        aug_cfg=args.aug_cfg)
     cfg = model.cfg
     params = replicate(model.params, mesh)
     # real buffer copy: the train step donates its text params, so the
@@ -143,8 +148,10 @@ def main(args=None) -> Dict:
 
     # data ----------------------------------------------------------------
     # attacks operate in pixel space: datasets yield UN-normalised images
-    preprocess_nonorm = image_transform(cfg.vision.image_size,
-                                        do_normalize=False)
+    preprocess_nonorm = image_transform(
+        cfg.vision.image_size, do_normalize=False,
+        interpolation=args.image_interpolation or "bicubic",
+        resize_mode=args.image_resize_mode or "shortest")
     data = get_data(args, preprocess_nonorm,
                     process_index=jax.process_index(),
                     process_count=jax.process_count(),

@@ -10,7 +10,22 @@ TPU-native counterparts are mesh/precision flags.
 from __future__ import annotations
 
 import argparse
+import ast
 from typing import List, Optional
+
+
+class _ParseKwargs(argparse.Action):
+    """key=value list → dict (reference `params_AT.py:26-35`)."""
+
+    def __call__(self, parser, namespace, values, option_string=None):
+        kw = {}
+        for value in values:
+            key, value = value.split("=", 1)
+            try:
+                kw[key] = ast.literal_eval(value)
+            except (ValueError, SyntaxError):
+                kw[key] = str(value)
+        setattr(namespace, self.dest, kw)
 
 
 def parse_args(args: Optional[List[str]] = None) -> argparse.Namespace:
@@ -107,6 +122,24 @@ def parse_args(args: Optional[List[str]] = None) -> argparse.Namespace:
     p.add_argument("--distill-pretrained", type=str, default=None)
     p.add_argument("--coca-caption-loss-weight", type=float, default=2.0)
     p.add_argument("--coca-contrastive-loss-weight", type=float, default=1.0)
+    p.add_argument("--image-mean", type=float, nargs="+", default=None,
+                   help="override the model's preprocess mean "
+                        "(reference params_AT.py:250)")
+    p.add_argument("--image-std", type=float, nargs="+", default=None)
+    p.add_argument("--image-interpolation", default=None,
+                   choices=[None, "bicubic", "bilinear", "random"])
+    p.add_argument("--image-resize-mode", default=None,
+                   choices=[None, "shortest", "longest", "squash"],
+                   help="eval-transform geometry (reference "
+                        "params_AT.py:262; train always RandomResizedCrops)")
+    p.add_argument("--aug-cfg", nargs="*", default={}, action=_ParseKwargs,
+                   help="train augmentation knobs, key=value "
+                        "(scale, ratio, color_jitter, color_jitter_prob, "
+                        "gray_scale_prob — reference transform.py:62-72)")
+    p.add_argument("--force-image-size", type=int, default=None,
+                   help="override the vision resolution; pretrained "
+                        "position embeddings are bicubic-interpolated "
+                        "(reference factory.py:240-242, model.py:523-554)")
     p.add_argument("--lock-image-unlocked-groups", type=int, default=0,
                    help="leave last n image tower groups unlocked "
                         "(LiT; reference params_AT.py:238, contrastive "
