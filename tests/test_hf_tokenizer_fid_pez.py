@@ -119,6 +119,39 @@ def test_pez_driver_config_merge(tmp_path):
     assert out2["config"]["iter"] == 2
 
 
+def test_pez_driver_image_target(tmp_path):
+    """run.py mode: one prompt optimized against target image(s)
+    (reference optim_utils.get_target_feature, :94-101)."""
+    from PIL import Image
+    import numpy as np
+    from leaf_tpu.evals.pez_driver import main
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(2):
+        p = tmp_path / f"img{i}.png"
+        Image.fromarray(rng.integers(0, 255, (70, 90, 3)).astype(
+            np.uint8)).save(p)
+        paths.append(str(p))
+    out = main(["--model", "ViT-tiny-test", "--images", *paths,
+                "--iter", "3", "--prompt-len", "4",
+                "--output", str(tmp_path / "res")])
+    res = out["results"][0]
+    assert res["images"] == paths
+    assert res["prompt_len"] == 4
+    assert isinstance(res["reconstructed"], str) and res["reconstructed"]
+    assert -1.0 <= res["cosine_sim"] <= 1.0
+    assert os.path.exists(os.path.join(
+        tmp_path, "res", "results-2smpls-3iters-ViT-tiny-test.json"))
+
+
+def test_pez_driver_requires_target(tmp_path):
+    import pytest
+    from leaf_tpu.evals.pez_driver import main
+    with pytest.raises(SystemExit):
+        main(["--model", "ViT-tiny-test",
+              "--output", str(tmp_path / "res")])
+
+
 def test_pez_metrics(tmp_path):
     from leaf_tpu.evals.pez_metrics import evaluate_results, main
 
