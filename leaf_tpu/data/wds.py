@@ -36,7 +36,10 @@ _BRACE_RE = re.compile(r"\{(\d+)\.\.(\d+)\}")
 
 def expand_urls(urls) -> List[str]:
     """Expand `prefix-{0000..0099}.tar` brace notation; `::`-joined
-    lists; pass lists through (reference `data_AT.py:86-107`)."""
+    lists; pass lists through (reference `data_AT.py:86-107`).  Several
+    brace groups in one url expand to their cartesian product, like the
+    braceexpand package the reference uses
+    (`shard_{000..009}_{000..009}.tar` → 100 urls)."""
     if isinstance(urls, str):
         urls = urls.split("::")
     out: List[str] = []
@@ -48,7 +51,8 @@ def expand_urls(urls) -> List[str]:
         lo, hi = m.group(1), m.group(2)
         width = len(lo)
         for i in range(int(lo), int(hi) + 1):
-            out.append(url[:m.start()] + str(i).zfill(width) + url[m.end():])
+            out.extend(expand_urls(
+                [url[:m.start()] + str(i).zfill(width) + url[m.end():]]))
     return out
 
 

@@ -42,6 +42,26 @@ def make_shard(path, n, key_offset=0, image_size=8):
     return path
 
 
+def test_expand_urls_reference_num_shards_table():
+    """The reference's tests/test_num_shards.py table, verbatim."""
+    cases = [
+        ("/path/to/shard.tar", 1),
+        ("/path/to/shard_{000..000}.tar", 1),
+        ("/path/to/shard_{000..009}.tar", 10),
+        ("/path/to/shard_{000..009}_{000..009}.tar", 100),
+        ("/path/to/shard.tar::/path/to/other_shard_{000..009}.tar", 11),
+        ("/path/to/shard_{000..009}.tar::/path/to/other_shard_{000..009}.tar",
+         20),
+        (["/path/to/shard.tar"], 1),
+        (["/path/to/shard.tar", "/path/to/other_shard.tar"], 2),
+    ]
+    for shards, expected in cases:
+        assert len(expand_urls(shards)) == expected, shards
+    # cartesian expansion preserves order + zero padding
+    assert expand_urls("s_{00..01}_{7..8}.tar") == [
+        "s_00_7.tar", "s_00_8.tar", "s_01_7.tar", "s_01_8.tar"]
+
+
 def test_expand_urls():
     assert expand_urls("s-{000..002}.tar") == [
         "s-000.tar", "s-001.tar", "s-002.tar"]
