@@ -115,13 +115,17 @@ def image_transform(image_size: int, do_normalize: bool = True,
     mean = OPENAI_DATASET_MEAN if mean is None else tuple(mean)
     std = OPENAI_DATASET_STD if std is None else tuple(std)
 
+    # "random is ignored for interpolation_mode, so defaults to BICUBIC
+    # for inference if set" (reference transform.py:294)
+    eval_interp = "bicubic" if interpolation == "random" else interpolation
+
     def transform(img) -> np.ndarray:
         if isinstance(img, np.ndarray):
             from PIL import Image
             img = Image.fromarray(img)
         img = img.convert("RGB")
         arr = _geometry(img, image_size, resize_mode,
-                        _resolve_interp(interpolation))
+                        _resolve_interp(eval_interp))
         if do_normalize:
             arr = normalize(arr, mean, std)
         return arr
@@ -208,12 +212,30 @@ def train_image_transform(image_size: int, do_normalize: bool = True,
     """Training transform (reference `transform.py:307-351`):
     RandomResizedCrop(scale, ratio) + optional color-jitter/gray-scale
     (the simclr-style probs) → [0,1] → normalize."""
+    import threading
+
     aug = AugmentationCfg.parse(aug_cfg)
     mean = OPENAI_DATASET_MEAN if mean is None else tuple(mean)
     std = OPENAI_DATASET_STD if std is None else tuple(std)
-    rng = np.random.default_rng(seed)
+    # the tar pipeline decodes in a thread pool (data/wds.py) and
+    # np.random.Generator is not thread-safe: give each decode thread
+    # its own stream (deterministic under single-threaded use; under
+    # threads, determinism is bounded by scheduling order anyway)
+    local = threading.local()
+    thread_counter = [0]
+    counter_lock = threading.Lock()
+
+    def _rng():
+        rng = getattr(local, "rng", None)
+        if rng is None:
+            with counter_lock:
+                tid = thread_counter[0]
+                thread_counter[0] += 1
+            rng = local.rng = np.random.default_rng((seed, tid))
+        return rng
 
     def transform(img) -> np.ndarray:
+        rng = _rng()
         if isinstance(img, np.ndarray):
             from PIL import Image
             img = Image.fromarray(img)

@@ -70,6 +70,17 @@ def test_unknown_resize_mode_raises():
         image_transform(32, resize_mode="mystery")(_img())
 
 
+def test_random_interpolation_is_bicubic_at_eval():
+    """reference transform.py:294: 'random is ignored for
+    interpolation_mode, so defaults to BICUBIC for inference'."""
+    img = _img()
+    a = image_transform(32, interpolation="random")(img)
+    b = image_transform(32, interpolation="random")(img)
+    c = image_transform(32, interpolation="bicubic")(img)
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(a, c)
+
+
 # --------------------------------------------------------------- train
 
 
@@ -89,6 +100,18 @@ def test_train_transform_is_random_per_call():
     img = _img(h=100, w=100)
     outs = [t(img) for _ in range(4)]
     assert any(not np.array_equal(outs[0], o) for o in outs[1:])
+
+
+def test_train_transform_thread_safety():
+    """The tar pipeline decodes in a thread pool; each thread must get
+    its own rng stream without crashing or corrupting output."""
+    from concurrent.futures import ThreadPoolExecutor
+    t = train_image_transform(16, seed=0)
+    img = _img(h=40, w=40)
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        outs = list(ex.map(lambda _: t(img), range(64)))
+    for o in outs:
+        assert o.shape == (16, 16, 3) and np.isfinite(o).all()
 
 
 def test_aug_cfg_parse_and_unknown_key():
