@@ -416,6 +416,12 @@ def resize_vision_pos_embed(params: Params, cfg: CLIPConfig,
     import jax
     import jax.numpy as jnp
 
+    # plain-ViT towers only: trunk families (MCi hybrid ViTs, EVA,
+    # swin, ...) have their own pos-embed conventions, exactly like the
+    # reference's resize_pos_embed handles only the ViT grid
+    if cfg.trunk is not None or cfg.convnext is not None \
+            or cfg.resnet is not None:
+        return params
     visual = params.get("visual", {})
     pe = visual.get("positional_embedding")
     if pe is None or getattr(cfg.vision, "patch_size", 0) in (0, None):

@@ -203,6 +203,24 @@ def test_resize_vision_pos_embed_grid_interpolation():
         rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("name", [
+    "siglip-tiny-test", "eva-tiny-test", "convnext-tiny-test",
+    "swin-tiny-test", "mci-vit-tiny-test", "fastvit-tiny-test",
+    "vitamin-tiny-test", "relpos-tiny-test"])
+def test_resize_pos_embed_noop_on_non_plain_vit_families(name):
+    """Trunk/convnext families have their own pos-embed conventions —
+    resize (run on every pretrained load) must pass them through
+    untouched (an MCi hybrid ViT used to crash it)."""
+    import jax
+    from leaf_tpu.models import factory
+    from leaf_tpu.models.interop import resize_vision_pos_embed
+    m = factory.create_model(name, None)
+    out = resize_vision_pos_embed(m.params, m.cfg)
+    assert jax.tree.all(jax.tree.map(
+        lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
+        m.params, out))
+
+
 def test_factory_transform_overrides():
     from leaf_tpu.models.factory import create_model_and_transforms
     img = _img()
