@@ -64,6 +64,12 @@ def compute_bleu(reconstructions: List[str],
 
 def evaluate_results(payload: dict) -> dict:
     res = payload["results"]
+    if res and not all("original" in r for r in res):
+        raise ValueError(
+            "results have no reference captions (image-target inversion "
+            "from `pez_driver --images`?) — token/word accuracy metrics "
+            "are only defined for caption inversion; the cosine "
+            "similarity is already in the results file")
     refs = [r["original"] for r in res]
     recs = [r["reconstructed"] for r in res]
     sims = [r.get("cosine_sim", r.get("sim", 0.0)) for r in res]

@@ -167,6 +167,9 @@ def create_model(
               "bfloat16": jnp.bfloat16}[precision]
     from leaf_tpu.models.coca import COCA_CONFIGS, create_coca_model
     if model_name in COCA_CONFIGS:
+        if force_image_size is not None:
+            raise ValueError(
+                "--force-image-size is not implemented for CoCa models")
         params, ccfg = create_coca_model(model_name, pretrained=pretrained,
                                          seed=seed)
         return CoCaModel(cfg=ccfg, params=params, dtype=dtype0)
@@ -291,8 +294,17 @@ def create_model_and_transforms(
     model = create_model(model_name, pretrained, precision, seed,
                          force_quick_gelu, force_patch_dropout,
                          force_image_size=force_image_size)
-    mean = image_mean if image_mean is not None else model.cfg.image_mean
-    std = image_std if image_std is not None else model.cfg.image_std
+    mean = tuple(image_mean) if image_mean is not None \
+        else model.cfg.image_mean
+    std = tuple(image_std) if image_std is not None else model.cfg.image_std
+    if (mean, std) != (model.cfg.image_mean, model.cfg.image_std) and \
+            hasattr(model.cfg, "image_mean"):
+        # bake the override into the model config so every downstream
+        # consumer (in-training evals, pixel-space attacks — they all
+        # normalize from cfg.image_mean/std) agrees with the transforms
+        model = dataclasses.replace(
+            model, cfg=dataclasses.replace(
+                model.cfg, image_mean=mean, image_std=std))
     interp = image_interpolation or "bicubic"
     preprocess = image_transform(model.cfg.vision.image_size,
                                  mean=mean, std=std,

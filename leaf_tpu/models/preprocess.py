@@ -17,15 +17,15 @@ OPENAI_DATASET_MEAN = (0.48145466, 0.4578275, 0.40821073)
 OPENAI_DATASET_STD = (0.26862954, 0.26130258, 0.27577711)
 
 
-def resize_shorter(img, size: int):
-    """PIL bicubic resize of the shorter side to `size`."""
+def resize_shorter(img, size: int, interp=None):
+    """PIL resize of the shorter side to `size` (bicubic default)."""
     from PIL import Image
     w, h = img.size
     if w < h:
         new = (size, max(1, round(h * size / w)))
     else:
         new = (max(1, round(w * size / h)), size)
-    return img.resize(new, Image.BICUBIC)
+    return img.resize(new, Image.BICUBIC if interp is None else interp)
 
 
 def center_crop(arr: np.ndarray, size: int) -> np.ndarray:
@@ -74,7 +74,6 @@ def _geometry(img, image_size: int, resize_mode: str, interp):
     """Eval geometry (reference `transform.py:352-380`): 'shortest' =
     resize shorter side + center crop; 'longest' = fit inside + pad;
     'squash' = direct (possibly anisotropic) resize."""
-    from PIL import Image
     w, h = img.size
     if resize_mode == "squash":
         img = img.resize((image_size, image_size), interp)
@@ -90,11 +89,7 @@ def _geometry(img, image_size: int, resize_mode: str, interp):
         return out
     if resize_mode != "shortest":
         raise ValueError(f"unknown resize_mode {resize_mode!r}")
-    if w < h:
-        new = (image_size, max(1, round(h * image_size / w)))
-    else:
-        new = (max(1, round(w * image_size / h)), image_size)
-    img = img.resize(new, interp)
+    img = resize_shorter(img, image_size, interp)
     arr = np.asarray(img, dtype=np.float32) / 255.0
     return center_crop(arr, image_size)
 
@@ -220,7 +215,14 @@ def train_image_transform(image_size: int, do_normalize: bool = True,
     # the tar pipeline decodes in a thread pool (data/wds.py) and
     # np.random.Generator is not thread-safe: give each decode thread
     # its own stream (deterministic under single-threaded use; under
-    # threads, determinism is bounded by scheduling order anyway)
+    # threads, determinism is bounded by scheduling order anyway).
+    # Fold in the process index so multi-host ranks draw independent
+    # augmentations rather than correlated ones.
+    try:
+        import jax
+        rank = jax.process_index()
+    except Exception:
+        rank = 0
     local = threading.local()
     thread_counter = [0]
     counter_lock = threading.Lock()
@@ -231,7 +233,7 @@ def train_image_transform(image_size: int, do_normalize: bool = True,
             with counter_lock:
                 tid = thread_counter[0]
                 thread_counter[0] += 1
-            rng = local.rng = np.random.default_rng((seed, tid))
+            rng = local.rng = np.random.default_rng((seed, rank, tid))
         return rng
 
     def transform(img) -> np.ndarray:

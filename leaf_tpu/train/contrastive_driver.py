@@ -207,6 +207,13 @@ def main(args=None) -> Dict:
                                        args.distill_pretrained)
         t_model, _, _ = create_model_and_transforms(
             args.distill_model, t_pre, precision=precision, seed=args.seed)
+        if t_model.cfg.vision.image_size != cfg.vision.image_size:
+            raise ValueError(
+                f"--distill-model resolution "
+                f"{t_model.cfg.vision.image_size} != student train "
+                f"resolution {cfg.vision.image_size}; the teacher "
+                f"receives the student's batches — pick models at the "
+                f"same resolution (or --force-image-size the student)")
         teacher = (t_model.cfg, replicate(t_model.params, mesh))
         if args.siglip:
             raise ValueError("--distill-model is incompatible with --siglip")
@@ -242,9 +249,15 @@ def main(args=None) -> Dict:
                     preprocess_val=preprocess_val)
     args.imagenet_val = imagenet_val
     if imagenet_val:
+        # un-normalised (the zero-shot eval normalises from cfg stats
+        # inside its jitted logits fn) but geometry must still honour
+        # the CLI overrides like every other split
         data["imagenet-val"] = get_imagenet(
             imagenet_val,
-            image_transform(cfg.vision.image_size, do_normalize=False),
+            image_transform(
+                cfg.vision.image_size, do_normalize=False,
+                interpolation=args.image_interpolation or "bicubic",
+                resize_mode=args.image_resize_mode or "shortest"),
             "val", args.batch_size, n_val=args.n_val_imagenet,
             seed=args.seed)
     if "train" not in data:

@@ -118,6 +118,12 @@ def main(args=None) -> Dict:
         raise ValueError(
             "--siglip/--distill-model/--local-loss drive the contrastive "
             "pretrainer; run python -m leaf_tpu.train.contrastive_driver")
+    if args.aug_cfg:
+        # text-only AT discards train images (loop.py), so augmentation
+        # could only ever silently do nothing here
+        raise ValueError(
+            "--aug-cfg has no effect on LEAF text-only AT (train images "
+            "are discarded); it drives the contrastive pretrainer")
     if args.lock_image is False:   # None (default) = locked
         # the reference freezes model.visual unconditionally for
         # text-only AT (`train_AT_text_only.py:489-490`); only the
@@ -131,8 +137,7 @@ def main(args=None) -> Dict:
         force_image_size=args.force_image_size,
         image_mean=args.image_mean, image_std=args.image_std,
         image_interpolation=args.image_interpolation,
-        image_resize_mode=args.image_resize_mode,
-        aug_cfg=args.aug_cfg)
+        image_resize_mode=args.image_resize_mode)
     cfg = model.cfg
     params = replicate(model.params, mesh)
     # real buffer copy: the train step donates its text params, so the

@@ -20,6 +20,10 @@ class _ParseKwargs(argparse.Action):
     def __call__(self, parser, namespace, values, option_string=None):
         kw = {}
         for value in values:
+            if "=" not in value:
+                parser.error(
+                    f"argument {option_string}: expected key=value, "
+                    f"got {value!r}")
             key, value = value.split("=", 1)
             try:
                 kw[key] = ast.literal_eval(value)

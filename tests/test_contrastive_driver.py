@@ -35,6 +35,12 @@ def test_contrastive_plain(tmp_path):
     assert np.isfinite(float(loss))
 
 
+def test_distill_resolution_mismatch_errors(tmp_path):
+    with pytest.raises(ValueError, match="resolution"):
+        run(tmp_path, ["--force-image-size", "96",
+                       "--distill-model", "ViT-tiny-test"], "dres")
+
+
 def test_contrastive_siglip(tmp_path):
     out = run(tmp_path, ["--siglip"], "siglip")
     assert int(out["state"].step) == 2

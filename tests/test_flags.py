@@ -95,7 +95,7 @@ def test_rejected_flags_match_driver_hard_errors():
     raises on each (tested behaviourally in test_training.py; here we
     pin the SET so a new contrastive-only flag cannot slip in
     unconsidered)."""
-    contrastive_only = {"siglip", "distill_model", "local_loss"}
+    contrastive_only = {"siglip", "distill_model", "local_loss", "aug_cfg"}
     ns = vars(parse_args(["--model", "ViT-tiny-test"]))
     assert contrastive_only <= set(ns)
     with open(os.path.join(PKG, "train", "driver.py")) as f:

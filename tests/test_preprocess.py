@@ -235,3 +235,47 @@ def test_factory_transform_overrides():
         "ViT-tiny-test", None, aug_cfg=AugmentationCfg())
     assert tr2 is not ev2
     assert tr2(img).shape == ev2(img).shape
+
+
+# ----------------------------------------------- review-pass fixes
+
+
+def test_parse_kwargs_missing_equals_is_usage_error():
+    from leaf_tpu.train.params import parse_args
+    with pytest.raises(SystemExit):
+        parse_args(["--model", "ViT-tiny-test", "--aug-cfg", "scale"])
+
+
+def test_image_mean_override_bakes_into_model_cfg():
+    """--image-mean/std must reach every consumer: evals and attacks
+    normalize from cfg.image_mean/std, so the factory bakes the
+    override into the returned model's config."""
+    from leaf_tpu.models.factory import create_model_and_transforms
+    m, _, _ = create_model_and_transforms(
+        "ViT-tiny-test", None, image_mean=(0.5, 0.5, 0.5),
+        image_std=(0.25, 0.25, 0.25))
+    assert m.cfg.image_mean == (0.5, 0.5, 0.5)
+    assert m.cfg.image_std == (0.25, 0.25, 0.25)
+
+
+def test_force_image_size_rejects_coca():
+    from leaf_tpu.models import factory
+    with pytest.raises(ValueError, match="CoCa"):
+        factory.create_model("coca-tiny-test", None, force_image_size=64)
+
+
+def test_pez_metrics_rejects_image_mode_results():
+    from leaf_tpu.evals.pez_metrics import evaluate_results
+    payload = {"results": [{"images": ["x.png"], "reconstructed": "p",
+                            "cosine_sim": 0.5, "ids_rec": [1]}]}
+    with pytest.raises(ValueError, match="reference captions"):
+        evaluate_results(payload)
+
+
+def test_leaf_driver_rejects_aug_cfg(tmp_path):
+    from leaf_tpu.train.driver import main
+    with pytest.raises(ValueError, match="aug-cfg"):
+        main(["--model", "ViT-tiny-test", "--dataset-type", "synthetic",
+              "--train-num-samples", "8", "--batch-size", "4",
+              "--epochs", "1", "--aug-cfg", "scale=(0.5,1.0)",
+              "--logs", str(tmp_path), "--name", "r"])
