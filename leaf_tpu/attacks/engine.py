@@ -53,6 +53,15 @@ def bucket_tokens(tokens, buckets=CONTEXT_BUCKETS):
     return arr
 
 
+def can_bucket(cfg) -> bool:
+    """Context bucketing is only feature-invariant for causal towers
+    with argmax-EOT pooling (truncation past EOT cannot change the
+    pooled feature); SigLIP-style towers (bidirectional attention,
+    'last'/'first' pooling, argmax≠EOT vocab) must keep the full
+    buffer.  `cfg` is a CLIPConfig."""
+    return (not cfg.text.no_causal_mask) and cfg.text.pool_type == "argmax"
+
+
 def objective_loss(feats: jnp.ndarray, anchors: jnp.ndarray,
                    objective: str) -> jnp.ndarray:
     """feats [..., N, D], anchors [..., D] → loss [..., N]."""
@@ -96,8 +105,7 @@ class CandidateScorer:
         self.mesh = mesh
         # context bucketing is exact only under causal masking with
         # argmax-EOT pooling (see CONTEXT_BUCKETS)
-        self._can_bucket = (not cfg.text.no_causal_mask
-                            and cfg.text.pool_type == "argmax")
+        self._can_bucket = can_bucket(cfg)
 
     def host_local(self) -> "CandidateScorer":
         """Scorer for THIS host's sentences in a multi-host run: batch

@@ -112,8 +112,8 @@ def main(argv=None):
         # short captions ride the packed 16/32-token fast path instead
         # of full 77-context rows
         all_toks = np.asarray(tokenizer(texts))
-        if not cfg.text.no_causal_mask \
-                and cfg.text.pool_type == "argmax":
+        from leaf_tpu.attacks.engine import can_bucket
+        if can_bucket(cfg):
             all_toks = bucket_tokens(all_toks)
         # warm the compile outside the timer (serving steady-state)
         np.asarray(enc(model.params["text"], all_toks[:bs] if

@@ -20,7 +20,6 @@ unfused path.
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax
@@ -30,7 +29,11 @@ import optax
 from jax.sharding import PartitionSpec as P
 
 from leaf_tpu.attacks import edits
-from leaf_tpu.attacks.engine import bucket_tokens, objective_loss
+from leaf_tpu.attacks.engine import (
+    bucket_tokens,
+    can_bucket as engine_can_bucket,
+    objective_loss,
+)
 from leaf_tpu.models import clip as lclip
 from leaf_tpu.models.config import CLIPConfig
 from leaf_tpu.train.step import TrainState
@@ -185,7 +188,7 @@ def _filter_tokens(tokens: np.ndarray, clean: np.ndarray,
     tokens — `WordConstraint.filter` semantics on the [B, N, C] buffer."""
     bad_i, bad_j = np.nonzero(~valid)
     if len(bad_i):
-        tokens = np.ascontiguousarray(tokens)
+        tokens = np.array(tokens)
         tokens[bad_i, bad_j] = clean[bad_i]
     return tokens
 
@@ -229,8 +232,18 @@ class FusedLeafStep:
         # frozen-tower anchor features keyed by caption: exact reuse
         # across epochs (the frozen tower never changes — VERDICT r1
         # perf lever; the reference recomputes them every epoch,
-        # `utils_AT.py:296`)
-        self.anchor_cache = {} if cache_anchors else None
+        # `utils_AT.py:296`).  Multi-host: DISABLED — the cache is
+        # keyed by host-local captions, so a hit on one host and a miss
+        # on another would make the processes launch different global
+        # computations (phase1 vs phase1_cached) and deadlock the mesh.
+        self.anchor_cache = ({} if cache_anchors
+                             and jax.process_count() == 1 else None)
+        # context bucketing: only feature-invariant for causal+argmax
+        # towers, and only safe single-process (each host buckets from
+        # its LOCAL captions — different buckets would stitch
+        # incompatible shapes into one global array)
+        self._do_bucket = (engine_can_bucket(cfg)
+                           and jax.process_count() == 1)
         self.phase1 = make_fused_phase1(cfg, normalize, dtype, objective,
                                         mesh=mesh)
         self.phase1_cached = make_fused_phase1_cached(cfg, normalize, dtype,
@@ -250,6 +263,10 @@ class FusedLeafStep:
                 make_fused_phase2_step(cfg, tx, normalize, dtype, remat,
                                        objective=objective,
                                        w_fare_text=w_fare_text))
+
+    def _bucket(self, tokens):
+        return bucket_tokens(tokens) if self._do_bucket \
+            else np.asarray(tokens)
 
     def _phases(self, batch: int):
         """(phase1, phase1_cached, phase2) for this batch size.
@@ -374,7 +391,7 @@ class FusedLeafStep:
                 positions = prep["positions"]
                 probe_raw = prep["probe_raw"]
                 clean_raw = prep["clean_raw"]
-            probe_tokens = bucket_tokens(probe_raw)
+            probe_tokens = self._bucket(probe_raw)
             cache = self.anchor_cache
             if anchors is not None:
                 best_probe = phase1_cached(
@@ -388,7 +405,7 @@ class FusedLeafStep:
                     clean_raw = np.asarray(self.tokenizer(texts_cur))
                 anchors, best_probe = phase1(
                     frozen_text, state.text_params,
-                    self._put(bucket_tokens(clean_raw)),
+                    self._put(self._bucket(clean_raw)),
                     self._put(probe_tokens))
                 if cache is not None \
                         and len(cache) < self.MAX_CACHED_ANCHORS:
@@ -408,7 +425,7 @@ class FusedLeafStep:
                 valid = self.constraint.valid_edits_batch(texts_cur, zs,
                                                           self.vocab[us])
                 cand_raw = _filter_tokens(cand_raw, clean_raw, valid)
-            cand_tokens = bucket_tokens(cand_raw)
+            cand_tokens = self._bucket(cand_raw)
             if r < self.k - 1:
                 # intermediate round: pick the winner, edit on host
                 best = host_local_batch(

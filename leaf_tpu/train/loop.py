@@ -8,7 +8,10 @@ Re-expression of the reference's `train_one_epoch_text_only`
      `--use_charmer`) against the *trainable* tower, anchored to the
      frozen features,
   3. one jitted train step: TextFARE MSE + AdamW update,
-  4. logit_scale clamp, meters, attack-timing ledger.
+  4. meters, attack-timing ledger.  (The reference also clamps
+     logit_scale each step, `utils_AT.py:366` — a no-op here: the MSE
+     objective gives it zero gradient and it is not in the trainable
+     text tree, so there is nothing to clamp.)
 
 The attack wall-time CSV (`times_{use_charmer}.csv`) is the reference's
 own throughput benchmark hook (`utils_AT.py:298-311`) and is kept.
@@ -16,14 +19,17 @@ own throughput benchmark hook (`utils_AT.py:298-311`) and is kept.
 from __future__ import annotations
 
 import logging
-import math
 import time
 from typing import Dict, Optional
 
 import jax
 import numpy as np
 
-from leaf_tpu.attacks.engine import CandidateScorer, bucket_tokens
+from leaf_tpu.attacks.engine import (
+    CandidateScorer,
+    bucket_tokens,
+    can_bucket,
+)
 from leaf_tpu.attacks.text import attack_text_charmer_batched, attack_text_leaf
 from leaf_tpu.parallel.sharding import put_batch
 from leaf_tpu.train.step import TrainState
@@ -90,11 +96,17 @@ def train_one_epoch_text_only(
 ):
     """Run one epoch; returns (state, log_data).
 
-    With `fused_step` (a `train.fused.FusedLeafStep`, eligible when
-    k_adv=1 / no charmer / no constraint), each batch runs as two
-    device dispatches instead of four — selection and update semantics
-    are identical (tests/test_fused_step.py)."""
+    With `fused_step` (a `train.fused.FusedLeafStep` — every
+    non-charmer recipe, including `--constrain` and k_adv>1, see
+    driver.py), each batch runs as two device dispatches instead of
+    four per edit round — selection and update semantics are identical
+    (tests/test_fused_step.py)."""
     rng = rng or np.random.default_rng(args.seed + 1000 * epoch)
+    # context bucketing: only feature-invariant for causal+argmax
+    # towers, and only single-process (hosts bucket from LOCAL captions
+    # — divergent buckets would stitch incompatible global shapes)
+    _bucket = (bucket_tokens if can_bucket(scorer.cfg)
+               and jax.process_count() == 1 else np.asarray)
     info = data["train"]
     info.set_epoch(epoch)
     num_batches_per_epoch = info.num_batches // args.accum_freq
@@ -152,7 +164,7 @@ def train_one_epoch_text_only(
             # batch sharded over the mesh's data axis (the reference's
             # DDP split); params stay replicated, GSPMD inserts the
             # grad psum inside train_step
-            tokens = put_batch(bucket_tokens(tokenizer(texts)), mesh)
+            tokens = put_batch(_bucket(tokenizer(texts)), mesh)
             anchors = anchor_encode(frozen_text_params, tokens)
             # the attack scores THIS host's sentences: it needs the
             # host-local anchor rows (a multi-host global array is not
@@ -168,7 +180,7 @@ def train_one_epoch_text_only(
             if timing is not None:
                 timing.append(attack_seconds)
 
-            adv_tokens = put_batch(bucket_tokens(tokenizer(adv_texts)), mesh)
+            adv_tokens = put_batch(_bucket(tokenizer(adv_texts)), mesh)
             state, metrics = train_step(state, adv_tokens, anchors)
             batch = next(loader_it, None)
 

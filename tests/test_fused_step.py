@@ -205,3 +205,34 @@ def test_prepared_probes_stream_equivalence(setup):
     for a, b in zip(jax.tree.leaves(state_a.text_params),
                     jax.tree.leaves(state_b.text_params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_bucketing_guards():
+    """Context bucketing must be off for SigLIP-style towers (not
+    feature-invariant) and for multi-host runs (hosts would pick
+    divergent buckets from local captions); the anchor cache must be
+    off multi-host (hit/miss divergence = different global dispatches
+    per process = deadlock)."""
+    import jax
+    import optax
+    from leaf_tpu.attacks.engine import can_bucket
+    from leaf_tpu.models.config import get_model_config
+    from leaf_tpu.train.fused import FusedLeafStep
+
+    vit = get_model_config("ViT-tiny-test")
+    sig = get_model_config("siglip-tiny-test")
+    assert can_bucket(vit) and not can_bucket(sig)
+
+    tx = optax.adamw(1e-4)
+    from leaf_tpu.models.factory import get_tokenizer
+    tok = get_tokenizer("ViT-tiny-test")
+    fs = FusedLeafStep(vit, tx, tok, rho=4)
+    assert fs._do_bucket and fs.anchor_cache is not None
+
+    real = jax.process_count
+    jax.process_count = lambda: 2
+    try:
+        fs2 = FusedLeafStep(vit, tx, tok, rho=4)
+        assert not fs2._do_bucket and fs2.anchor_cache is None
+    finally:
+        jax.process_count = real
