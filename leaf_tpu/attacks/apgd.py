@@ -80,7 +80,6 @@ class _State(NamedTuple):
     x_adv: jnp.ndarray
     x_adv_old: jnp.ndarray
     grad: jnp.ndarray
-    loss: jnp.ndarray              # [B] current per-sample loss
     x_best: jnp.ndarray
     grad_best: jnp.ndarray
     loss_best: jnp.ndarray
@@ -142,14 +141,20 @@ def apgd(loss_fn: Callable[[jnp.ndarray], jnp.ndarray],
     if initial_stepsize is not None:
         alpha = initial_stepsize / eps
 
-    grad_loss = jax.grad(lambda xa: loss_fn(xa).sum())
+    def loss_and_grad(xa):
+        # one fused forward+backward (jax.grad alone would re-run the
+        # forward for the loss value)
+        def summed(xa):
+            l = loss_fn(xa)
+            return l.sum(), l
+        (_, l), g = jax.value_and_grad(summed, has_aux=True)(xa)
+        return l, g
 
     x_adv0 = jnp.clip(x, 0.0, 1.0)
-    loss0 = loss_fn(x_adv0)
-    grad0 = grad_loss(x_adv0)
+    loss0, grad0 = loss_and_grad(x_adv0)
 
     state = _State(
-        x_adv=x_adv0, x_adv_old=x_adv0, grad=grad0, loss=loss0,
+        x_adv=x_adv0, x_adv_old=x_adv0, grad=grad0,
         x_best=x_adv0, grad_best=grad0, loss_best=loss0,
         loss_best_last_check=loss0,
         reduced_last_check=jnp.ones((B,), x.dtype),
@@ -199,8 +204,12 @@ def apgd(loss_fn: Callable[[jnp.ndarray], jnp.ndarray],
             x_adv_1 = project(s.x_adv + (x_adv_1 - s.x_adv) * a
                               + grad2 * (1 - a))
 
-        loss = loss_fn(x_adv_1)
-        grad = grad_loss(x_adv_1)
+        # the final iteration's gradient is never used — skip its
+        # backward pass (the reference's 'save one backward' branch,
+        # apgd_train.py)
+        loss, grad = jax.lax.cond(
+            i < n_iter - 1, loss_and_grad,
+            lambda xa: (loss_fn(xa), jnp.zeros_like(xa)), x_adv_1)
 
         # track best per-sample points
         better = loss > s.loss_best
@@ -254,7 +263,7 @@ def apgd(loss_fn: Callable[[jnp.ndarray], jnp.ndarray],
         counter3 = jnp.where(do_check, 0, counter3)
 
         return _State(
-            x_adv=x_adv_new, x_adv_old=s.x_adv, grad=grad_new, loss=loss,
+            x_adv=x_adv_new, x_adv_old=s.x_adv, grad=grad_new,
             x_best=x_best, grad_best=grad_best, loss_best=loss_best,
             loss_best_last_check=loss_best_last,
             reduced_last_check=reduced, loss_steps=loss_steps,

@@ -245,12 +245,17 @@ class CandidateScorer:
 
         @functools.partial(jax.jit, static_argnames=("objective",))
         def score(text_params, tokens, anchor, objective):
-            normalize = objective in ("sim", "dissim")
+            # the "_normfeat" suffix scores l2/negl2 on NORMALIZED
+            # candidate features against the raw anchor — the
+            # reference's constrained_ret phase-1 quirk
+            # (utils_attacks.py:760 normalize=True vs :795 False)
+            base = objective.replace("_normfeat", "")
+            normalize = objective != base or base in ("sim", "dissim")
             feats = lclip.encode_text(text_params, cfg.text, tokens,
                                       cfg.quick_gelu, normalize, self.dtype)
             return objective_loss(feats.astype(jnp.float32)[None],
                                   anchor.astype(jnp.float32)[None],
-                                  objective)[0]
+                                  base)[0]
 
         return score
 

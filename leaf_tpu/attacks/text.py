@@ -32,10 +32,22 @@ def _normalize_np(a):
 def _native_of(tokenizer):
     """Native fused edit+tokenize handle, if the tokenizer has one."""
     native = getattr(tokenizer, "_native", None)
-    if native is None and hasattr(tokenizer, "_native_checked"):
-        tokenizer([""])  # trigger lazy native init
+    if native is None and not getattr(tokenizer, "_native_checked", True):
+        tokenizer([""])  # trigger lazy native init (once: sets _checked)
         native = tokenizer._native
     return native
+
+
+def _pad_rows(tokenizer, sentences, rows):
+    """Ragged per-sentence candidate rows → ([B, n_max, C] tokens,
+    [B, n_max] valid mask); short rows pad with the clean sentence."""
+    n_max = max(len(r) for r in rows)
+    mask = np.zeros((len(rows), n_max), bool)
+    flat = []
+    for i, row in enumerate(rows):
+        mask[i, :len(row)] = True
+        flat.extend(row + [sentences[i]] * (n_max - len(row)))
+    return tokenizer(flat).reshape(len(rows), n_max, -1), mask
 
 
 def _edit_tokens_fast(tokenizer, sentences, zs: np.ndarray, cps: np.ndarray):
@@ -204,7 +216,7 @@ def attack_text_charmer_inference(
                                  anchor_features, objective,
                                  anchor2=anchor_features2,
                                  text_params2=text_params2)
-        top = np.argsort(-loss)[:min(n, len(loss))]
+        top = np.argsort(-loss, kind="stable")[:min(n, len(loss))]
 
         candidates = edits.generate_all_sentences(
             sentence, vocab, subset_z=top.tolist(), alternative=-1)
@@ -256,17 +268,11 @@ def attack_text_charmer_batched(
                       for S in sentences]
         if constraint is not None:
             probe_rows = constraint.filter_batched(sentences, probe_rows)
-        n_max = max(len(r) for r in probe_rows)
-        mask = np.zeros((B, n_max), bool)
-        flat = []
-        for i, row in enumerate(probe_rows):
-            mask[i, :len(row)] = True
-            flat.extend(row + [sentences[i]] * (n_max - len(row)))
-        tokens = tokenizer(flat).reshape(B, n_max, -1)
+        tokens, mask = _pad_rows(tokenizer, sentences, probe_rows)
         _, _, loss = scorer.score_rows(text_params, tokens, anchors,
                                        objective, mask=mask)
         loss = np.asarray(loss)
-        top = np.argsort(-loss, axis=1)[:, :n]  # [B, n] slot indices
+        top = np.argsort(-loss, axis=1, kind="stable")[:, :n]  # [B, n] slot indices
 
         # ---- phase 2: full vocabulary at the top-n positions
         cand_rows = [
@@ -280,13 +286,7 @@ def attack_text_charmer_batched(
             cand_rows = [c if c else [s] for c, s in
                          zip(constraint.filter_batched(sentences, cand_rows),
                              sentences)]
-        n_max = max(len(r) for r in cand_rows)
-        mask = np.zeros((B, n_max), bool)
-        flat = []
-        for i, row in enumerate(cand_rows):
-            mask[i, :len(row)] = True
-            flat.extend(row + [sentences[i]] * (n_max - len(row)))
-        tokens = tokenizer(flat).reshape(B, n_max, -1)
+        tokens, mask = _pad_rows(tokenizer, sentences, cand_rows)
         best_idx, _, _ = scorer.score_rows(text_params, tokens, anchors,
                                            objective, mask=mask)
         sentences = [cand_rows[i][best_idx[i]] for i in range(B)]
@@ -314,7 +314,7 @@ def attack_text_charmer_classification(
             sentence, edits.SPACE_VOCAB, alternative=-1)
         loss, _ = scorer.score_classification(
             text_params, tokenizer(probes), class_features, label)
-        top = np.argsort(-loss)[:min(n, len(loss))]
+        top = np.argsort(-loss, kind="stable")[:min(n, len(loss))]
 
         candidates = edits.generate_all_sentences(
             sentence, vocab, subset_z=top.tolist(), alternative=-1)
@@ -350,13 +350,7 @@ def attack_text_charmer_classification_batched(
     done = np.zeros(B, bool)
 
     def pad_rows(rows):
-        n_max = max(len(r) for r in rows)
-        mask = np.zeros((B, n_max), bool)
-        flat = []
-        for i, row in enumerate(rows):
-            mask[i, :len(row)] = True
-            flat.extend(row + [sentences[i]] * (n_max - len(row)))
-        return tokenizer(flat).reshape(B, n_max, -1), mask
+        return _pad_rows(tokenizer, sentences, rows)
 
     for _ in range(k):
         if done.all():
@@ -368,7 +362,7 @@ def attack_text_charmer_classification_batched(
         tokens, mask = pad_rows(probe_rows)
         loss, _ = scorer.score_classification_rows(
             text_params, tokens, class_features, labels, mask)
-        top = np.argsort(-loss, axis=1)
+        top = np.argsort(-loss, axis=1, kind="stable")
 
         # ---- phase 2: full vocabulary at the top-n positions
         cand_rows = [
@@ -420,14 +414,21 @@ def attack_text_charmer_constrained_ret(
     if obj in ("sim", "dissim"):
         anchor = _normalize_np(anchor)
 
+    # the reference scores PHASE 1 (position probes) on normalized
+    # candidate features even for l2 (`utils_attacks.py:760`
+    # normalize=True) while phase 2 uses raw features (`:795`
+    # normalize=False) — an upstream inconsistency reproduced verbatim
+    p1_obj = obj + "_normfeat" if obj in ("l2", "negl2") else obj
+
     dist = 0
     for dist in range(k):
         probes = edits.generate_all_sentences(
             sentence, edits.SPACE_VOCAB, alternative=-1)
         if constraint is not None:
             probes = constraint.filter(sentence, probes)
-        loss = scorer.score_flat(text_params, tokenizer(probes), anchor, obj)
-        top = np.argsort(-loss)[:min(n, len(loss))]
+        loss = scorer.score_flat(text_params, tokenizer(probes), anchor,
+                                 p1_obj)
+        top = np.argsort(-loss, kind="stable")[:min(n, len(loss))]
 
         candidates = edits.generate_all_sentences(
             sentence, vocab, subset_z=top.tolist(), alternative=-1)

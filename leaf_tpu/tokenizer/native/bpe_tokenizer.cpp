@@ -198,6 +198,39 @@ struct Tokenizer {
   }
 };
 
+// shared edit application (mirrors attacks/edits.py apply_edit).
+// Inserting the slot placeholder '_' at an insertion slot is a
+// SELF-SUBSTITUTION (python: chars[z] == ch): a no-op when
+// alternative == -1, the alternative character otherwise.
+void ApplyEdit(const std::string& S, int z, int cp, int alternative,
+               std::string* edited) {
+  edited->clear();
+  const int L = static_cast<int>(S.size());
+  const bool is_char_pos = (z % 2) == 1;
+  const int char_idx = is_char_pos ? (z - 1) / 2 : z / 2;
+  const int ins = (cp == '_') ? alternative : cp;  // placeholder self-sub
+  for (int c = 0; c < L; ++c) {
+    if (!is_char_pos && c == char_idx && ins != -1) {
+      edited->push_back(static_cast<char>(ins));
+    }
+    if (is_char_pos && c == char_idx) {
+      if (cp == -1) continue;
+      const char ch = static_cast<char>(cp);
+      if (S[c] == ch && alternative == -1) continue;
+      if (S[c] == ch && alternative >= 0) {
+        edited->push_back(static_cast<char>(alternative));
+      } else {
+        edited->push_back(ch);
+      }
+      continue;
+    }
+    edited->push_back(S[c]);
+  }
+  if (!is_char_pos && char_idx == L && ins != -1) {
+    edited->push_back(static_cast<char>(ins));
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -279,35 +312,12 @@ void bpe_encode_edits(void* h, const char** sentences, int n_sent,
   std::vector<int> ids;
   for (int i = 0; i < n_sent; ++i) {
     const std::string S(sentences[i]);
-    const int L = static_cast<int>(S.size());
     for (int j = 0; j < rho; ++j) {
       const int z = zs[i * rho + j];
       const int cp = cps[i * rho + j];
-      edited.clear();
       // slot layout: [_ c0 _ c1 ... _ c(L-1) _], slot z; even = insert
       // slot, odd = character position (k=1)
-      const bool is_char_pos = (z % 2) == 1;
-      const int char_idx = is_char_pos ? (z - 1) / 2 : z / 2;
-      for (int c = 0; c < L; ++c) {
-        if (!is_char_pos && c == char_idx && cp != -1) {
-          edited.push_back(static_cast<char>(cp));  // insertion before c
-        }
-        if (is_char_pos && c == char_idx) {
-          if (cp == -1) continue;                   // deletion
-          const char ch = static_cast<char>(cp);
-          if (S[c] == ch && alternative == -1) continue;  // self-sub → del
-          if (S[c] == ch && alternative >= 0) {
-            edited.push_back(static_cast<char>(alternative));
-          } else {
-            edited.push_back(ch);
-          }
-          continue;
-        }
-        edited.push_back(S[c]);
-      }
-      if (!is_char_pos && char_idx == L && cp != -1) {
-        edited.push_back(static_cast<char>(cp));    // trailing insert slot
-      }
+      ApplyEdit(S, z, cp, alternative, &edited);
       ids.clear();
       t->Encode(edited.c_str(), &ids);
       int32_t* dst = out + (static_cast<size_t>(i) * rho + j) * ctx;
@@ -393,34 +403,6 @@ struct WordDict {
   }
 };
 
-// shared edit application (mirrors bpe_encode_edits' slot logic)
-void ApplyEdit(const std::string& S, int z, int cp, int alternative,
-               std::string* edited) {
-  edited->clear();
-  const int L = static_cast<int>(S.size());
-  const bool is_char_pos = (z % 2) == 1;
-  const int char_idx = is_char_pos ? (z - 1) / 2 : z / 2;
-  for (int c = 0; c < L; ++c) {
-    if (!is_char_pos && c == char_idx && cp != -1) {
-      edited->push_back(static_cast<char>(cp));
-    }
-    if (is_char_pos && c == char_idx) {
-      if (cp == -1) continue;
-      const char ch = static_cast<char>(cp);
-      if (S[c] == ch && alternative == -1) continue;
-      if (S[c] == ch && alternative >= 0) {
-        edited->push_back(static_cast<char>(alternative));
-      } else {
-        edited->push_back(ch);
-      }
-      continue;
-    }
-    edited->push_back(S[c]);
-  }
-  if (!is_char_pos && char_idx == L && cp != -1) {
-    edited->push_back(static_cast<char>(cp));
-  }
-}
 
 std::string Lower(const std::string& s) {
   std::string out(s);

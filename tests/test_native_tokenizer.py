@@ -132,6 +132,42 @@ def test_encode_edits_matches_python(py_tok):
                 s, int(zs[i, j]), int(us[i, j]), expect)
 
 
+def test_encode_edits_exhaustive_slot_vocab(py_tok):
+    """Every slot x a vocab probe set that includes the '_' slot
+    placeholder (inserting '_' is a SELF-SUBSTITUTION no-op under
+    alternative=-1 — a native fast path used to insert it literally),
+    deletion (-1), and a self-sub char."""
+    from leaf_tpu.attacks import edits
+    s = "a photo of a cat"
+    probe = [ord("_"), ord("a"), ord(" "), -1, ord("x")]
+    zs, cps = [], []
+    for z in range(2 * len(s) + 1):
+        for cp in probe:
+            zs.append(z)
+            cps.append(cp)
+    zs = np.asarray(zs, np.int32)[None]
+    cps = np.asarray(cps, np.int32)[None]
+    out = native.encode_edits([s], zs, cps, 77).reshape(1, -1, 77)
+    for i, (z, cp) in enumerate(zip(zs[0], cps[0])):
+        expect = edits.apply_edit(s, int(z), 0, [int(cp)], alternative=-1)
+        ref = py_tok([expect])[0]
+        assert out[0, i].tolist() == ref.tolist(), (int(z), int(cp), expect)
+
+
+def test_wc_valid_edits_placeholder_insert_is_noop():
+    """'_'-insertion (a no-op edit) must be judged on the UNCHANGED
+    sentence by the C++ constraint mask, same as WordConstraint on the
+    python path."""
+    from leaf_tpu.attacks.constraint import WordConstraint
+    wc = WordConstraint()
+    s = "wall street stocks fall"
+    zs = np.asarray([[0, 4]], np.int32)
+    us = np.asarray([[ord("_"), ord("_")]], np.int32)
+    mask = wc.valid_edits_batch([s], zs, us)
+    # a no-op edit never strictly decreases the word count → invalid
+    assert mask.tolist() == [[False, False]]
+
+
 def test_encode_edits_space_probes(py_tok):
     from leaf_tpu.attacks import edits
     rng = np.random.default_rng(1)
