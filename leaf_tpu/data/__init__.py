@@ -69,7 +69,8 @@ def get_data(args, preprocess: Callable, epoch: int = 0,
                 args.train_data, preprocess, args.batch_size,
                 img_key=args.csv_img_key, caption_key=args.csv_caption_key,
                 sep=args.csv_separator, shuffle=True, seed=args.seed,
-                drop_last=True)
+                drop_last=True, process_index=process_index,
+                process_count=process_count)
 
     if getattr(args, "val_data", None):
         data["val"] = get_wds_dataset(

@@ -15,7 +15,8 @@ class CsvDataset:
     def __init__(self, filename: str, preprocess: Callable,
                  img_key: str = "filepath", caption_key: str = "title",
                  sep: str = "\t", batch_size: int = 64, seed: int = 0,
-                 shuffle: bool = False, drop_last: bool = False):
+                 shuffle: bool = False, drop_last: bool = False,
+                 process_index: int = 0, process_count: int = 1):
         self.preprocess = preprocess
         self.batch_size = batch_size
         self.seed = seed
@@ -24,6 +25,10 @@ class CsvDataset:
         # reference's equal-batch rounding, data_AT.py:513-521; a
         # partial batch is also indivisible on multi-host meshes)
         self.drop_last = drop_last
+        # multi-host: each host reads a disjoint stride of the (epoch-
+        # shuffled) index list, the reference's DistributedSampler
+        self.process_index = process_index
+        self.process_count = process_count
         self.epoch = -1
         self.root = os.path.dirname(os.path.abspath(filename))
         with open(filename, newline="") as f:
@@ -36,10 +41,17 @@ class CsvDataset:
         return len(self.images)
 
     @property
+    def _local_n(self) -> int:
+        # DistributedSampler semantics: every host gets the same count
+        # (floor — the tail is dropped so strides stay equal)
+        return len(self.images) // self.process_count \
+            if self.process_count > 1 else len(self.images)
+
+    @property
     def num_batches(self) -> int:
         if self.drop_last:
-            return len(self.images) // self.batch_size
-        return -(-len(self.images) // self.batch_size)
+            return self._local_n // self.batch_size
+        return -(-self._local_n // self.batch_size)
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -48,7 +60,11 @@ class CsvDataset:
         self.epoch += 1
         order = list(range(len(self.images)))
         if self.shuffle:
+            # same permutation on every host, then disjoint strides
             random.Random(self.seed + self.epoch).shuffle(order)
+        if self.process_count > 1:
+            order = order[self.process_index::self.process_count]
+            order = order[:self._local_n]
 
         def batches():
             from PIL import Image
@@ -68,7 +84,11 @@ class CsvDataset:
 def get_csv_dataset(filename: str, preprocess, batch_size: int = 64,
                     img_key: str = "filepath", caption_key: str = "title",
                     sep: str = "\t", shuffle: bool = False,
-                    seed: int = 0, drop_last: bool = False) -> DataInfo:
+                    seed: int = 0, drop_last: bool = False,
+                    process_index: int = 0,
+                    process_count: int = 1) -> DataInfo:
     ds = CsvDataset(filename, preprocess, img_key, caption_key, sep,
-                    batch_size, seed, shuffle, drop_last)
+                    batch_size, seed, shuffle, drop_last,
+                    process_index=process_index,
+                    process_count=process_count)
     return DataInfo(ds, num_batches=ds.num_batches, num_samples=len(ds))

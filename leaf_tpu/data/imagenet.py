@@ -38,11 +38,16 @@ class ImageFolderDataset:
     def __init__(self, root: str, preprocess: Callable, batch_size: int = 64,
                  subsample_per_class: Optional[int] = None,
                  n_random: Optional[int] = None, seed: int = 0,
-                 shuffle: bool = False):
+                 shuffle: bool = False, process_index: int = 0,
+                 process_count: int = 1):
         self.preprocess = preprocess
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
+        # multi-host training: disjoint stride of the epoch-shuffled
+        # order per host (DistributedSampler semantics, equal counts)
+        self.process_index = process_index
+        self.process_count = process_count
         self.epoch = -1
         paths, labels, self.classes = list_image_folder(root)
         paths = np.asarray(paths)
@@ -65,8 +70,13 @@ class ImageFolderDataset:
         return len(self.paths)
 
     @property
+    def _local_n(self) -> int:
+        return len(self.paths) // self.process_count \
+            if self.process_count > 1 else len(self.paths)
+
+    @property
     def num_batches(self) -> int:
-        return -(-len(self.paths) // self.batch_size)
+        return -(-self._local_n // self.batch_size)
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -77,6 +87,9 @@ class ImageFolderDataset:
         if self.shuffle:
             order = np.random.default_rng(
                 self.seed + self.epoch).permutation(order)
+        if self.process_count > 1:
+            order = order[self.process_index::self.process_count]
+            order = order[:self._local_n]
 
         def batches():
             from PIL import Image
@@ -91,11 +104,13 @@ class ImageFolderDataset:
 
 def get_imagenet(root: str, preprocess: Callable, split: str = "val",
                  batch_size: int = 64, n_val: Optional[int] = 1000,
-                 seed: int = 0) -> DataInfo:
+                 seed: int = 0, process_index: int = 0,
+                 process_count: int = 1) -> DataInfo:
     if split == "train":
         ds = ImageFolderDataset(root, preprocess, batch_size,
                                 subsample_per_class=50, seed=seed,
-                                shuffle=True)
+                                shuffle=True, process_index=process_index,
+                                process_count=process_count)
     else:
         ds = ImageFolderDataset(root, preprocess, batch_size,
                                 n_random=n_val, seed=seed)

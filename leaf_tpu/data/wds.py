@@ -25,13 +25,12 @@ from leaf_tpu.data.common import DataInfo, Prefetcher, shuffle_buffer
 
 LOG = logging.getLogger(__name__)
 
-SHARD_SHUFFLE_SIZE = 2000
-SHARD_SHUFFLE_INITIAL = 500
 SAMPLE_SHUFFLE_SIZE = 5000
 SAMPLE_SHUFFLE_INITIAL = 1000
 
 IMAGE_EXTS = ("jpg", "jpeg", "png", "webp")
 _BRACE_RE = re.compile(r"\{(\d+)\.\.(\d+)\}")
+_ALT_RE = re.compile(r"\{([^{}.]*(?:,[^{}.]*)+)\}")
 
 
 def expand_urls(urls) -> List[str]:
@@ -45,14 +44,25 @@ def expand_urls(urls) -> List[str]:
     out: List[str] = []
     for url in urls:
         m = _BRACE_RE.search(url)
-        if not m:
+        a = _ALT_RE.search(url)
+        # braceexpand expands the LEFT-most group first
+        if m and a:
+            if m.start() < a.start():
+                a = None
+            else:
+                m = None
+        if m:
+            lo, hi = m.group(1), m.group(2)
+            width = len(lo)
+            for i in range(int(lo), int(hi) + 1):
+                out.extend(expand_urls(
+                    [url[:m.start()] + str(i).zfill(width) + url[m.end():]]))
+        elif a:  # {train,val} comma alternation (braceexpand parity)
+            for part in a.group(1).split(","):
+                out.extend(expand_urls(
+                    [url[:a.start()] + part + url[a.end():]]))
+        else:
             out.append(url)
-            continue
-        lo, hi = m.group(1), m.group(2)
-        width = len(lo)
-        for i in range(int(lo), int(hi) + 1):
-            out.extend(expand_urls(
-                [url[:m.start()] + str(i).zfill(width) + url[m.end():]]))
     return out
 
 
@@ -88,12 +98,28 @@ def base_plus_ext(path: str) -> Tuple[Optional[str], Optional[str]]:
     return m.group(1), m.group(2)
 
 
+def _open_tar(url: str) -> tarfile.TarFile:
+    """Local file, `pipe:cmd` subprocess stream, or http(s) stream —
+    the url schemes webdataset accepts (reference tar urls are often
+    `pipe:aws s3 cp ... -`)."""
+    if url.startswith("pipe:"):
+        import subprocess
+        proc = subprocess.Popen(url[5:], shell=True,
+                                stdout=subprocess.PIPE)
+        return tarfile.open(fileobj=proc.stdout, mode="r|*")
+    if url.startswith(("http://", "https://")):
+        import urllib.request
+        return tarfile.open(fileobj=urllib.request.urlopen(url),
+                            mode="r|*")
+    return tarfile.open(url, "r")
+
+
 def iter_tar_samples(path: str, handler=None) -> Iterator[dict]:
     """Group a tar's members into samples by key prefix; never throws on
     corrupt members (reference `group_by_keys_nothrow`,
     `data_AT.py:291-327`)."""
     try:
-        tf = tarfile.open(path, "r|*" if not os.path.exists(path) else "r")
+        tf = _open_tar(path)
     except Exception as e:  # noqa: BLE001
         LOG.warning("skipping unreadable shard %s (%r)", path, e)
         return
@@ -194,8 +220,6 @@ class WdsConfig:
     upsampling_factors: Optional[Sequence[float]] = None
     process_index: int = 0
     process_count: int = 1
-    shard_shuffle_size: int = SHARD_SHUFFLE_SIZE
-    shard_shuffle_initial: int = SHARD_SHUFFLE_INITIAL
     sample_shuffle_size: int = SAMPLE_SHUFFLE_SIZE
     sample_shuffle_initial: int = SAMPLE_SHUFFLE_INITIAL
     text_only: bool = False   # skip image decode (LEAF text-AT)
@@ -223,8 +247,11 @@ class WdsDataset:
     def set_epoch(self, epoch: int):
         self.epoch = epoch
 
-    def _shards_for_epoch(self, epoch: int) -> List[str]:
+    def _shards_for_epoch(self, epoch: int, pass_: int = 0) -> List[str]:
+        # pass_ > 0 = intra-epoch rollover (equal-batch rounding re-runs
+        # the dataset); it must reshuffle, not replay byte-identically
         cfg = self.cfg
+        epoch = epoch + 100003 * pass_
         if cfg.resampled:
             # sample shards with replacement, optionally weighted
             rng = random.Random(cfg.seed + epoch + 1000003 * cfg.process_index)
@@ -241,11 +268,12 @@ class WdsDataset:
             urls = urls[cfg.process_index::cfg.process_count]
         return urls
 
-    def _samples(self, epoch: int) -> Iterator[dict]:
-        rng = random.Random(self.cfg.seed + epoch + 31 * self.cfg.process_index)
+    def _samples(self, epoch: int, pass_: int = 0) -> Iterator[dict]:
+        rng = random.Random(self.cfg.seed + epoch + 100003 * pass_
+                            + 31 * self.cfg.process_index)
 
         def raw():
-            for url in self._shards_for_epoch(epoch):
+            for url in self._shards_for_epoch(epoch, pass_):
                 yield from iter_tar_samples(url)
 
         # shuffle RAW byte samples (5000 × ~50 KB ≈ 250 MB), decode
@@ -271,10 +299,11 @@ class WdsDataset:
 
         def batches():
             produced = 0
+            pass_ = 0
             images, texts = [], []
             while target is None or produced < target:
                 n_before = produced
-                for s in self._samples(epoch):
+                for s in self._samples(epoch, pass_):
                     images.append(s["image"])
                     texts.append(s["text"])
                     if len(texts) == cfg.batch_size:
@@ -288,9 +317,19 @@ class WdsDataset:
                         yield stack(images), list(texts)
                     return
                 if produced == n_before and not texts:
-                    return  # empty shard set — avoid infinite loop
+                    # a full pass yielded nothing: silently returning
+                    # fewer than `target` batches would hang every
+                    # OTHER host of a multi-host run at the next
+                    # collective step — fail loudly instead
+                    raise RuntimeError(
+                        f"train shard slice for host "
+                        f"{cfg.process_index}/{cfg.process_count} "
+                        f"produced no samples on pass {pass_} "
+                        f"({len(self.urls)} shards total); cannot fill "
+                        f"{target} batches of {cfg.batch_size}")
                 # train: roll over the dataset to fill the fixed batch
                 # count (equal-batch rounding, `data_AT.py:513-521`)
+                pass_ += 1
 
         return iter(Prefetcher(batches()))
 

@@ -107,8 +107,12 @@ def save_latest(ckpt_dir: str, epoch: int, payload: Dict[str, Any]):
     ckptr.wait_until_finished()
     ckptr.save(path, _globalize(payload), force=True)
     ckptr.wait_until_finished()   # sidecar must postdate the payload
-    with open(os.path.join(ckpt_dir, LATEST_NAME + ".epoch"), "w") as f:
-        f.write(str(epoch))
+    if jax.process_index() == 0:
+        # every process runs the collective orbax save (internally
+        # primary-gated), but the plain sidecar write must not race
+        # across hosts on a shared filesystem
+        with open(os.path.join(ckpt_dir, LATEST_NAME + ".epoch"), "w") as f:
+            f.write(str(epoch))
 
 
 def wait_for_checkpoints():
@@ -162,9 +166,16 @@ def resolve_resume(resume: Optional[str], ckpt_dir: str
         return latest_checkpoint(ckpt_dir)
     base = os.path.basename(os.path.normpath(resume))
     if base == LATEST_NAME:
-        sidecar = os.path.join(os.path.dirname(os.path.normpath(resume)),
-                               LATEST_NAME + ".epoch")
-        return int(open(sidecar).read().strip()), resume
+        sidecar = os.path.join(
+            os.path.dirname(os.path.abspath(os.path.normpath(resume))),
+            LATEST_NAME + ".epoch")
+        try:
+            return int(open(sidecar).read().strip()), resume
+        except (OSError, ValueError) as e:
+            raise ValueError(
+                f"--resume {resume!r} needs the {LATEST_NAME}.epoch "
+                f"sidecar next to it to recover the completed-epoch "
+                f"count; reading {sidecar!r} failed ({e!r})") from e
     m = _EPOCH_RE.match(base)
     if m is None:
         raise ValueError(

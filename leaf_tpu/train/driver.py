@@ -313,6 +313,10 @@ def main(args=None) -> Dict:
     def save(epoch: int):
         ckpt.save_checkpoint(ckpt_dir, epoch, payload())
         if args.delete_previous_checkpoint and master:
+            # the save above is async — epoch_N must be COMMITTED
+            # before epoch_{N-1} is deleted, or a crash in the write
+            # window leaves zero resumable checkpoints
+            ckpt.wait_for_checkpoints()
             prev = os.path.join(ckpt_dir, f"epoch_{epoch - 1}")
             if os.path.isdir(prev):
                 import shutil

@@ -117,7 +117,9 @@ def main(argv=None):
 
     preprocess = image_transform(cfg.vision.image_size, do_normalize=False)
     train_info = get_imagenet(args.imagenet_root, preprocess, "train",
-                              batch_size=args.batch_size, seed=args.seed)
+                              batch_size=args.batch_size, seed=args.seed,
+                              process_index=jax.process_index(),
+                              process_count=jax.process_count())
 
     def repeat_forever():
         while True:

@@ -69,6 +69,49 @@ def test_expand_urls():
     assert expand_urls(["x.tar"]) == ["x.tar"]
 
 
+def test_expand_urls_comma_alternation():
+    assert expand_urls("s_{train,val}.tar") == ["s_train.tar",
+                                                "s_val.tar"]
+    assert expand_urls("s_{a,b}_{0..1}.tar") == [
+        "s_a_0.tar", "s_a_1.tar", "s_b_0.tar", "s_b_1.tar"]
+
+
+def test_wds_pipe_url_streams(tmp_path):
+    """`pipe:cmd` shard urls stream through a subprocess like the
+    reference's webdataset (`pipe:aws s3 cp ... -`)."""
+    make_shard(tmp_path / "p.tar", 6)
+    from leaf_tpu.data.wds import iter_tar_samples
+    got = list(iter_tar_samples(f"pipe:cat {tmp_path}/p.tar"))
+    assert len(got) == 6
+
+
+def test_wds_rollover_reshuffles(tmp_path):
+    """Equal-batch rounding re-runs the dataset when num_samples
+    exceeds what is on disk; the second pass must NOT replay the first
+    pass byte-identically (reference detshuffle2 bumps its epoch)."""
+    make_shard(tmp_path / "r.tar", 8)
+    cfg = WdsConfig(urls=str(tmp_path / "r.tar"), batch_size=8,
+                    is_train=True, seed=0, num_samples=16)
+    ds = WdsDataset(cfg, preprocess=None)
+    ds.set_epoch(0)
+    batches = [texts for _, texts in iter(ds)]
+    assert len(batches) == 2
+    assert sorted(batches[0]) == sorted(batches[1])  # same multiset
+    assert batches[0] != batches[1]                  # different order
+
+
+def test_wds_empty_shard_slice_raises(tmp_path):
+    """A host whose slice yields nothing must fail loudly: silently
+    under-producing batches would deadlock the other hosts at the next
+    collective step."""
+    cfg = WdsConfig(urls=str(tmp_path / "missing-{000..001}.tar"),
+                    batch_size=4, is_train=True, num_samples=8)
+    ds = WdsDataset(cfg, preprocess=None)
+    ds.set_epoch(0)
+    with pytest.raises(RuntimeError, match="produced no samples"):
+        list(iter(ds))
+
+
 def test_wds_reads_all_samples(tmp_path):
     make_shard(tmp_path / "s-000.tar", 10)
     make_shard(tmp_path / "s-001.tar", 5, key_offset=10)
@@ -352,3 +395,72 @@ def test_text_only_tar_without_images(tmp_path):
         WdsConfig(urls=str(path), batch_size=3, is_train=False,
                   num_samples=6), preprocess=None)
     assert sum(1 for _ in info2.loader) == 0
+
+
+def _write_csv(tmp_path, n=12):
+    from PIL import Image
+    rng = np.random.default_rng(0)
+    rows = ["filepath\ttitle"]
+    for i in range(n):
+        p = tmp_path / f"c{i}.png"
+        Image.fromarray(rng.integers(0, 255, (8, 8, 3)).astype(
+            np.uint8)).save(p)
+        rows.append(f"{p}\tcaption {i}")
+    f = tmp_path / "d.csv"
+    f.write_text("\n".join(rows) + "\n")
+    return str(f)
+
+
+def test_csv_multihost_sharding_is_disjoint(tmp_path):
+    """Each host must read a disjoint stride of the shuffled order
+    (DistributedSampler semantics) — without it, put_batch stitches
+    process_count duplicate copies into the global batch."""
+    from leaf_tpu.data.csv_data import get_csv_dataset
+    path = _write_csv(tmp_path, n=12)
+    ident = lambda img: np.zeros((2, 2, 3), np.float32)  # noqa: E731
+    seen = []
+    for pi in range(2):
+        info = get_csv_dataset(path, ident, batch_size=3, shuffle=True,
+                               seed=0, drop_last=True,
+                               process_index=pi, process_count=2)
+        assert info.num_batches == 2   # 12 // 2 hosts // 3 per batch
+        caps = []
+        ds = info.dataset if hasattr(info, "dataset") else info.loader
+        for _, texts in iter(info.loader):
+            caps.extend(texts)
+        seen.append(set(caps))
+    assert seen[0] and seen[1]
+    assert not (seen[0] & seen[1])     # disjoint across hosts
+
+
+def test_imagefolder_multihost_sharding_is_disjoint(tmp_path):
+    from PIL import Image
+    from leaf_tpu.data.imagenet import get_imagenet
+    rng = np.random.default_rng(0)
+    for cls in ("a", "b"):
+        d = tmp_path / cls
+        d.mkdir()
+        for i in range(6):
+            Image.fromarray(rng.integers(0, 255, (8, 8, 3)).astype(
+                np.uint8)).save(d / f"{i}.png")
+    ident = lambda img: np.asarray(img, np.float32)  # noqa: E731
+    seen = []
+    for pi in range(2):
+        info = get_imagenet(str(tmp_path), ident, "train", batch_size=3,
+                            seed=0, process_index=pi, process_count=2)
+        labels = []
+        imgs_all = []
+        for imgs, lab in iter(info.loader):
+            imgs_all.extend(np.asarray(imgs).sum((1, 2, 3)).tolist())
+            labels.extend(np.asarray(lab).tolist())
+        seen.append(set(imgs_all))
+        assert len(imgs_all) == 6      # 12 images / 2 hosts
+    assert not (seen[0] & seen[1])
+
+
+def test_resolve_resume_latest_missing_sidecar(tmp_path):
+    from leaf_tpu.train.checkpoint import resolve_resume
+    bogus = tmp_path / "epoch_latest"
+    bogus.mkdir()
+    with pytest.raises(ValueError, match="sidecar"):
+        resolve_resume(str(bogus), str(tmp_path))
