@@ -279,11 +279,25 @@ def encode_text_embedding(params: Params, cfg: TextConfig, embeds: jnp.ndarray,
     x = embeds + params["positional_embedding"][:embeds.shape[1]].astype(dtype)
     S = embeds.shape[1]
     mask = None if cfg.no_causal_mask else causal_mask(S)
+    if remat and use_kernels is None:
+        # same rule as encode_image: under jax.checkpoint the Pallas
+        # custom_vjp is a net loss (kernel forward recompute + XLA
+        # attention recompute for the gradient) — measured slower
+        use_kernels = False
     x = layers.transformer_stack(
         params["blocks"], x, mask, cfg.heads, _act(quick_gelu), cfg.ln_eps,
         remat=remat, packed=(S, not cfg.no_causal_mask),
         use_kernels=use_kernels)
+    return _text_tail(params, cfg, x, tokens, normalize, dtype)
+
+
+def _text_tail(params: Params, cfg: TextConfig, x: jnp.ndarray,
+               tokens: jnp.ndarray, normalize: bool, dtype) -> jnp.ndarray:
+    """Shared ln_final → pool → projection(+bias) → normalize tail of
+    the packed and unpacked text paths (asserted numerically equal)."""
     x = layers.layer_norm(params["ln_final"], x, cfg.ln_eps)
+    if x.ndim == 3 and x.shape[0] != tokens.shape[0]:
+        x = x.reshape(tokens.shape[0], tokens.shape[1], x.shape[-1])
     pooled = text_pool(x, tokens, cfg.pool_type)
     pooled = pooled @ params["text_projection"].astype(dtype)
     if "text_projection_bias" in params:
@@ -318,19 +332,13 @@ def encode_text(params: Params, cfg: TextConfig, tokens: jnp.ndarray,
     x = x + params["positional_embedding"][:S].astype(dtype)
     x = x.reshape(B // G, G * S, x.shape[-1])
     mask = packed_block_mask(S, G, causal=not cfg.no_causal_mask)
+    if remat and use_kernels is None:
+        use_kernels = False   # see encode_text_embedding
     x = layers.transformer_stack(
         params["blocks"], x, mask, cfg.heads, _act(quick_gelu), cfg.ln_eps,
         remat=remat, packed=(S, not cfg.no_causal_mask),
         use_kernels=use_kernels)
-    x = layers.layer_norm(params["ln_final"], x, cfg.ln_eps)
-    x = x.reshape(B, S, x.shape[-1])
-    pooled = text_pool(x, tokens, cfg.pool_type)
-    pooled = pooled @ params["text_projection"].astype(dtype)
-    if "text_projection_bias" in params:
-        pooled = pooled + params["text_projection_bias"].astype(dtype)
-    if normalize:
-        pooled = l2_normalize(pooled)
-    return pooled
+    return _text_tail(params, cfg, x, tokens, normalize, dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -22,7 +22,9 @@ class TextConfig:
     layers: int = 12
     mlp_ratio: float = 4.0
     output_dim: int = 512
-    pool_type: str = "argmax"      # 'argmax' (EOT token) | 'first' | 'last' | 'none'
+    pool_type: str = "argmax"      # 'argmax' (EOT token) | 'first' | 'last'
+    # (open_clip's 'none' = token-level output is CoCa-only there; the
+    # CoCa text tower lives in models/coca.py in this framework)
     proj_bias: bool = False
     no_causal_mask: bool = False
     pad_id: int = 0

@@ -30,26 +30,31 @@ def _cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     return -jnp.take_along_axis(logp, labels[:, None], axis=-1).mean()
 
 
+def _gathered_logits(image_features, text_features, logit_scale,
+                     axis_name: Optional[str], local_loss: bool):
+    """(logits_per_image, logits_per_text, labels) — the shared
+    gather/local-rows logic of clip_loss and distill_clip_loss
+    (reference `loss.py:19-63` gather_features + label rule)."""
+    B = image_features.shape[0]
+    if axis_name is None:
+        li = logit_scale * image_features @ text_features.T
+        return li, li.T, jnp.arange(B)
+    all_image = jax.lax.all_gather(image_features, axis_name, tiled=True)
+    all_text = jax.lax.all_gather(text_features, axis_name, tiled=True)
+    if local_loss:
+        li = logit_scale * image_features @ all_text.T
+        lt = logit_scale * text_features @ all_image.T
+        return li, lt, jnp.arange(B) + B * jax.lax.axis_index(axis_name)
+    li = logit_scale * all_image @ all_text.T
+    return li, li.T, jnp.arange(all_image.shape[0])
+
+
 def clip_loss(image_features: jnp.ndarray, text_features: jnp.ndarray,
               logit_scale, axis_name: Optional[str] = None,
               local_loss: bool = True, output_dict: bool = False):
     """Symmetric contrastive loss (reference `loss.py:66-131`)."""
-    B = image_features.shape[0]
-    if axis_name is None:
-        logits_per_image = logit_scale * image_features @ text_features.T
-        logits_per_text = logits_per_image.T
-        labels = jnp.arange(B)
-    else:
-        all_image = jax.lax.all_gather(image_features, axis_name, tiled=True)
-        all_text = jax.lax.all_gather(text_features, axis_name, tiled=True)
-        if local_loss:
-            logits_per_image = logit_scale * image_features @ all_text.T
-            logits_per_text = logit_scale * text_features @ all_image.T
-            labels = jnp.arange(B) + B * jax.lax.axis_index(axis_name)
-        else:
-            logits_per_image = logit_scale * all_image @ all_text.T
-            logits_per_text = logits_per_image.T
-            labels = jnp.arange(all_image.shape[0])
+    logits_per_image, logits_per_text, labels = _gathered_logits(
+        image_features, text_features, logit_scale, axis_name, local_loss)
     total = (_cross_entropy(logits_per_image, labels)
              + _cross_entropy(logits_per_text, labels)) / 2
     if axis_name is not None:
@@ -122,25 +127,10 @@ def distill_clip_loss(image_features, text_features, logit_scale,
                       local_loss: bool = True, output_dict: bool = False):
     """Contrastive + KD from a teacher (reference `loss.py:181-216`)."""
 
-    def get_logits(img, txt, scale):
-        if axis_name is None:
-            li = scale * img @ txt.T
-            return li, li.T
-        all_img = jax.lax.all_gather(img, axis_name, tiled=True)
-        all_txt = jax.lax.all_gather(txt, axis_name, tiled=True)
-        if local_loss:
-            return scale * img @ all_txt.T, scale * txt @ all_img.T
-        li = scale * all_img @ all_txt.T
-        return li, li.T
-
-    li, lt = get_logits(image_features, text_features, logit_scale)
-    dli, dlt = get_logits(dist_image_features, dist_text_features,
-                          dist_logit_scale)
-    B = image_features.shape[0]
-    if axis_name is not None and local_loss:
-        labels = jnp.arange(B) + B * jax.lax.axis_index(axis_name)
-    else:
-        labels = jnp.arange(li.shape[0])
+    li, lt, labels = _gathered_logits(image_features, text_features,
+                                      logit_scale, axis_name, local_loss)
+    dli, dlt, _ = _gathered_logits(dist_image_features, dist_text_features,
+                                   dist_logit_scale, axis_name, local_loss)
     contrastive = (_cross_entropy(li, labels) + _cross_entropy(lt, labels)) / 2
 
     def dist_loss(teacher, student):
@@ -159,14 +149,14 @@ def distill_clip_loss(image_features, text_features, logit_scale,
 def create_loss(args):
     """Loss factory by flag surface (reference `factory.py:338-372`)."""
     import functools
+    local_loss = getattr(args, "local_loss", False)
     if getattr(args, "distill", False):
-        return distill_clip_loss
+        return functools.partial(distill_clip_loss, local_loss=local_loss)
     if getattr(args, "siglip", False):
         return siglip_loss
     if "coca" in getattr(args, "model", "").lower():
         return functools.partial(
-            coca_loss,
+            coca_loss, local_loss=local_loss,
             caption_loss_weight=getattr(args, "coca_caption_loss_weight", 2.0),
             clip_loss_weight=getattr(args, "coca_contrastive_loss_weight", 1.0))
-    return functools.partial(clip_loss,
-                             local_loss=getattr(args, "local_loss", False))
+    return functools.partial(clip_loss, local_loss=local_loss)

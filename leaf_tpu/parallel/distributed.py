@@ -29,18 +29,22 @@ def init_distributed_device(coordinator_address: Optional[str] = None,
     otherwise.  Returns {'world_size', 'rank', 'local_devices'}."""
     addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if addr:
+        # leave None as None: jax.distributed auto-detects the cluster
+        # size/rank on TPU pods and GCE; forcing 1/0 would make every
+        # host believe it is rank 0 of a 1-process world
         if num_processes is None:
-            num_processes = int(os.environ.get(
-                "JAX_NUM_PROCESSES",
-                os.environ.get("SLURM_NTASKS", "1")))
+            env = os.environ.get("JAX_NUM_PROCESSES",
+                                 os.environ.get("SLURM_NTASKS"))
+            num_processes = int(env) if env else None
         if process_id is None:
-            process_id = int(os.environ.get(
-                "JAX_PROCESS_ID", os.environ.get("SLURM_PROCID", "0")))
+            env = os.environ.get("JAX_PROCESS_ID",
+                                 os.environ.get("SLURM_PROCID"))
+            process_id = int(env) if env else None
         jax.distributed.initialize(coordinator_address=addr,
                                    num_processes=num_processes,
                                    process_id=process_id)
-        LOG.info("joined %d-process cluster as rank %d", num_processes,
-                 process_id)
+        LOG.info("joined %d-process cluster as rank %d",
+                 jax.process_count(), jax.process_index())
     return {
         "world_size": jax.process_count(),
         "rank": jax.process_index(),
@@ -72,11 +76,17 @@ def broadcast_object(obj: Any, root: int = 0) -> Any:
 
 def all_gather_object(obj: Any) -> list:
     """Gather a picklable object from every host (reference
-    `all_gather_object`, `distributed.py:130-137`)."""
+    `all_gather_object`, `distributed.py:130-137`).  Two collectives
+    total (length gather + padded payload gather) — not a broadcast
+    per rank."""
     if jax.process_count() == 1:
         return [obj]
-    out = []
-    for r in range(jax.process_count()):
-        out.append(broadcast_object(obj if jax.process_index() == r else None,
-                                    root=r))
-    return out
+    from jax.experimental import multihost_utils
+    payload = np.frombuffer(pickle.dumps(obj), np.uint8)
+    lens = multihost_utils.process_allgather(
+        np.asarray(len(payload), np.int64))
+    buf = np.zeros(int(lens.max()), np.uint8)
+    buf[:len(payload)] = payload
+    gathered = np.asarray(multihost_utils.process_allgather(buf))
+    return [pickle.loads(gathered[r, :int(lens[r])].tobytes())
+            for r in range(jax.process_count())]

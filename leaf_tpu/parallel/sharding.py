@@ -40,16 +40,21 @@ def clip_param_spec(params: Any, model_axis: Optional[str] = "model") -> Any:
         keys = [getattr(e, "key", None) for e in path]
         if m is None:
             return P()
+        ndim = np.ndim(leaf)
         if "attn" in keys or "mlp" in keys:
+            # the Megatron specs assume the STACKED block layout
+            # (leading layer axis); non-stacked attn/mlp subtrees —
+            # MAP attention-pool heads, timm-trunk heads — have
+            # lower-rank leaves and stay replicated
             leafname = keys[-1]
-            if leafname in ("qkv_w", "fc_w"):
+            if leafname in ("qkv_w", "fc_w") and ndim == 3:
                 return P(None, None, m)
-            if leafname in ("out_w", "proj_w"):
+            if leafname in ("out_w", "proj_w") and ndim == 3:
                 return P(None, m, None)
-            if leafname in ("qkv_b", "fc_b"):
+            if leafname in ("qkv_b", "fc_b") and ndim == 2:
                 return P(None, m)
             return P()
-        if keys[-1] == "token_embedding":
+        if keys[-1] == "token_embedding" and ndim == 2:
             return P(m, None)
         return P()
 
@@ -108,9 +113,14 @@ def put_batch(tree: Any, mesh: Optional[Mesh], axis: str = "data") -> Any:
         if multi_host:
             if isinstance(x, jax.Array):
                 return x  # already a global array (e.g. anchor feats)
+            x = np.asarray(x)
+            if x.ndim == 0:
+                # scalars can't be batch-sharded: replicate (every host
+                # holds the same value), same contract as single-host
+                return jax.device_put(x, NamedSharding(mesh, P()))
             from jax.experimental import multihost_utils
             return multihost_utils.host_local_array_to_global_array(
-                np.asarray(x), mesh, P(axis))
+                x, mesh, P(axis))
         if not isinstance(x, jax.Array):
             x = np.asarray(x)
         if np.ndim(x) == 0 or x.shape[0] % n_shards != 0:

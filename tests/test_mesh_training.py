@@ -313,3 +313,24 @@ def test_fused_step_tp_mesh_uses_gspmd_phases(tiny):
     texts = [f"a tp photo number {i}" for i in range(8)]
     state, info = fused(state, frozen, texts, np.random.default_rng(5))
     assert np.isfinite(float(info["metrics"]["loss"]))
+
+
+def test_shard_params_tp_handles_non_stacked_subtrees():
+    """TP specs assume the stacked-block layout; SigLIP MAP attn_pool
+    heads carry rank-2/rank-1 'mlp'/'attn' leaves and used to crash
+    device_put with an incompatible-sharding error."""
+    import numpy as np
+    from jax.sharding import Mesh
+    from leaf_tpu.models import clip as lclip
+    from leaf_tpu.models.config import get_model_config
+    from leaf_tpu.parallel.sharding import shard_params
+
+    cfg = get_model_config("siglip-tiny-test")
+    params = lclip.init_clip(jax.random.PRNGKey(0), cfg)
+    devs = np.asarray(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devs, ("data", "model"))
+    out = shard_params(params, mesh, "model")   # used to raise
+    qkv = out["text"]["blocks"]["attn"]["qkv_w"]
+    assert qkv.sharding.spec == (None, None, "model")
+    pool_fc = out["visual"]["attn_pool"]["mlp"]["fc_w"]
+    assert pool_fc.sharding.spec in ((), (None,), (None, None))
