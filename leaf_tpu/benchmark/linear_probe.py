@@ -25,8 +25,9 @@ def extract_features(params, cfg: CLIPConfig, loader) -> Tuple[np.ndarray,
                                                                np.ndarray]:
     feats, labels = [], []
     enc_jit = jax.jit(
-        lambda p, im: lclip.encode_image_model(p, cfg,
-                                               _normalize_images(im, cfg)))
+        lambda p, im: lclip.encode_image_model(
+            p, cfg, _normalize_images(im, cfg),
+            normalize=True))  # reference F.normalize before the probe
     enc = lambda im: enc_jit(params, im)  # params as arg, not constant
     for images, lab in loader:
         feats.append(np.asarray(enc(jnp.asarray(images))))

@@ -118,9 +118,10 @@ def evaluate_zeroshot_classification(
     eps: float = 2 / 255,
     n_iter: int = 100,
 ) -> Dict[str, float]:
+    enc_jit = jax.jit(lambda p, t: lclip.encode_text(
+        p, cfg.text, t, cfg.quick_gelu))
     classifier = build_zero_shot_classifier(
-        lambda t: lclip.encode_text(params["text"], cfg.text,
-                                    jnp.asarray(t), cfg.quick_gelu),
+        lambda t: enc_jit(params["text"], jnp.asarray(t)),
         tokenizer, classnames, templates, num_classes_per_batch=10)
     logits_fn = lambda im: _logits_jit(params, cfg, classifier, im)  # noqa: E731
 
@@ -167,7 +168,7 @@ def evaluate_zeroshot_classification(
     seen = per_class_count > 0
     out = {
         "acc1": top1 / max(n, 1),
-        "acc5": top5 / max(n, 1),
+        "acc5": (top5 / max(n, 1)) if n_cls >= 5 else None,
         "mean_per_class_recall": float(
             (per_class_correct[seen] / per_class_count[seen]).mean())
         if seen.any() else 0.0,

@@ -108,6 +108,12 @@ def get_text_classification_dataset(name: str, n_samples: int = 1000,
     rules (`data_AT.py:129-219`): test → first n; train ('test'=False)
     → first n/K per class, class-balanced."""
     name = _HF_TO_SHORT.get(name, name)
+    # forgiving aliases: the reference's HF ids use underscores
+    name = {"ag_news": "agnews", "sst-2": "sst2"}.get(name, name)
+    if name not in _REGISTRY:
+        raise KeyError(
+            f"unknown text-classification dataset {name!r}; "
+            f"known: {sorted(_REGISTRY)}")
     meta = _REGISTRY[name]
     from datasets import load_dataset
     ds = load_dataset(meta["hf_id"])

@@ -49,6 +49,7 @@ def main(argv=None):
     args = p.parse_args(argv)
     setup_logging()
 
+    import jax
     import jax.numpy as jnp
 
     from leaf_tpu.benchmark.zeroshot_classification import (
@@ -93,6 +94,20 @@ def main(argv=None):
         # out-of-threat-model perturbations as robustness failures
         raise ValueError("--square is only defined for --norm linf")
 
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("mcfg",))
+    def _margin_jit(params, mcfg, clf, labels_j, x):
+        # ONE compiled margin fn for every square batch; params/
+        # classifier/labels are ARGUMENTS (a per-batch closure would
+        # bake them in as module constants and recompile each batch)
+        logits = _logits_jit(params, mcfg, clf, x)
+        n_cls = logits.shape[-1]
+        is_true = jax.nn.one_hot(labels_j, n_cls, dtype=bool)
+        other = jnp.max(jnp.where(is_true, -jnp.inf, logits), axis=-1)
+        true = jnp.take_along_axis(logits, labels_j[:, None], axis=-1)[:, 0]
+        return other - true, other > true
+
     n = clean1 = robust1 = 0
     adv_batches = []
     for images, labels in data.loader:
@@ -106,21 +121,26 @@ def main(argv=None):
             eps, n_iter=args.attack_iters,
             n_targets=args.n_targets, norm=args.norm)
         fooled = np.asarray(fooled)
+        adv = np.asarray(adv)
         if args.square and (~fooled).any():
-            from leaf_tpu.attacks.square import (
-                make_margin_loss_fn,
-                square_attack,
-            )
-            mfn = make_margin_loss_fn(logits_fn, labels)
+            from leaf_tpu.attacks.square import square_attack
+            labels_j = jnp.asarray(labels)
+            mfn = lambda x: _margin_jit(  # noqa: E731
+                model.params, cfg, classifier, labels_j, jnp.asarray(x))
             adv_sq = square_attack(mfn, np.asarray(images),
                                    eps=args.eps / 255.0,
                                    n_iters=args.square_iters,
                                    seed=args.seed)
-            _, fooled_sq = mfn(jnp.asarray(adv_sq))
-            fooled = fooled | np.asarray(fooled_sq)
+            _, fooled_sq = mfn(adv_sq)
+            fooled_sq = np.asarray(fooled_sq)
+            # --save-adv must contain the example that actually fooled
+            # the model: square successes replace the failed APGD rows
+            new_sq = fooled_sq & ~fooled
+            adv[new_sq] = np.asarray(adv_sq)[new_sq]
+            fooled = fooled | fooled_sq
         robust1 += int((~fooled & correct).sum())
         if args.save_adv:
-            adv_batches.append(np.asarray(adv))
+            adv_batches.append(adv)
         n += len(labels)
         LOG.info("progress %d/%d: clean %.4f robust %.4f", n,
                  args.n_samples, clean1 / n, robust1 / n)

@@ -96,7 +96,7 @@ def eval_retrieval(
     clean_embeds = embed_texts(scorer, text_params, tokenizer, captions)
     clean = evaluate_scores(image_embeds @ clean_embeds.T, img2txt, txt2img)
 
-    ledger = ResultsLedger(out_csv, columns=[
+    ledger = ResultsLedger(out_csv, fresh=True, stream=True, columns=[
         "sentence", "sentence_adv", "distance"]) if out_csv else None
 
     adv_captions: List[str] = []

@@ -43,7 +43,7 @@ def attack_captions(
     """Charmer-attack each caption anchored on its own embedding
     (drift maximisation), optionally averaging a second encoder's loss
     (SDXL dual-tower mode)."""
-    ledger = ResultsLedger(out_csv, columns=["caption", "caption_adv"]) \
+    ledger = ResultsLedger(out_csv, fresh=True, stream=True, columns=["caption", "caption_adv"]) \
         if out_csv else None
     out = []
     if text_params2 is None:

@@ -48,7 +48,7 @@ def eval_textfare(
     (identical per-sentence search); bruteforce remains per-sentence
     (its candidate count is exhaustive and length-dependent)."""
     vocab = vocab or edits.DEFAULT_VOCAB
-    ledger = ResultsLedger(out_csv, columns=[
+    ledger = ResultsLedger(out_csv, fresh=True, stream=True, columns=[
         "sentence", "adv_sentence", "textfare_clean", "textfare_adv",
     ]) if out_csv else None
     rng = np.random.default_rng(seed)
@@ -115,14 +115,17 @@ def _load_eval_samples(dataset: str, n_test: Optional[int]):
         words = ("stocks rally market team won cup government policy "
                  "tech chip ancient fossil film review great terrible").split()
         return [{"text": " ".join(rng.choice(words, size=8)), "label": 0}
-                for _ in range(n_test or 16)]
+                for _ in range(n_test or 16)], None
     if os.path.exists(dataset):
         with open(dataset) as f:
             data = json.load(f)
-        return [{"text": d} if isinstance(d, str) else d for d in data]
+        return [{"text": d} if isinstance(d, str) else d
+                for d in data], None
     from leaf_tpu.data.textcls import get_text_classification_dataset
-    return get_text_classification_dataset(dataset,
-                                           n_samples=n_test or 1000).samples
+    data = get_text_classification_dataset(dataset, n_samples=n_test or 1000)
+    # the reference attacks with the dataset's train-split character
+    # vocabulary V (eval_textfare.py data['V']), not the generic ASCII set
+    return data.samples, data.vocab
 
 
 def main(argv=None) -> Dict[str, float]:
@@ -141,7 +144,7 @@ def main(argv=None) -> Dict[str, float]:
     p.add_argument("--clean-pretrained", default=None,
                    help="clean reference checkpoint; default = the "
                         "eval model's init (fresh weights if none)")
-    p.add_argument("--dataset", default="ag_news",
+    p.add_argument("--dataset", default="agnews",
                    help="textcls name | JSON file | 'synthetic'")
     p.add_argument("--attack_name", default="leaf",
                    choices=["leaf", "charmer", "bruteforce"])
@@ -173,7 +176,7 @@ def main(argv=None) -> Dict[str, float]:
         from leaf_tpu.attacks.constraint import WordConstraint
         constraint = WordConstraint(tokenizer)
 
-    samples = _load_eval_samples(args.dataset, args.n_test)
+    samples, ds_vocab = _load_eval_samples(args.dataset, args.n_test)
     os.makedirs(args.output_dir, exist_ok=True)
     tag = args.model.split("/")[-1]
     out_csv = os.path.join(
@@ -184,8 +187,8 @@ def main(argv=None) -> Dict[str, float]:
     out = eval_textfare(
         scorer, model.params["text"], clean.params["text"], tokenizer,
         samples, attack_name=args.attack_name, rho=args.rho, k=args.k,
-        constraint=constraint, n_test=args.n_test, out_csv=out_csv,
-        seed=args.seed, attack_batch=args.attack_batch)
+        vocab=ds_vocab, constraint=constraint, n_test=args.n_test,
+        out_csv=out_csv, seed=args.seed, attack_batch=args.attack_batch)
     LOG.info("textfare %s: %s → %s", args.attack_name, out, out_csv)
     print(out)
     return out

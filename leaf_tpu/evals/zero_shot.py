@@ -154,7 +154,14 @@ def zero_shot_eval(params, cfg: CLIPConfig, data: Dict, tokenizer,
                 stepsize=getattr(args, "stepsize_adv", None))
             results[f"{out_prefix}-zeroshot-val-top1"] = top1
             results[f"{out_prefix}-zeroshot-val-top5"] = top5
-            results["imagenet-zeroshot-val-top1-adv"] = top1_adv
+            # deviation from the reference (utils_AT.py:192,198): it
+            # writes BOTH splits' adv accuracy to the same un-prefixed
+            # key, so imagenet-v2 silently overwrites imagenet-val's
+            # number — prefix the v2 key instead of losing a metric
+            adv_key = ("imagenet-zeroshot-val-top1-adv"
+                       if out_prefix == "imagenet" else
+                       f"{out_prefix}-zeroshot-val-top1-adv")
+            results[adv_key] = top1_adv
 
     for split in ("val", "train"):
         for name in ("agnews", "sst2"):

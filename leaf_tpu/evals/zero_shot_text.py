@@ -49,7 +49,7 @@ def eval_zero_shot_text(
     n_test: Optional[int] = None,
     out_csv: Optional[str] = None,
 ) -> Dict[str, float]:
-    ledger = ResultsLedger(out_csv, columns=[
+    ledger = ResultsLedger(out_csv, fresh=True, stream=True, columns=[
         "sentence", "original_label", "predicted_label", "adv_sentence",
         "adv_label"]) if out_csv else None
 
@@ -92,7 +92,7 @@ def main(argv=None) -> Dict[str, float]:
     p = argparse.ArgumentParser("leaf_tpu zero-shot text eval")
     p.add_argument("--model", default="ViT-L-14")
     p.add_argument("--pretrained", default=None)
-    p.add_argument("--dataset", default="ag_news",
+    p.add_argument("--dataset", default="agnews",
                    help="textcls registry name | 'synthetic'")
     p.add_argument("--label-encoder", default="image",
                    choices=["image", "text"])
@@ -120,7 +120,7 @@ def main(argv=None) -> Dict[str, float]:
 
     if args.dataset == "synthetic":
         from leaf_tpu.evals.textfare import _load_eval_samples
-        samples = _load_eval_samples("synthetic", args.n_test)
+        samples, _ = _load_eval_samples("synthetic", args.n_test)
         textcls = TextClassificationData.from_samples("agnews", samples)
     else:
         from leaf_tpu.data.textcls import get_text_classification_dataset

@@ -13,14 +13,24 @@ from typing import Dict, List, Optional
 
 
 class ResultsLedger:
-    """Append-per-epoch CSV with a stable, inferred column set."""
+    """Append-per-epoch CSV with a stable, inferred column set.
 
-    def __init__(self, path: str, columns: Optional[List[str]] = None):
+    `fresh=True` ignores any pre-existing file (eval artifacts must not
+    mix a previous run's rows in); `stream=True` appends rows
+    incrementally instead of rewriting the whole file per append
+    (eval ledgers with thousands of rows — training results.csv keeps
+    the atomic whole-file rewrite for resume truncation)."""
+
+    def __init__(self, path: str, columns: Optional[List[str]] = None,
+                 fresh: bool = False, stream: bool = False):
         self.path = path
         self.columns = columns
         self.rows: List[Dict] = []
-        if os.path.exists(path):
+        self.stream = stream
+        self._written = 0
+        if os.path.exists(path) and not fresh:
             self.load()
+            self._written = len(self.rows)
 
     def load(self):
         with open(self.path, newline="") as f:
@@ -32,7 +42,20 @@ class ResultsLedger:
         if self.columns is None:
             self.columns = list(row.keys())
         self.rows.append(row)
-        self.flush()
+        if self.stream:
+            self._flush_incremental()
+        else:
+            self.flush()
+
+    def _flush_incremental(self):
+        header = self._written == 0 or not os.path.exists(self.path)
+        with open(self.path, "w" if header else "a", newline="") as f:
+            writer = csv.DictWriter(f, fieldnames=self.columns,
+                                    extrasaction="ignore")
+            if header:
+                writer.writeheader()
+            writer.writerows(self.rows[self._written:])
+        self._written = len(self.rows)
 
     def flush(self):
         tmp = self.path + ".tmp"

@@ -268,3 +268,28 @@ def test_save_hf_pretrained_roundtrip(tiny, tmp_path):
         p["text"], cfg.text, t, cfg.quick_gelu))(
             params, jnp.asarray(tokens)))
     np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_results_ledger_fresh_and_stream(tmp_path):
+    """Eval artifact ledgers must not preload a previous run's rows and
+    must append incrementally (not rewrite the file per row)."""
+    import csv
+    from leaf_tpu.utils.results import ResultsLedger
+    p = str(tmp_path / "l.csv")
+    old = ResultsLedger(p, columns=["a"])
+    old.append({"a": "stale"})
+    led = ResultsLedger(p, columns=["a"], fresh=True, stream=True)
+    led.append({"a": "1"})
+    led.append({"a": "2"})
+    rows = list(csv.DictReader(open(p)))
+    assert [r["a"] for r in rows] == ["1", "2"]   # stale row gone
+    # default (training) mode still preloads for resume truncation
+    led2 = ResultsLedger(p, columns=["a"])
+    assert [r["a"] for r in led2.rows] == ["1", "2"]
+
+
+def test_textcls_unknown_dataset_raises_cleanly():
+    import pytest as _pytest
+    from leaf_tpu.data.textcls import get_text_classification_dataset
+    with _pytest.raises(KeyError, match="known:"):
+        get_text_classification_dataset("not_a_dataset")
