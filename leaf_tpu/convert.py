@@ -40,7 +40,11 @@ def params_to_openclip(params: Params, cfg: CLIPConfig) -> Dict[str, np.ndarray]
     put("ln_final.weight", t["ln_final"]["scale"])
     put("ln_final.bias", t["ln_final"]["bias"])
     put("text_projection", t["text_projection"])
+    if "text_projection_bias" in t:   # SigLIP-style Linear projection
+        put("text_projection.bias", t["text_projection_bias"])
     put("logit_scale", params["logit_scale"])
+    if "logit_bias" in params:        # sigmoid-loss models
+        put("logit_bias", params["logit_bias"])
 
     v = params["visual"]
     if cfg.resnet is not None:
@@ -56,10 +60,12 @@ def params_to_openclip(params: Params, cfg: CLIPConfig) -> Dict[str, np.ndarray]
         conv = np.asarray(v["patch_embedding"]).reshape(
             p, p, 3, cfg.vision.width)
         put("visual.conv1.weight", conv.transpose(3, 2, 0, 1))
-        put("visual.class_embedding", v["class_embedding"])
+        if "class_embedding" in v:
+            put("visual.class_embedding", v["class_embedding"])
         put("visual.positional_embedding", v["positional_embedding"])
-        put("visual.ln_pre.weight", v["ln_pre"]["scale"])
-        put("visual.ln_pre.bias", v["ln_pre"]["bias"])
+        if "ln_pre" in v:             # absent in CLIPA (no_ln_pre)
+            put("visual.ln_pre.weight", v["ln_pre"]["scale"])
+            put("visual.ln_pre.bias", v["ln_pre"]["bias"])
         put("visual.ln_post.weight", v["ln_post"]["scale"])
         put("visual.ln_post.bias", v["ln_post"]["bias"])
         put("visual.proj", v["proj"])
@@ -226,8 +232,15 @@ def main(argv=None):
 
     cfg = get_model_config(args.model)
     params = interop.load_pretrained(args.input, cfg)
-    sd = (interop.params_to_hf(params, cfg) if args.to == "hf"
-          else params_to_openclip(params, cfg))
+    if args.to == "hf":
+        # full transformers-loadable directory (config.json + weights):
+        # a bare safetensors file would not from_pretrained(), and the
+        # activation metadata (hidden_act) would be lost for reloads
+        path = save_hf_pretrained(params, cfg, args.output,
+                                  verify=args.verify)
+        print(f"wrote HF model directory {path}")
+        return path
+    sd = params_to_openclip(params, cfg)
     if args.verify:
         verify_parity(params, cfg, sd, args.to)
     path = save_state_dict(sd, args.output, args.to)

@@ -124,6 +124,11 @@ class CLIPConfig:
     # towers train on inception-style (0.5, 0.5, 0.5) normalization.
     image_mean: Optional[Tuple[float, float, float]] = None
     image_std: Optional[Tuple[float, float, float]] = None
+    # preprocess geometry carried by hub checkpoints (reference
+    # PreprocessCfg: interpolation bicubic/bilinear/random, resize_mode
+    # shortest/longest/squash); None → the framework defaults
+    image_interpolation: Optional[str] = None
+    image_resize_mode: Optional[str] = None
     # set → non-ViT timm trunk family spec (EVA / ViTamin / Swin / ...;
     # a frozen dataclass registered in models/trunks.py — typed loosely
     # to keep config.py free of model-module imports)

@@ -127,11 +127,17 @@ def _config_from_hub(model_name: str, config_only: bool = False):
         cfg = config_from_open_clip_dict(model_name,
                                          d.get("model_cfg", d))
         pc = d.get("preprocess_cfg") or {}
-        if pc.get("mean") or pc.get("std"):
+        if pc:
             cfg = dataclasses.replace(
                 cfg,
-                image_mean=tuple(pc["mean"]) if pc.get("mean") else None,
-                image_std=tuple(pc["std"]) if pc.get("std") else None)
+                image_mean=(tuple(pc["mean"]) if pc.get("mean")
+                            else cfg.image_mean),
+                image_std=(tuple(pc["std"]) if pc.get("std")
+                           else cfg.image_std),
+                image_interpolation=pc.get("interpolation",
+                                           cfg.image_interpolation),
+                image_resize_mode=pc.get("resize_mode",
+                                         cfg.image_resize_mode))
     elif os.path.exists(hf):
         with open(hf) as f:
             d = json.load(f)
@@ -174,7 +180,10 @@ def create_model(
                                          seed=seed)
         return CoCaModel(cfg=ccfg, params=params, dtype=dtype0)
     if model_name.startswith("hf-hub:"):
-        cfg, snapshot = _config_from_hub(model_name)
+        # an explicit `pretrained` needs only the hub CONFIG — don't
+        # download a multi-GB snapshot that would never be loaded
+        cfg, snapshot = _config_from_hub(model_name,
+                                         config_only=bool(pretrained))
         if not pretrained:
             pretrained = snapshot
     else:
@@ -262,6 +271,13 @@ def create_model(
                     model_name, "quick_gelu" if ckpt_qg else "gelu",
                     pretrained, "quick_gelu" if cfg.quick_gelu else "gelu")
                 cfg = dataclasses.replace(cfg, quick_gelu=ckpt_qg)
+        if not os.path.exists(pretrained) \
+                and not model_name.startswith("hf-hub:"):
+            # registry tag ('openai', 'dfn2b', ...) — resolve here so
+            # every caller gets it, not just drivers that remember to
+            # call resolve_pretrained themselves
+            from leaf_tpu.models.pretrained import resolve_pretrained
+            pretrained = resolve_pretrained(model_name, pretrained)
         params = interop.load_pretrained(pretrained, cfg)
         params = jax.tree.map(jnp.asarray, params)
         params = interop.resize_vision_pos_embed(params, cfg)
@@ -305,11 +321,16 @@ def create_model_and_transforms(
         model = dataclasses.replace(
             model, cfg=dataclasses.replace(
                 model.cfg, image_mean=mean, image_std=std))
-    interp = image_interpolation or "bicubic"
+    interp = (image_interpolation
+              or getattr(model.cfg, "image_interpolation", None)
+              or "bicubic")
+    resize_mode = (image_resize_mode
+                   or getattr(model.cfg, "image_resize_mode", None)
+                   or "shortest")
     preprocess = image_transform(model.cfg.vision.image_size,
                                  mean=mean, std=std,
                                  interpolation=interp,
-                                 resize_mode=image_resize_mode or "shortest")
+                                 resize_mode=resize_mode)
     if aug_cfg:
         from leaf_tpu.models.preprocess import train_image_transform
         preprocess_train = train_image_transform(

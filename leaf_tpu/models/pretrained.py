@@ -243,6 +243,12 @@ _EXTRA_TAGS = {
         metaclip_400m=dict(url=_METACLIP + "b16_400m.pt", sha256=""),
         metaclip_fullcc=dict(url=_METACLIP + "b16_fullcc2.5b.pt",
                              sha256=""),
+        # the reference registers B-16 dfn2b only under the plain GELU
+        # name (its own inconsistency — L-14 dfn2b hangs off
+        # -quickgelu); registered under BOTH here, and the factory's
+        # checkpoint-activation reconciliation corrects the plain-name
+        # load from the hub config either way
+        dfn2b=_hub("apple/DFN2B-CLIP-ViT-B-16"),
     ),
     "ViT-B-16-plus-240": dict(
         laion400m_e31=dict(url=_GH_W + "vit_b_16_plus_240-laion400m_e31-"
@@ -461,17 +467,32 @@ def download_pretrained_from_url(
     target = os.path.join(cache_dir, filename)
 
     if os.path.exists(target):
-        if check_sha256(target, expected_sha256):
+        # a registry entry without a hash (metaclip) cannot verify a
+        # cached file — but a zero-length file is never a checkpoint
+        # (an interrupted download must not poison the cache forever)
+        if check_sha256(target, expected_sha256) \
+                and os.path.getsize(target) > 0:
             return target
-        warnings.warn(f"{target} exists but the SHA256 does not match; "
-                      "re-downloading")
+        warnings.warn(f"{target} exists but is empty or its SHA256 does "
+                      "not match; re-downloading")
         os.remove(target)
 
+    # download to a temp name and rename: an interrupted fetch must not
+    # leave a partial file at the cache path (hash-less entries would
+    # trust it on the next run)
+    tmp = target + ".download"
     fetch = url_retrieve or (lambda u, t: urllib.request.urlretrieve(u, t))
-    fetch(url, target)
-    if not check_sha256(target, expected_sha256):
+    try:
+        fetch(url, tmp)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+        raise
+    if not check_sha256(tmp, expected_sha256):
+        os.remove(tmp)
         raise RuntimeError(
             f"checkpoint downloaded from {url} does not match its sha256")
+    os.replace(tmp, target)
     return target
 
 

@@ -57,17 +57,48 @@ def config_to_open_clip_dict(cfg: CLIPConfig) -> Dict[str, Any]:
         }
         if v.patch_dropout:
             vision["patch_dropout"] = v.patch_dropout
+        # architecture deltas MUST round-trip (CLIPA/SigLIP towers):
+        # config_from_open_clip_dict reads exactly these keys
+        if v.pool_type != "tok":
+            vision["pool_type"] = {"avg_patch": "avg"}.get(v.pool_type,
+                                                           v.pool_type)
+        if not v.ln_pre:
+            vision["no_ln_pre"] = True
+        if v.final_ln_after_pool:
+            vision["final_ln_after_pool"] = True
+        if v.ln_eps != 1e-5:
+            vision["norm_kwargs"] = {"eps": v.ln_eps}
     t = cfg.text
     text: Dict[str, Any] = {
         "context_length": t.context_length, "vocab_size": t.vocab_size,
         "width": t.width, "heads": t.heads, "layers": t.layers,
     }
+    if t.mlp_ratio != 4.0:
+        text["mlp_ratio"] = t.mlp_ratio
+    if t.pool_type != "argmax":
+        text["pool_type"] = t.pool_type
+    if t.proj_bias:
+        text["proj_bias"] = True
+    if t.no_causal_mask:
+        text["no_causal_mask"] = True
+    if t.pad_id:
+        text["pad_id"] = t.pad_id
+    if t.ln_eps != 1e-5:
+        text["norm_kwargs"] = {"eps": t.ln_eps}
     if t.hf_tokenizer_name:
         text["hf_tokenizer_name"] = t.hf_tokenizer_name
+    if t.tokenizer_kwargs:
+        text["tokenizer_kwargs"] = dict(t.tokenizer_kwargs)
+    if t.hf_model_name:
+        text["hf_model_name"] = t.hf_model_name
+        text["hf_pooler_type"] = t.hf_pooler_type
+        text["hf_proj_type"] = t.hf_proj_type
     d: Dict[str, Any] = {"embed_dim": cfg.embed_dim,
                          "vision_cfg": vision, "text_cfg": text}
     if cfg.quick_gelu:
         d["quick_gelu"] = True
+    if cfg.init_logit_scale != 2.6592:
+        d["init_logit_scale"] = cfg.init_logit_scale
     if cfg.init_logit_bias is not None:
         d["init_logit_bias"] = cfg.init_logit_bias
     return d
@@ -134,9 +165,18 @@ def save_for_hub(params, cfg: CLIPConfig, save_directory: str,
     save_state_dict(sd, save_directory, "openclip")
     hub_cfg = {
         "model_cfg": config_to_open_clip_dict(cfg),
-        "preprocess_cfg": {"mean": list(OPENAI_DATASET_MEAN),
-                           "std": list(OPENAI_DATASET_STD)},
+        # the MODEL's stats, not a hardcoded OpenAI default — SigLIP
+        # (0.5) / MobileCLIP (0/1) models reload with these
+        "preprocess_cfg": {
+            "mean": list(getattr(cfg, "image_mean", None)
+                         or OPENAI_DATASET_MEAN),
+            "std": list(getattr(cfg, "image_std", None)
+                        or OPENAI_DATASET_STD)},
     }
+    if getattr(cfg, "image_interpolation", None):
+        hub_cfg["preprocess_cfg"]["interpolation"] = cfg.image_interpolation
+    if getattr(cfg, "image_resize_mode", None):
+        hub_cfg["preprocess_cfg"]["resize_mode"] = cfg.image_resize_mode
     with open(os.path.join(save_directory, "open_clip_config.json"),
               "w") as f:
         json.dump(hub_cfg, f, indent=2)

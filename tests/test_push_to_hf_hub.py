@@ -65,3 +65,43 @@ def test_push_cli_local_dir_only(tmp_path):
           "--local-dir-only", "--description", "d"])
     assert (tmp_path / "out" / "open_clip_model.safetensors").exists()
     assert (tmp_path / "out" / "README.md").exists()
+
+
+def test_open_clip_config_round_trips_architecture_deltas():
+    """config_to_open_clip_dict must emit every field
+    config_from_open_clip_dict reads — CLIPA/SigLIP towers reloaded
+    from a published open_clip_config.json used to silently degrade to
+    a vanilla causal argmax CLIP."""
+    from leaf_tpu.models.config import (
+        config_from_open_clip_dict,
+        get_model_config,
+        list_models,
+    )
+    from leaf_tpu.push_to_hf_hub import config_to_open_clip_dict
+
+    names = [n for n in list_models()
+             if "tiny-test" in n or "CLIPA" in n]
+    checked = 0
+    for name in names:
+        try:
+            cfg = get_model_config(name)
+        except KeyError:
+            continue
+        if cfg.trunk is not None or cfg.convnext is not None \
+                or cfg.resnet is not None or cfg.text.hf_model_name:
+            continue   # non-ViT towers serialize via timm names
+        d = config_to_open_clip_dict(cfg)
+        back = config_from_open_clip_dict(name, d)
+        assert back.vision.pool_type == cfg.vision.pool_type, name
+        assert back.vision.ln_pre == cfg.vision.ln_pre, name
+        assert back.vision.final_ln_after_pool \
+            == cfg.vision.final_ln_after_pool, name
+        assert back.text.no_causal_mask == cfg.text.no_causal_mask, name
+        assert back.text.pool_type == cfg.text.pool_type, name
+        assert back.text.proj_bias == cfg.text.proj_bias, name
+        assert back.text.mlp_ratio == cfg.text.mlp_ratio, name
+        assert back.quick_gelu == cfg.quick_gelu, name
+        assert back.init_logit_scale == cfg.init_logit_scale, name
+        assert back.init_logit_bias == cfg.init_logit_bias, name
+        checked += 1
+    assert checked >= 5, f"only {checked} configs exercised"
