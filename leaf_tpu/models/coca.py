@@ -59,6 +59,10 @@ class CoCaConfig:
     quick_gelu: bool = False
     init_logit_scale: float = 2.6592
     pad_id: int = 0
+    # generation special ids (CLIP BPE defaults; HF towers override —
+    # roberta: bos 0 / eos 2 / pad 1)
+    sot_token_id: int = 49406
+    eos_token_id: int = 49407
     # set → the text tower is a HuggingFace model (reference
     # `coca_roberta-ViT-B-32.json`: hf_model_name + custom_text); the
     # multimodal decoder width must equal the HF hidden size, and the
@@ -133,7 +137,8 @@ def coca_roberta_vit_b_32() -> CoCaConfig:
                             layers=12, output_dim=512),
         multimodal=MultimodalConfig(context_length=76, width=768, heads=8,
                                     layers=12),
-        hf_text_name="roberta-base")
+        hf_text_name="roberta-base",
+        pad_id=1, sot_token_id=0, eos_token_id=2)
 
 
 def coca_roberta_tiny_test() -> CoCaConfig:
@@ -441,6 +446,11 @@ def forward(params: Params, cfg: CoCaConfig, images, tokens,
                                                dtype=dtype)
     labels = tokens[:, 1:]
     logits = decode(params, cfg, image_embs, token_embs[:, :-1], dtype)
+    if logits.shape[1] != labels.shape[1]:
+        raise ValueError(
+            f"decoder logits length {logits.shape[1]} != labels "
+            f"{labels.shape[1]}: a cls-pooled HF tower drops a position; "
+            f"use mean_pooler as the reference's CoCa-HF configs do")
     return {
         "image_features": image_latent,
         "text_features": text_latent,
@@ -452,11 +462,19 @@ def forward(params: Params, cfg: CoCaConfig, images, tokens,
 
 def generate(params: Params, cfg: CoCaConfig, images, key,
              seq_len: int = 30, top_k: int = 1, temperature: float = 1.0,
-             sot_token_id: int = 49406, eos_token_id: int = 49407,
-             pad_id: int = 0, dtype=jnp.float32) -> jnp.ndarray:
+             sot_token_id: Optional[int] = None,
+             eos_token_id: Optional[int] = None,
+             pad_id: Optional[int] = None,
+             dtype=jnp.float32) -> jnp.ndarray:
     """Autoregressive caption sampling (top-k; top_k=1 is greedy) as a
     single jitted scan (the reference's HF-style loop,
     `coca_model.py:204-300`)."""
+    # special ids default from the CONFIG (an HF tower's pad/bos/eos
+    # differ from CLIP BPE's; roberta pads with 1 — filling with 0 would
+    # let the bidirectional tower attend to phantom slots)
+    sot_token_id = cfg.sot_token_id if sot_token_id is None else sot_token_id
+    eos_token_id = cfg.eos_token_id if eos_token_id is None else eos_token_id
+    pad_id = cfg.pad_id if pad_id is None else pad_id
     B = images.shape[0]
     _, image_embs = encode_image_coca(params, cfg, images, dtype=dtype)
 
@@ -492,8 +510,10 @@ def generate_beamsearch(params: Params, cfg: CoCaConfig, images,
                         num_beams: int = 6, num_beam_groups: int = 3,
                         min_seq_len: int = 5, seq_len: int = 30,
                         length_penalty: float = 1.0,
-                        sot_token_id: int = 49406, eos_token_id: int = 49407,
-                        pad_id: int = 0, dtype=jnp.float32) -> jnp.ndarray:
+                        sot_token_id: Optional[int] = None,
+                        eos_token_id: Optional[int] = None,
+                        pad_id: Optional[int] = None,
+                        dtype=jnp.float32) -> jnp.ndarray:
     """Group beam search as one jitted scan (the reference's
     `_generate_beamsearch`, `coca_model.py:329-420`, built on HF's
     BeamSearchScorer with num_beams/num_beam_groups and a min-length
@@ -504,6 +524,9 @@ def generate_beamsearch(params: Params, cfg: CoCaConfig, images,
     by restricting them to a single pad continuation; the returned
     sequence per image is the beam with the best length-normalised
     score (HF length_penalty=1.0 default)."""
+    sot_token_id = cfg.sot_token_id if sot_token_id is None else sot_token_id
+    eos_token_id = cfg.eos_token_id if eos_token_id is None else eos_token_id
+    pad_id = cfg.pad_id if pad_id is None else pad_id
     B = images.shape[0]
     K, G = num_beams, num_beam_groups
     assert K % G == 0, "num_beams must divide into num_beam_groups"

@@ -353,6 +353,19 @@ def get_tokenizer(model_name: str = "", context_length=None, **kwargs):
         return SigLipTokenizer(
             model_name.split(":", 1)[1] if ":" in model_name else "c4-en",
             context_length=context_length or 64)
+    from leaf_tpu.models.coca import COCA_CONFIGS
+    if model_name in COCA_CONFIGS:
+        # CoCa text context is 76 (the cls token fills slot 77) and the
+        # roberta variant needs its HF tokenizer with roberta's pad id —
+        # falling through to the 77-context CLIP BPE broke both
+        ccfg = COCA_CONFIGS[model_name]()
+        if ccfg.hf_text_name:
+            from leaf_tpu.tokenizer.hf import HFTokenizer
+            return HFTokenizer(ccfg.hf_text_name,
+                               context_length=(context_length
+                                               or ccfg.text.context_length),
+                               **kwargs)
+        return _get_bpe(context_length or ccfg.text.context_length)
     cfg = None
     if model_name.startswith("hf-hub:"):
         cfg, _ = _config_from_hub(model_name, config_only=True)

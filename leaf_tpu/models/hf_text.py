@@ -182,7 +182,10 @@ class HFTextTower:
         d_model = getattr(self.config, "hidden_size",
                           getattr(self.config, "d_model", None))
         key = jax.random.PRNGKey(seed)
-        if proj_type == "linear" and d_model != output_dim:
+        # reference hf_model.py:142-152: Identity ONLY when proj_type
+        # is None and dims match; 'linear' always builds the Linear
+        # (bias-free), 'mlp' is a bias-free two-layer GELU MLP
+        if proj_type == "linear":
             proj = {"w": (d_model ** -0.5) * jax.random.normal(
                 key, (d_model, output_dim), jnp.float32)}
         elif proj_type == "mlp":
@@ -193,7 +196,6 @@ class HFTextTower:
                     k1, (d_model, hidden), jnp.float32),
                 "w2": (hidden ** -0.5) * jax.random.normal(
                     k2, (hidden, output_dim), jnp.float32),
-                "b2": jnp.zeros((output_dim,), jnp.float32),
             }
         else:
             proj = {}
@@ -216,7 +218,7 @@ class HFTextTower:
             pooled = pooled @ proj["w"]
         elif "w1" in proj:
             h = jax.nn.gelu(pooled @ proj["w1"], approximate=False)
-            pooled = h @ proj["w2"] + proj["b2"]
+            pooled = h @ proj["w2"]
         if normalize:
             from leaf_tpu.models.clip import l2_normalize
             pooled = l2_normalize(pooled)
@@ -242,12 +244,15 @@ class HFTextTower:
             pooled = pooled @ proj["w"]
         elif "w1" in proj:
             h = jax.nn.gelu(pooled @ proj["w1"], approximate=False)
-            pooled = h @ proj["w2"] + proj["b2"]
+            pooled = h @ proj["w2"]
         if normalize:
             from leaf_tpu.models.clip import l2_normalize
             pooled = l2_normalize(pooled)
         tokens = out.last_hidden_state
-        if self.pooler_type in ("cls_pooler", "cls_last_hidden_state_pooler"):
+        if self.pooler_type == "cls_pooler":
+            # reference drops the cls position ONLY for ClsPooler (a
+            # strict type check, hf_model.py:160-164);
+            # cls_last_hidden_state_pooler keeps every position
             tokens = tokens[:, 1:]
         return pooled, tokens
 

@@ -39,6 +39,10 @@ except ImportError:  # pragma: no cover
 
 import regex as re
 
+# printable ASCII without '&' (html-unescape divergence) -- the
+# native fast-path contract; control chars would truncate at NUL
+_NATIVE_SAFE = re.compile(r"[ -%'-~]*")
+
 DEFAULT_CONTEXT_LENGTH = 77
 VOCAB_SIZE = 49408
 SOT_ID = 49406
@@ -189,14 +193,16 @@ class CLIPTokenizer:
         if isinstance(texts, str):
             texts = [texts]
         ctx = context_length or self.context_length
-        # native C++ fast path for ASCII batches (the attack workload);
-        # '&' is excluded because the Python clean html-unescapes it
+        # native C++ fast path for PRINTABLE-ASCII batches (the attack
+        # workload); '&' is excluded because the Python clean
+        # html-unescapes it, and control chars because c_char_p
+        # truncates at NUL (ftfy also strips them on the Python path)
         if not self._native_checked:
             from leaf_tpu.tokenizer.native_binding import get_native
             self._native = get_native(self._bpe_path)
             self._native_checked = True
         if self._native is not None and all(
-                t.isascii() and "&" not in t for t in texts):
+                _NATIVE_SAFE.fullmatch(t) for t in texts):
             return self._native.encode_batch(list(texts), ctx)
         result = np.zeros((len(texts), ctx), dtype=np.int32)
         sot, eot = self.sot_token_id, self.eot_token_id
@@ -214,8 +220,11 @@ class CLIPTokenizer:
     def tokenize_arrays(self, texts: Sequence[str],
                         context_length: Optional[int] = None):
         """Tokenize → (tokens [N,C] int32, lengths [N] int32)."""
+        # length = EOT position + 1 (EOT is the max id) — NOT a nonzero
+        # count: vocab id 0 is the non-final '!' byte token and can
+        # legitimately appear mid-sequence
         toks = self(texts, context_length)
-        lengths = (toks != 0).sum(axis=-1).astype(np.int32)
+        lengths = (toks.argmax(axis=-1) + 1).astype(np.int32)
         return toks, lengths
 
 

@@ -27,24 +27,37 @@ _MERGES = os.path.join(_NATIVE_DIR, "merges.txt")
 
 
 def _ensure_merges(bpe_gz_path: str) -> str:
-    if not os.path.exists(_MERGES):
+    """Extract the merge table; keyed by SOURCE path so a tokenizer
+    built with a custom vocab never gets the default table."""
+    import hashlib
+    key = hashlib.sha1(os.path.abspath(bpe_gz_path).encode()).hexdigest()[:12]
+    merges = (_MERGES if os.path.abspath(bpe_gz_path).endswith(
+        "bpe_simple_vocab_16e6.txt.gz") else
+        os.path.join(_NATIVE_DIR, f"merges_{key}.txt"))
+    if not os.path.exists(merges):
         with gzip.open(bpe_gz_path, "rt", encoding="utf-8") as f:
             lines = f.read().split("\n")
-        tmp = _MERGES + ".tmp"
+        tmp = f"{merges}.{os.getpid()}.tmp"   # unique: no cross-proc race
         with open(tmp, "w", encoding="utf-8") as f:
             f.write("\n".join(lines[1:48894 + 1]))
-        os.replace(tmp, _MERGES)
-    return _MERGES
+        os.replace(tmp, merges)
+    return merges
 
 
 def _ensure_built() -> Optional[str]:
-    if os.path.exists(_SO) and (os.path.getmtime(_SO)
-                                >= os.path.getmtime(_SRC)):
-        return _SO
     try:
+        if os.path.exists(_SO) and (not os.path.exists(_SRC)
+                                    or os.path.getmtime(_SO)
+                                    >= os.path.getmtime(_SRC)):
+            # a prebuilt .so without sources is a valid deployment
+            return _SO
+        # compile to a unique temp name + atomic rename: a concurrent
+        # process must never dlopen a partially written library
+        tmp = f"{_SO}.{os.getpid()}.tmp"
         subprocess.run(
-            ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", _SO],
+            ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", tmp],
             check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _SO)
         return _SO
     except Exception as e:  # noqa: BLE001
         LOG.warning("native tokenizer build failed (%r); using Python path", e)

@@ -235,3 +235,21 @@ def test_coca_full_size_roberta_decoder_width_quirk_documented():
     for name in ("coca_base", "coca_roberta-ViT-B-32"):
         cfg = lcoca.get_coca_config(name)
         assert cfg.embed_dim != cfg.multimodal.width
+
+
+def test_get_tokenizer_selects_coca_context_and_hf():
+    """get_tokenizer used to fall back to the 77-context CLIP BPE for
+    CoCa names (crashing encode_text_coca on shape) and to CLIP BPE for
+    the roberta variant (garbage ids, pad 0 vs roberta's 1)."""
+    import numpy as np
+    from leaf_tpu.models.factory import get_tokenizer
+    t = get_tokenizer("coca-tiny-test")
+    assert np.asarray(t(["hi"])).shape[1] == 16
+    t2 = get_tokenizer("coca_ViT-B-32")
+    assert np.asarray(t2(["hi"])).shape[1] == 76
+
+
+def test_coca_generate_uses_config_special_ids():
+    from leaf_tpu.models.coca import COCA_CONFIGS
+    cfg = COCA_CONFIGS["coca_roberta-ViT-B-32"]()
+    assert (cfg.pad_id, cfg.sot_token_id, cfg.eos_token_id) == (1, 0, 2)
