@@ -141,8 +141,10 @@ class CandidateScorer:
         sentences independently (host-local shapes differ), so flat
         buffers stay host-local."""
         import jax
-        from leaf_tpu.parallel.sharding import put_batch
-        mesh = self.mesh if jax.process_count() == 1 else None
+        from leaf_tpu.parallel.sharding import mesh_is_local, put_batch
+        mesh = self.mesh if (jax.process_count() == 1 or
+                             (self.mesh is not None and
+                              mesh_is_local(self.mesh))) else None
         return put_batch(x, mesh)
 
     def _get(self, x):
@@ -221,20 +223,25 @@ class CandidateScorer:
         return tokens, mask
 
     def score_flat(self, text_params, tokens: np.ndarray, anchor,
-                   objective: str, anchor2=None, text_params2=None) -> np.ndarray:
+                   objective: str, anchor2=None, text_params2=None,
+                   scorer2: Optional["CandidateScorer"] = None) -> np.ndarray:
         """tokens [N, C], anchor [D] → loss [N] (numpy, -inf on padding).
 
         Supports the dual-encoder mode (average of two models' losses,
-        reference `utils_attacks.py:492-516`) via (text_params2, anchor2).
-        """
+        reference `utils_attacks.py:492-516`) via (text_params2,
+        anchor2).  When the second model's ARCHITECTURE differs (the
+        SDXL pairing is ViT-L + ViT-bigG), pass its own `scorer2` —
+        scoring model-2 params through model-1's config would compute
+        wrong features (or crash on shape)."""
         n = tokens.shape[0]
         padded, mask = self._pad(self._bucket(tokens))
         padded = self._put_flat(padded)
         loss = self._score_flat(text_params, padded,
                                 jnp.asarray(anchor), objective)
         if text_params2 is not None:
-            loss2 = self._score_flat(text_params2, padded,
-                                     jnp.asarray(anchor2), objective)
+            s2 = scorer2 or self
+            loss2 = s2._score_flat(text_params2, padded,
+                                   jnp.asarray(anchor2), objective)
             loss = (loss + loss2) / 2
         out = np.asarray(loss)[:n]
         return out

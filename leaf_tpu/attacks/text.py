@@ -193,6 +193,7 @@ def attack_text_charmer_inference(
     constraint: Optional[WordConstraint] = None,
     text_params2=None,
     anchor_features2=None,
+    scorer2: Optional[CandidateScorer] = None,
 ) -> Tuple[str, int]:
     """Charmer attack (arXiv:2405.04346), single sentence
     (reference `utils_attacks.py:451-580`).
@@ -215,7 +216,8 @@ def attack_text_charmer_inference(
         loss = scorer.score_flat(text_params, tokenizer(probes),
                                  anchor_features, objective,
                                  anchor2=anchor_features2,
-                                 text_params2=text_params2)
+                                 text_params2=text_params2,
+                                 scorer2=scorer2)
         top = np.argsort(-loss, kind="stable")[:min(n, len(loss))]
 
         candidates = edits.generate_all_sentences(
@@ -227,7 +229,8 @@ def attack_text_charmer_inference(
         loss = scorer.score_flat(text_params, tokenizer(candidates),
                                  anchor_features, objective,
                                  anchor2=anchor_features2,
-                                 text_params2=text_params2)
+                                 text_params2=text_params2,
+                                 scorer2=scorer2)
         sentence = candidates[int(np.argmax(loss))]
     return sentence, dist + 1
 

@@ -38,6 +38,7 @@ def attack_captions(
     k: int = 2,
     objective: str = "l2",
     text_params2=None,
+    scorer2=None,
     out_csv: Optional[str] = None,
 ) -> List[str]:
     """Charmer-attack each caption anchored on its own embedding
@@ -57,13 +58,15 @@ def attack_captions(
                 objective=objective, n=rho, k=k))
     else:
         # dual-encoder (SDXL) mode: per caption, averaging both losses
+        s2 = scorer2 or scorer
         for cap in captions:
             anchor = scorer.encode_text(text_params, tokenizer([cap]))[0]
-            anchor2 = scorer.encode_text(text_params2, tokenizer([cap]))[0]
+            anchor2 = s2.encode_text(text_params2, tokenizer([cap]))[0]
             adv, _ = attack_text_charmer_inference(
                 scorer, text_params, tokenizer, cap, anchor,
                 objective=objective, n=rho, k=k,
-                text_params2=text_params2, anchor_features2=anchor2)
+                text_params2=text_params2, anchor_features2=anchor2,
+                scorer2=scorer2)
             out.append(adv)
     if ledger is not None:
         for cap, adv in zip(captions, out):
@@ -143,13 +146,15 @@ def main(argv=None):
     tokenizer = get_tokenizer(args.model)
     dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
     scorer = CandidateScorer(model.cfg, dtype=dtype)
-    text_params2 = None
+    text_params2 = scorer2 = None
     if args.model2:
         pre2 = (resolve_pretrained(args.model2, args.pretrained2)
                 if args.pretrained2 else None)
-        text_params2 = create_model(args.model2, pre2,
-                                    precision=args.precision
-                                    ).params["text"]
+        model2 = create_model(args.model2, pre2, precision=args.precision)
+        text_params2 = model2.params["text"]
+        # the second encoder scores through ITS OWN config (ViT-bigG
+        # in the SDXL pairing)
+        scorer2 = CandidateScorer(model2.cfg, dtype=dtype)
 
     with open(args.captions) as f:
         captions = json.load(f)
@@ -157,7 +162,7 @@ def main(argv=None):
     adv = attack_captions(
         scorer, model.params["text"], tokenizer, captions,
         rho=args.rho, k=args.k, objective=args.objective,
-        text_params2=text_params2,
+        text_params2=text_params2, scorer2=scorer2,
         out_csv=os.path.join(args.output_dir, "captions_adv.csv"))
     with open(os.path.join(args.output_dir, "captions_adv.json"),
               "w") as f:

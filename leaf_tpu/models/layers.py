@@ -177,7 +177,8 @@ def residual_block(p: Params, x: jnp.ndarray, mask, n_heads: int, act,
         from leaf_tpu.ops.packed_attention import (
             enabled, fused_attention_block, fused_block_supported)
         kern_ok = enabled() if use_kernels is None else use_kernels
-        if kern_ok and fused_block_supported(x.shape[-1], x.dtype):
+        if kern_ok and fused_block_supported(x.shape[-1], x.dtype,
+                                             x.shape[1]):
             x = fused_attention_block(
                 {"ln_1": p["ln_1"], "attn": p["attn"]}, x, n_heads,
                 packed[0], packed[1], ln_eps,

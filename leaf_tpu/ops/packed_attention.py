@@ -253,9 +253,11 @@ def _block_reference(p, x, n_heads: int, group_len: int, causal: bool,
     return x + (o @ a["out_w"].astype(x.dtype) + a["out_b"].astype(x.dtype))
 
 
-def _pick_rows(R: int, L: int, D: int, itemsize: int) -> int:
+def _pick_rows(R: int, L: int, D: int, itemsize: int) -> Optional[int]:
     """Largest rows-per-program in {8,4,2,1} dividing R with a
-    comfortable VMEM footprint (weights + double-buffered blocks)."""
+    comfortable VMEM footprint (weights + double-buffered blocks);
+    None when even rows=1 would blow the budget (the caller must use
+    the unfused path instead of launching an over-VMEM kernel)."""
     weights = itemsize * (D * 3 * D + D * D)
     for rows in (8, 4, 2, 1):
         if R % rows:
@@ -263,7 +265,7 @@ def _pick_rows(R: int, L: int, D: int, itemsize: int) -> int:
         acts = itemsize * rows * L * (2 * D + 3 * D) * 2   # in/out dbl-buf + qkv
         if weights + acts < 13 * 1024 * 1024:
             return rows
-    return 1
+    return None
 
 
 def _block_forward(p, x, n_heads, group_len, causal, ln_eps, interpret):
@@ -271,6 +273,10 @@ def _block_forward(p, x, n_heads, group_len, causal, ln_eps, interpret):
     L_pad = _round_up(L, _LANE)
     xp = x if L_pad == L else jnp.pad(x, ((0, 0), (0, L_pad - L), (0, 0)))
     rows = _pick_rows(R, L_pad, D, jnp.dtype(x.dtype).itemsize)
+    if rows is None:
+        raise ValueError(
+            f"fused block kernel over VMEM budget (D={D}, L_pad={L_pad}, "
+            f"{x.dtype}); gate with fused_block_supported(D, dtype, L)")
     kern = functools.partial(
         _block_kernel, n_heads=n_heads, head_dim=D // n_heads,
         group_len=group_len, seq_len=L, sm_scale=(D // n_heads) ** -0.5,
@@ -319,10 +325,18 @@ def fused_attention_block(p, x: jnp.ndarray, n_heads: int, group_len: int,
                           interpret)
 
 
-def fused_block_supported(width: int, dtype) -> bool:
-    """Weights (3D² + D²) must leave VMEM room for the activations."""
+def fused_block_supported(width: int, dtype,
+                          seq_len: Optional[int] = None) -> bool:
+    """Weights (3D² + D²) AND the rows=1 activation blocks must fit the
+    VMEM budget — a weights-only gate admitted fp32 ViT-B vision
+    shapes whose kernel footprint exceeded it."""
     itemsize = jnp.dtype(dtype).itemsize
-    return itemsize * 4 * width * width < 10 * 1024 * 1024
+    if itemsize * 4 * width * width >= 10 * 1024 * 1024:
+        return False
+    if seq_len is not None:
+        return _pick_rows(1, _round_up(seq_len, _LANE), width,
+                          itemsize) is not None
+    return True
 
 
 def _block_fwd(p, x, n_heads, group_len, causal, ln_eps, interpret):

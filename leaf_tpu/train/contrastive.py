@@ -76,9 +76,15 @@ def make_contrastive_train_step(cfg: CLIPConfig,
                                        dropout_key)
 
         def inner(params, images, tokens):
+            key = dropout_key
+            if key is not None:
+                # fold in the shard index: a replicated key would draw
+                # IDENTICAL per-sample dropout masks on every shard
+                key = jax.random.fold_in(key,
+                                         jax.lax.axis_index("data"))
             return contrastive_loss_fn(params, cfg, images, tokens,
                                        "data", local_loss, siglip, dtype,
-                                       dropout_key)
+                                       key)
 
         # check_vma=False: the towers may lower to pallas_call whose
         # out_shape avals carry no varying-mesh-axes info
@@ -170,8 +176,11 @@ def make_accum_contrastive_train_step(cfg: CLIPConfig,
             (images, tokens))
         # each chunk loss is already a mean over the full k·b effective
         # batch, so the SUM of chunk grads equals the exact full-batch
-        # gradient (the reference sums per-chunk backwards with no
-        # division, `train.py:118-136`); dividing here would shrink the
+        # gradient for the TOWER params (only chunk j's features are
+        # live in chunk j's loss).  logit_scale is live in EVERY chunk,
+        # so its gradient comes out k×— the reference's accum has the
+        # same quirk (it sums per-chunk backwards with no division,
+        # `train.py:118-136`); dividing here would shrink the tower
         # update k-fold and distort clip_by_global_norm
 
         updates, opt_state = tx.update(grads, state.opt_state, params)
@@ -208,12 +217,11 @@ def get_clip_metrics(image_features, text_features, logit_scale
     return metrics
 
 
-def evaluate_contrastive(params, cfg: CLIPConfig, loader, tokenizer,
-                         dtype=jnp.float32) -> Dict[str, float]:
-    """Val contrastive loss + recall metrics over a (images, texts)
-    loader (reference `utils_AT.py:441-505` evaluate val path)."""
-    all_img, all_txt = [], []
-    total_loss, n = 0.0, 0
+@functools.lru_cache(maxsize=8)
+def _eval_batch_jit(cfg: CLIPConfig, dtype):
+    """One compiled eval step per (cfg, dtype) — defining the jit
+    inside evaluate_contrastive retraced the full two-tower forward on
+    every eval call."""
 
     @jax.jit
     def eval_batch(params, images, tokens):
@@ -228,6 +236,17 @@ def evaluate_contrastive(params, cfg: CLIPConfig, loader, tokenizer,
         loss = -(jnp.take_along_axis(logp_i, labels[:, None], 1).mean()
                  + jnp.take_along_axis(logp_t, labels[:, None], 1).mean()) / 2
         return img_f, txt_f, loss
+
+    return eval_batch
+
+
+def evaluate_contrastive(params, cfg: CLIPConfig, loader, tokenizer,
+                         dtype=jnp.float32) -> Dict[str, float]:
+    """Val contrastive loss + recall metrics over a (images, texts)
+    loader (reference `utils_AT.py:441-505` evaluate val path)."""
+    all_img, all_txt = [], []
+    total_loss, n = 0.0, 0
+    eval_batch = _eval_batch_jit(cfg, dtype)
 
     for images, texts in loader:
         tokens = jnp.asarray(tokenizer(texts))

@@ -307,6 +307,17 @@ def main(args=None) -> Dict:
                                           local_loss=args.local_loss,
                                           dtype=dtype)
     elif args.accum_freq > 1:
+        # the feature-cache accum step implements InfoNCE only; running
+        # it for a sigmoid-ring or patch-dropout recipe would silently
+        # train the wrong objective
+        if args.siglip:
+            raise ValueError("--siglip with --accum-freq > 1 is "
+                             "unsupported (the feature-cache accumulation "
+                             "computes the InfoNCE loss)")
+        if cfg.vision.patch_dropout > 0:
+            raise ValueError("--force-patch-dropout with --accum-freq > 1 "
+                             "is unsupported (the accum step has no "
+                             "dropout key plumbing)")
         step_fn = make_accum_contrastive_train_step(
             cfg, tx, accum_freq=args.accum_freq, dtype=dtype)
     else:

@@ -162,10 +162,11 @@ def make_fare_train_step(cfg: CLIPConfig, fcfg: FareConfig,
                          dtype=jnp.float32):
     """Jitted outer update: returns (state', metrics)."""
 
-    def step_fn(state: TrainState, frozen_visual, images, adv_images,
+    def step_fn(state: TrainState, embedding_orig, images, adv_images,
                 targets, classifier):
-        embedding_orig = encode_vision(frozen_visual, cfg, images,
-                                       fcfg.output_normalize, dtype)
+        # embedding_orig comes from the loop's anchor_encode (the
+        # frozen tower never changes) — recomputing the frozen forward
+        # here doubled the per-step frozen-encode cost
 
         def loss_fn(visual_params):
             emb_clean = encode_vision(visual_params, cfg, images,
@@ -258,17 +259,21 @@ def train_fare(model_params, cfg: CLIPConfig, fcfg: FareConfig, data_iter,
     for images, targets in data_iter:
         if step_total >= fcfg.steps:
             break
+        # dummy targets must be sized from the HOST-LOCAL batch: the
+        # global images array is already stitched, so zeros built from
+        # its length would re-stitch to n_hosts× the batch
+        local_n = np.shape(images)[0]
         images = put_batch(images, mesh)
         targets_j = put_batch(
             targets if targets is not None
-            else np.zeros((images.shape[0],), np.int32), mesh)
+            else np.zeros((local_n,), np.int32), mesh)
         cls = classifier if classifier is not None else \
             jnp.zeros((model_params["visual"]["proj"].shape[1], 1))
         key, sub = jax.random.split(key)
         embedding_orig = anchor_encode(frozen_visual, images)
         adv = attack(state.text_params, images, embedding_orig, targets_j,
                      cls, sub)
-        state, metrics = train_step(state, frozen_visual, images, adv,
+        state, metrics = train_step(state, embedding_orig, images, adv,
                                     targets_j, cls)
         step_total += 1
         loss_m.update(float(metrics["loss"]), images.shape[0])
