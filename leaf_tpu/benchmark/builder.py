@@ -143,7 +143,8 @@ def load_babel_imagenet(language: str) -> Optional[Tuple[List[int], List[str]]]:
 def get_dataset_default_task(name: str) -> str:
     if name.startswith(CAPTION_SELECTION_PREFIX):
         return "image_caption_selection"
-    if name in RETRIEVAL_DATASETS:
+    base = name[len("wds/"):] if name.startswith("wds/") else name
+    if base in RETRIEVAL_DATASETS:
         return "zeroshot_retrieval"
     return "zeroshot_classification"
 
@@ -168,10 +169,13 @@ def classnames_and_templates(name: str, language: str = "en",
             classnames = babel[1]
         else:
             classnames = load_language_classnames("en")[key]
+    elif key in load_language_classnames("en"):
+        # the en table's REAL names beat numeric folder placeholders —
+        # non-en languages ship only imagenet1k, and evaluating flowers
+        # against the literal strings '0'..'101' is near-random
+        classnames = load_language_classnames("en")[key]
     elif fallback_classes is not None:
         classnames = list(fallback_classes)
-    elif key in load_language_classnames("en"):
-        classnames = load_language_classnames("en")[key]
     else:
         raise KeyError(
             f"no classnames for dataset {name!r} (language "
@@ -227,13 +231,17 @@ class WdsClassificationDataset:
 
         from leaf_tpu.data.wds import iter_tar_samples
         self._iter_tar_samples = iter_tar_samples
-        cand_dirs = [os.path.join(root, split), root]
         self.tars: List[str] = []
-        for d in cand_dirs:
-            if os.path.isdir(d):
-                self.tars = sorted(_glob.glob(os.path.join(d, "*.tar")))
-                if self.tars:
-                    break
+        split_dir = os.path.join(root, split)
+        if os.path.isdir(split_dir):
+            self.tars = sorted(_glob.glob(os.path.join(split_dir, "*.tar")))
+        if not self.tars and os.path.isdir(root):
+            # flat layout: {split}-NNNN.tar — filter by split so a root
+            # holding several splits' shards never mixes them
+            self.tars = sorted(
+                _glob.glob(os.path.join(root, f"{split}*.tar")))
+            if not self.tars:
+                self.tars = sorted(_glob.glob(os.path.join(root, "*.tar")))
         if not self.tars:
             raise FileNotFoundError(f"no .tar shards under {root}")
         self.preprocess = preprocess
@@ -249,29 +257,33 @@ class WdsClassificationDataset:
         import numpy as np
         from PIL import Image
 
+        from leaf_tpu.data.common import Prefetcher
         from leaf_tpu.data.wds import IMAGE_EXTS
-        images, labels = [], []
-        for tar in self.tars:
-            for s in self._iter_tar_samples(tar):
-                if "cls" not in s:
-                    continue
-                img_bytes = None
-                for ext in IMAGE_EXTS:
-                    if ext in s:
-                        img_bytes = s[ext]
-                        break
-                if img_bytes is None:
-                    continue
-                img = Image.open(io.BytesIO(img_bytes)).convert("RGB")
-                images.append(self.preprocess(img) if self.preprocess
-                              else np.asarray(img))
-                labels.append(int(s["cls"]))
-                if len(images) == self.batch_size:
-                    yield np.stack(images), np.asarray(labels)
-                    images, labels = [], []
-        if images:
-            import numpy as np
-            yield np.stack(images), np.asarray(labels)
+
+        def batches():
+            images, labels = [], []
+            for tar in self.tars:
+                for s in self._iter_tar_samples(tar):
+                    if "cls" not in s:
+                        continue
+                    img_bytes = None
+                    for ext in IMAGE_EXTS:
+                        if ext in s:
+                            img_bytes = s[ext]
+                            break
+                    if img_bytes is None:
+                        continue
+                    img = Image.open(io.BytesIO(img_bytes)).convert("RGB")
+                    images.append(self.preprocess(img) if self.preprocess
+                                  else np.asarray(img))
+                    labels.append(int(s["cls"]))
+                    if len(images) == self.batch_size:
+                        yield np.stack(images), np.asarray(labels)
+                        images, labels = [], []
+            if images:
+                yield np.stack(images), np.asarray(labels)
+
+        return iter(Prefetcher(batches()))
 
 
 class CaptionSelectionDataset:
@@ -438,6 +450,9 @@ def build_dataset(name: str, root: str, preprocess, split: str = "test",
     if name.startswith("wds/"):
         ds = WdsClassificationDataset(root, preprocess, split, batch_size)
         base = name[len("wds/"):]
+        if base.startswith("vtab/"):
+            # classname/template tables key on the bare dataset name
+            base = base[len("vtab/"):]
         classnames, templates = classnames_and_templates(
             base, language, fallback_classes=ds.classes or None)
         if _CLASSNAME_ALIASES.get(base) == "imagenet1k" \
@@ -515,6 +530,23 @@ def build_dataset(name: str, root: str, preprocess, split: str = "test",
         # label order is lexical, the classname table's is numeric
         # (reference `datasets/imagenetv2.py`) — remap the classnames
         # to the folder's label order
+        babel = (load_babel_imagenet(language)
+                 if language not in ("en", "cn", "it", "jp", "ar")
+                 else None)
+        if babel is not None:
+            # babel translates a class SUBSET: keep only its classes
+            # (babel[1] is indexed by subset position, NOT class id)
+            keep_ids, babel_names = babel
+            id_order = [int(c) for c in ds.classes]  # label → class id
+            keep_set = set(keep_ids)
+            label_keep = [i for i, cid in enumerate(id_order)
+                          if cid in keep_set]
+            ds = BabelSubsetDataset(ds, label_keep)
+            pos = {cid: j for j, cid in enumerate(keep_ids)}
+            classnames = [babel_names[pos[id_order[i]]]
+                          for i in label_keep]
+            _, templates = classnames_and_templates("imagenet1k", language)
+            return ds, task, classnames, templates
         base_names, templates = classnames_and_templates(name, language)
         classnames = [base_names[int(c)] for c in ds.classes]
         return ds, task, classnames, templates

@@ -121,9 +121,18 @@ def evaluate_captioning(params, coca_cfg, tokenizer, dataset, key,
                           _normalize_images(jnp.asarray(images), coca_cfg),
                           sub,
                           seq_len=seq_len)
+        # cut at the model's OWN eos id (roberta CoCa: eos 2; CLIP
+        # BPE: 49407) — a hardcoded CLIP special set left pad/eos runs
+        # in HF-tower captions and stripped genuine '!' (BPE id 0 ==
+        # the pad value) from mid-caption.  generate() only writes pad
+        # after EOS, so break-at-EOS needs no pad stripping at all.
         for row, refs in zip(np.asarray(tokens), caption_lists):
-            ids = [int(t) for t in row
-                   if int(t) not in (0, 49406, 49407)]
+            ids = []
+            for t in row[1:]:           # row[0] is the SOT slot
+                if int(t) in (coca_cfg.eos_token_id,
+                              coca_cfg.sot_token_id):
+                    break
+                ids.append(int(t))
             candidates.append(tokenizer.decode(ids))
             references.append(list(refs) if isinstance(refs, (list, tuple))
                               else [refs])

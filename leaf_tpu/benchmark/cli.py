@@ -115,7 +115,10 @@ def run_one(args, dataset_name: str, model_name: str, pretrained: str,
         from leaf_tpu.models.preprocess import image_transform
 
         coca, coca_cfg = create_coca_model(model_name, pretrained or None)
-        tokenizer = get_tokenizer()
+        # the MODEL's tokenizer: CoCa text context is 76 and the
+        # roberta variant needs its HF tokenizer — the bare default
+        # would decode roberta ids with the CLIP BPE vocab
+        tokenizer = get_tokenizer(model_name)
         preprocess = image_transform(coca_cfg.vision.image_size,
                                      do_normalize=False)
         ds, _, _, _ = build_dataset(
@@ -197,9 +200,15 @@ def _emit_result(args, dataset_name: str, model_name: str, pretrained: str,
                  task: str, metrics: dict) -> dict:
     result = {"model": model_name, "pretrained": pretrained,
               "task": task, "dataset": dataset_name,
-              "language": args.language, "attack": args.attack or "none",
-              "eps": args.eps, "iterations_adv": args.attack_iters,
-              "metrics": metrics}
+              "language": args.language, "metrics": metrics}
+    if task == "zeroshot_classification" and args.attack:
+        # only the classification task implements the attack — stamping
+        # attack metadata on other tasks would present clean numbers
+        # as robust ones
+        result.update({"attack": args.attack, "eps": args.eps,
+                       "iterations_adv": args.attack_iters})
+    else:
+        result["attack"] = "none"
     if args.output:
         out = args.output.format(dataset=dataset_name.replace("/", "-"),
                                  model=model_name.replace("/", "-"),

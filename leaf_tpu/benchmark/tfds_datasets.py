@@ -285,7 +285,11 @@ def _resolve_bound(b, n: int, default: int) -> int:
     if b is None:
         return default
     value, is_pct = b
-    return value * n // 100 if is_pct else min(value, n)
+    if is_pct:
+        # tfds percent slicing rounds to CLOSEST (round-half-up), not
+        # floor — a floor at the boundary shifts the carve by one record
+        return int(value * n / 100 + 0.5)
+    return min(value, n)
 
 
 def find_tfds_dir(root: str, tfds_name: str) -> Optional[str]:
@@ -559,16 +563,23 @@ class TfdsClassificationDataset:
         return self._num
 
     def __iter__(self):
-        imgs, labels = [], []
-        for rec in iter_split_records(self.dir, self.split_spec):
-            ex = parse_example(rec)
-            img = _decode_image(ex, self.spec.image_key)
-            if self.preprocess is not None:
-                img = self.preprocess(img)
-            imgs.append(np.asarray(img))
-            labels.append(self.spec.label_fn(ex))
-            if len(imgs) == self.batch_size:
+        from leaf_tpu.data.common import Prefetcher
+
+        def batches():
+            imgs, labels = [], []
+            for rec in iter_split_records(self.dir, self.split_spec):
+                ex = parse_example(rec)
+                img = _decode_image(ex, self.spec.image_key)
+                if self.preprocess is not None:
+                    img = self.preprocess(img)
+                imgs.append(np.asarray(img))
+                labels.append(self.spec.label_fn(ex))
+                if len(imgs) == self.batch_size:
+                    yield np.stack(imgs), np.asarray(labels, np.int64)
+                    imgs, labels = [], []
+            if imgs:
                 yield np.stack(imgs), np.asarray(labels, np.int64)
-                imgs, labels = [], []
-        if imgs:
-            yield np.stack(imgs), np.asarray(labels, np.int64)
+
+        # overlap host decode with device compute like the torchvision/
+        # coco readers already do
+        return iter(Prefetcher(batches()))
