@@ -58,6 +58,12 @@ def attack_image(params, cfg: CLIPConfig, images, anchor_features, key,
     pre-normalisation.
     """
     stepsize = eps / n_steps if stepsize is None else stepsize
+    if objective not in ("l2", "dissim"):
+        # the reference image attack implements exactly these two
+        # (`utils_attacks.py:668-681`); silently falling through to an
+        # unnormalized dot product matched no documented objective
+        raise ValueError(f"attack_image objective must be 'l2' or "
+                         f"'dissim', got {objective!r}")
     if objective == "dissim":
         anchor_features = lclip.l2_normalize(anchor_features)
 

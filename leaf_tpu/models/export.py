@@ -66,8 +66,11 @@ def export_model(params, cfg: CLIPConfig, output_dir: str,
     os.makedirs(output_dir, exist_ok=True)
     exported_text, exported_image = trace_model(params, cfg, batch_size,
                                                 dtype, normalize)
-    text_path = os.path.join(output_dir, f"{cfg.name}.text.stablehlo")
-    image_path = os.path.join(output_dir, f"{cfg.name}.image.stablehlo")
+    # hub model names carry '/' and ':' (hf-hub:org/repo) — sanitise
+    # or open() fails on the phantom subdirectory
+    tag = cfg.name.replace("/", "-").replace(":", "-")
+    text_path = os.path.join(output_dir, f"{tag}.text.stablehlo")
+    image_path = os.path.join(output_dir, f"{tag}.image.stablehlo")
     save_exported(exported_text, text_path)
     save_exported(exported_image, image_path)
     return text_path, image_path

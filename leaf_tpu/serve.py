@@ -79,7 +79,7 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    from leaf_tpu.models import clip as lclip, create_model_and_transforms
+    from leaf_tpu.models import create_model_and_transforms
     from leaf_tpu.models.factory import get_tokenizer
 
     model, _, preprocess = create_model_and_transforms(
@@ -90,9 +90,9 @@ def main(argv=None):
                                               quantized_nbytes)
         before = quantized_nbytes(model.params)
         model.params = quantize_mlp_params(model.params)
-        logging.info("int8 MLP: params %0.1f → %0.1f MiB",
-                     before / 2**20,
-                     quantized_nbytes(model.params) / 2**20)
+        LOG.info("int8 MLP: params %0.1f → %0.1f MiB",
+                 before / 2**20,
+                 quantized_nbytes(model.params) / 2**20)
     dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
     normalize = not args.no_normalize
     bs = args.batch_size
@@ -105,27 +105,36 @@ def main(argv=None):
             texts = [line.rstrip("\n") for line in f if line.strip()]
         if not texts:
             raise ValueError(f"{args.texts!r} contains no non-blank lines")
-        enc = jax.jit(lambda prm, t: lclip.encode_text(
-            prm, cfg.text, t, cfg.quick_gelu, normalize, dtype))
+        # the MODEL's dispatching encoder (native / HF tower / CoCa),
+        # params as jit ARGUMENTS; a raw lclip.encode_text crashed for
+        # CoCa configs and HF text towers
+        enc = jax.jit(lambda p, t: model.encode_text(
+            t, params=p, normalize=normalize))
         # tokenize everything up front and bucket ONCE (exact under
         # causal masking + argmax pooling): one compiled shape, and
         # short captions ride the packed 16/32-token fast path instead
         # of full 77-context rows
         all_toks = np.asarray(tokenizer(texts))
         from leaf_tpu.attacks.engine import can_bucket
-        if can_bucket(cfg):
+        from leaf_tpu.models.config import CLIPConfig
+        if isinstance(cfg, CLIPConfig) and can_bucket(cfg):
+            # bucketing invariance holds only for causal+argmax CLIP
+            # towers (CoCa's cls-token tail is not truncation-safe)
             all_toks = bucket_tokens(all_toks)
-        # warm the compile outside the timer (serving steady-state)
-        np.asarray(enc(model.params["text"], all_toks[:bs] if
-                       len(all_toks) >= bs else
-                       _pad_to(all_toks, bs)))
+        # warm the compile outside the timer AND reuse the result for
+        # batch 0, like the image path
+        first_toks = _pad_to(all_toks[:bs], bs)
+        first_feats = np.asarray(enc(model.params, first_toks))
         feats = []
         t0 = time.perf_counter()
         for i in range(0, len(all_toks), bs):
             chunk = all_toks[i:i + bs]
             n = chunk.shape[0]
+            if i == 0:
+                feats.append(first_feats[:n])
+                continue
             feats.append(np.asarray(
-                enc(model.params["text"], _pad_to(chunk, bs)))[:n])
+                enc(model.params, _pad_to(chunk, bs)))[:n])
         dt = time.perf_counter() - t0
         out["text_features"] = np.concatenate(feats).astype(np.float32)
         out["texts"] = np.asarray(texts)
@@ -137,8 +146,8 @@ def main(argv=None):
         paths = _list_images(args.images)
         if not paths:
             raise FileNotFoundError(f"no images under {args.images!r}")
-        enc_i = jax.jit(lambda prm, x: lclip.encode_image_model(
-            prm, cfg, x, normalize=normalize, dtype=dtype))
+        enc_i = jax.jit(lambda p, x: model.encode_image(
+            x, params=p, normalize=normalize))
 
         def load_batch(chunk):
             return _pad_to(np.stack(

@@ -25,7 +25,9 @@ def remote_sync(local_dir: str, remote_dir: str,
         if protocol == "fsspec" and "://" in remote_dir:
             import fsspec
             fs, _, _ = fsspec.get_fs_token_paths(remote_dir)
-            fs.put(local_dir, remote_dir, recursive=True)
+            # trailing slash = copy CONTENTS into remote_dir (fsspec cp
+            # semantics); without it the dir itself nests one level deep
+            fs.put(local_dir.rstrip("/") + "/", remote_dir, recursive=True)
         else:
             os.makedirs(remote_dir, exist_ok=True)
             for root, _, files in os.walk(local_dir):
