@@ -27,9 +27,10 @@ def clip_score(image_features, text_features) -> np.ndarray:
     return np.maximum(0.0, 100.0 * (a * b).sum(-1))
 
 
-def is_black_image(image: np.ndarray, threshold: float = 1e-3) -> bool:
-    """NSFW-blanked detection: an (almost) all-black generated image
-    (`compute_clipscores.py` filters these before scoring)."""
+def is_black_image(image: np.ndarray, threshold: float = 5 / 255) -> bool:
+    """NSFW-blanked detection: an (almost) all-black generated image.
+    Threshold matches the reference's mean-intensity < 5 on 0-255
+    grayscale (`compute_clipscores.py` filter)."""
     return float(np.asarray(image, np.float32).mean()) < threshold
 
 
@@ -65,13 +66,17 @@ def compute_clipscores(
                 cfg.quick_gelu)))
         return np.concatenate(out, 0)
 
+    if not keep:
+        # every generation NSFW-blanked: report the filtering instead
+        # of crashing on an empty embed batch
+        return {"n": 0, "n_black_filtered": n_black,
+                "clipscore_gen_caption": 0.0}
     kept_caps = [captions[i] for i in keep]
     text_f = embed_texts(kept_caps)
     gen_f = embed_images(gen_images[keep])
     result: Dict[str, object] = {
         "n": len(keep), "n_black_filtered": n_black,
-        "clipscore_gen_caption": float(clip_score(gen_f, text_f).mean())
-        if keep else 0.0,
+        "clipscore_gen_caption": float(clip_score(gen_f, text_f).mean()),
     }
     if real_images is not None and keep:
         real_f = embed_images(np.asarray(real_images)[keep])
@@ -95,7 +100,9 @@ def compute_clipscores_and_fid(params, cfg: CLIPConfig, tokenizer,
     (`fid_features`: 'clip' offline-first, 'inception' classic)."""
     result = compute_clipscores(params, cfg, tokenizer, captions,
                                 gen_images, real_images, batch_size)
-    if real_images is not None:
+    keep = [i for i in range(len(gen_images))
+            if not is_black_image(gen_images[i])]
+    if real_images is not None and keep:
         from leaf_tpu.evals.fid import (
             compute_fid,
             make_clip_feature_fn,
@@ -107,24 +114,29 @@ def compute_clipscores_and_fid(params, cfg: CLIPConfig, tokenizer,
         if fn is None:
             fn = make_clip_feature_fn(params, cfg, batch_size)
             fid_features = "clip"
+        # the reference computes FID only on non-black pairs
+        # (filter_and_copy_images builds filtered temp dirs)
         result[f"fid_{fid_features}"] = compute_fid(
-            np.asarray(real_images), np.asarray(gen_images), fn)
+            np.asarray(real_images)[keep], np.asarray(gen_images)[keep], fn)
     return result
 
 
 def _load_image_dir(path: str, size: Optional[int] = None) -> np.ndarray:
-    """Sorted [N, H, W, 3] float array in [0,1] from an image folder."""
+    """Sorted [N, H, W, 3] float array in [0,1] from an image folder,
+    with CLIP eval geometry (bicubic shortest-side + center crop — a
+    naive squash distorts aspect ratio and depresses scores)."""
     import os
 
     from PIL import Image
+
+    from leaf_tpu.models.preprocess import image_transform
     files = sorted(os.path.join(path, f) for f in os.listdir(path)
                    if f.lower().endswith((".png", ".jpg", ".jpeg")))
+    tf = image_transform(size, do_normalize=False) if size else None
     imgs = []
     for f in files:
         im = Image.open(f).convert("RGB")
-        if size:
-            im = im.resize((size, size))
-        imgs.append(np.asarray(im, np.float32) / 255.0)
+        imgs.append(tf(im) if tf else np.asarray(im, np.float32) / 255.0)
     return np.stack(imgs)
 
 
@@ -149,7 +161,14 @@ def main(argv=None) -> Dict[str, object]:
                    choices=["clip", "inception"])
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--output", default=None, help="results JSON path")
+    p.add_argument("--allow-random-weights", action="store_true",
+                   help="score with a randomly initialised model "
+                        "(tests only — the metrics are meaningless)")
     args = p.parse_args(argv)
+    if not args.pretrained and not args.allow_random_weights:
+        p.error("--pretrained is required: CLIPScore from randomly "
+                "initialised weights is meaningless noise "
+                "(--allow-random-weights to override for tests)")
 
     logging.basicConfig(level=logging.INFO)
     from leaf_tpu.models.factory import create_model, get_tokenizer

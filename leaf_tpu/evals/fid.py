@@ -104,7 +104,15 @@ def make_inception_feature_fn(batch_size: int = 32) -> Optional[Callable]:
                     images[i:i + batch_size].transpose(0, 3, 1, 2)).float()
                 x = torch.nn.functional.interpolate(
                     x, size=(299, 299), mode="bilinear", align_corners=False)
-                x = x * 2 - 1
+                # torchvision's ImageNet-trained weights expect ImageNet
+                # normalization (the [-1,1] scaling belongs to the
+                # TF-slim FID checkpoint, a different network).  NOTE:
+                # literature FID numbers use that TF checkpoint — this
+                # mode is self-consistent but not literature-comparable;
+                # the CLIP-FID mode is the comparable one (cleanfid).
+                mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+                std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+                x = (x - mean) / std
                 out.append(net(x).numpy())
         return np.concatenate(out)
 

@@ -106,11 +106,23 @@ def optimize_prompt(
         prompt_embeds = optax.apply_updates(prompt_embeds, updates)
         return prompt_embeds, opt_state, ids, mean_sim
 
+    # reference optimize_prompt_loop subsamples `batch_size` targets
+    # per iteration when more targets exist (stochastic multi-image
+    # optimisation; also bounds the per-step similarity matrix)
+    n_targets = int(target.shape[0])
+    subsample = (batch_size is not None and 0 < batch_size < n_targets)
+
     best_sim = -np.inf
     best_ids = None
     history = []
     for _ in range(iters):
-        prompt_embeds, opt_state, ids, sim = step(text_params, target,
+        step_target = target
+        if subsample:
+            key, sub = jax.random.split(key)
+            idx = jax.random.choice(sub, n_targets, (batch_size,),
+                                    replace=False)
+            step_target = target[idx]
+        prompt_embeds, opt_state, ids, sim = step(text_params, step_target,
                                                   prompt_embeds, opt_state)
         sim = float(sim)
         history.append(sim)

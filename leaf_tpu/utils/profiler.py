@@ -22,8 +22,50 @@ from leaf_tpu.models.config import get_model_config, list_models
 from leaf_tpu.models.clip import count_params
 
 
+def _profile_coca(model_name: str, batch_size: int,
+                  dtype=jnp.float32) -> Dict[str, float]:
+    """CoCa models have their own config/param layout; profile the two
+    contrastive encoders (the captioning decoder rides the text cost)."""
+    from leaf_tpu.models import coca
+    cfg = coca.get_coca_config(model_name)
+    params = coca.init_coca(jax.random.PRNGKey(0), cfg)
+    tokens = jnp.zeros((batch_size, cfg.text.context_length), jnp.int32)
+    tokens = tokens.at[:, 0].set(49406).at[:, 1].set(49407)
+    images = jnp.zeros((batch_size, cfg.vision.image_size,
+                        cfg.vision.image_size, 3), dtype)
+
+    def cost(fn, *args):
+        compiled = jax.jit(fn).lower(*args).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0] if ca else {}
+        return ca or {}
+
+    img_cost = cost(lambda p, x: coca.encode_image_coca(
+        p, cfg, x, dtype=dtype)[0], params, images)
+    txt_cost = cost(lambda p, t: coca.encode_text_coca(
+        p, cfg, t, dtype=dtype)[0], params, tokens)
+    return {
+        "model": model_name,
+        "image_size": cfg.vision.image_size,
+        "image_width": cfg.vision.width,
+        "text_width": cfg.text.width,
+        "embed_dim": cfg.embed_dim,
+        "mparams": count_params(params) / 1e6,
+        "mparams_image": count_params(params["visual"]) / 1e6,
+        "mparams_text": count_params(params["text"]) / 1e6,
+        "gflops_image": float(img_cost.get("flops", 0)) / 1e9,
+        "gflops_text": float(txt_cost.get("flops", 0)) / 1e9,
+        "gbytes_image": float(img_cost.get("bytes accessed", 0)) / 1e9,
+        "gbytes_text": float(txt_cost.get("bytes accessed", 0)) / 1e9,
+    }
+
+
 def profile_model(model_name: str, batch_size: int = 1,
                   dtype=jnp.float32) -> Dict[str, float]:
+    from leaf_tpu.models.coca import COCA_CONFIGS
+    if model_name in COCA_CONFIGS:
+        return _profile_coca(model_name, batch_size, dtype)
     cfg = get_model_config(model_name)
     params = lclip.init_clip(jax.random.PRNGKey(0), cfg)
     tokens = jnp.zeros((batch_size, cfg.text.context_length), jnp.int32)

@@ -48,7 +48,10 @@ class WandbTracker(Tracker):
 
     def log(self, data, step=None):
         import wandb
-        wandb.log(dict(data, step=step) if step is not None else data)
+        # step= keeps wandb's x-axis on the TRAINING step (reference
+        # utils_AT.py wandb.log(log_data, step=step)); stuffing it into
+        # the dict made charts use the log-call index instead
+        wandb.log(data, step=step)
 
     def finish(self):
         import wandb

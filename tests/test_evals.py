@@ -182,7 +182,8 @@ def test_clipscore_cli(tmp_path):
                 tmp_path / d / f"{i}.png")
     caps = tmp_path / "caps.json"
     caps.write_text(json.dumps(["a cat", "a dog", "a car"]))
-    out = main(["--model", "ViT-tiny-test", "--gen-dir",
+    out = main(["--model", "ViT-tiny-test", "--allow-random-weights",
+                "--gen-dir",
                 str(tmp_path / "gen"), "--real-dir", str(tmp_path / "real"),
                 "--captions", str(caps),
                 "--output", str(tmp_path / "r.json")])
