@@ -48,7 +48,10 @@ _REGISTRY = {
     ),
     "yelp": dict(
         hf_id="fancyzhx/yelp_polarity", text_key="text",
-        test_split="test", val_from_train=True,
+        # the reference hardcodes key_test_set='test' for yelp even for
+        # the class-balanced test=False subset (data_AT.py:193-194) —
+        # unlike agnews/sst2 which switch to train/validation
+        test_split="test", val_from_train=False,
         anchor_images=["Negative.png", "Positive.png"],
         captions=["Negative Review", "Positive Review"],
         template="Sentiment: {}",

@@ -49,9 +49,10 @@ class ResNetVisionConfig:
 
 def conv2d(x: jnp.ndarray, w: jnp.ndarray, stride: int = 1,
            padding: int = 0) -> jnp.ndarray:
-    """NHWC conv; w is [kh, kw, cin, cout]."""
+    """NHWC conv; w is [kh, kw, cin, cout] (cast to x's dtype — bf16
+    towers crash the conv on mixed dtypes otherwise)."""
     return jax.lax.conv_general_dilated(
-        x, w, window_strides=(stride, stride),
+        x, w.astype(x.dtype), window_strides=(stride, stride),
         padding=[(padding, padding), (padding, padding)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
@@ -71,8 +72,11 @@ def batch_norm(p: Params, x: jnp.ndarray, train_mode: bool = False,
     else:
         mean, var = p["mean"], p["var"]
         new_stats = {"mean": p["mean"], "var": p["var"]}
-    y = (x - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
-    return y, new_stats
+    # BN statistics in fp32 (bf16 rsqrt of tiny variances is lossy),
+    # output back in x's dtype
+    y = ((x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + eps)
+         * p["scale"] + p["bias"])
+    return y.astype(x.dtype), new_stats
 
 
 def avg_pool(x: jnp.ndarray, k: int) -> jnp.ndarray:

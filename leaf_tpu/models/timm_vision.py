@@ -102,6 +102,7 @@ def timm_vit_blocks_to_stack(sd: Mapping[str, Any], trunk_prefix: str,
     (shared by the generic ViT mapping below and the MCi hybrid ViT,
     models/mci.py)."""
     g = lambda k: _np(sd[trunk_prefix + k])  # noqa: E731
+    has = lambda k: (trunk_prefix + k) in sd  # noqa: E731
 
     def stack(fmt, transpose=False):
         per = []
@@ -110,19 +111,42 @@ def timm_vit_blocks_to_stack(sd: Mapping[str, Any], trunk_prefix: str,
             per.append(w.T if transpose else w)
         return np.stack(per)
 
+    # optional timm features handled exactly at load time:
+    #  * qkv_bias=False (vit_medium_*_gap): zero biases
+    #  * LayerScale (init_values=...): ls.gamma scales the branch
+    #    OUTPUT before the residual add — gamma*(h@W + b) folds into
+    #    (W*gamma, b*gamma) column-wise, a lossless reparameterization
+    def maybe_bias(fmt, width_fmt):
+        if has(fmt.format(0)):
+            return stack(fmt)
+        w0 = g(width_fmt.format(0))
+        return np.zeros((n_layers, w0.shape[0]), np.float32)
+
+    qkv_w = stack("blocks.{}.attn.qkv.weight", True)
+    qkv_b = maybe_bias("blocks.{}.attn.qkv.bias", "blocks.{}.attn.qkv.weight")
+    out_w = stack("blocks.{}.attn.proj.weight", True)
+    out_b = stack("blocks.{}.attn.proj.bias")
+    fc_w = stack("blocks.{}.mlp.fc1.weight", True)
+    fc_b = stack("blocks.{}.mlp.fc1.bias")
+    proj_w = stack("blocks.{}.mlp.fc2.weight", True)
+    proj_b = stack("blocks.{}.mlp.fc2.bias")
+    if has("blocks.0.ls1.gamma"):
+        g1 = stack("blocks.{}.ls1.gamma")      # [L, D]
+        g2 = stack("blocks.{}.ls2.gamma")
+        out_w = out_w * g1[:, None, :]
+        out_b = out_b * g1
+        proj_w = proj_w * g2[:, None, :]
+        proj_b = proj_b * g2
+
     return {
         "ln_1": {"scale": stack("blocks.{}.norm1.weight"),
                  "bias": stack("blocks.{}.norm1.bias")},
-        "attn": {"qkv_w": stack("blocks.{}.attn.qkv.weight", True),
-                 "qkv_b": stack("blocks.{}.attn.qkv.bias"),
-                 "out_w": stack("blocks.{}.attn.proj.weight", True),
-                 "out_b": stack("blocks.{}.attn.proj.bias")},
+        "attn": {"qkv_w": qkv_w, "qkv_b": qkv_b,
+                 "out_w": out_w, "out_b": out_b},
         "ln_2": {"scale": stack("blocks.{}.norm2.weight"),
                  "bias": stack("blocks.{}.norm2.bias")},
-        "mlp": {"fc_w": stack("blocks.{}.mlp.fc1.weight", True),
-                "fc_b": stack("blocks.{}.mlp.fc1.bias"),
-                "proj_w": stack("blocks.{}.mlp.fc2.weight", True),
-                "proj_b": stack("blocks.{}.mlp.fc2.bias")},
+        "mlp": {"fc_w": fc_w, "fc_b": fc_b,
+                "proj_w": proj_w, "proj_b": proj_b},
     }
 
 

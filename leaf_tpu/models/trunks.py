@@ -47,11 +47,16 @@ def register_trunk(spec_cls, init_fn: Callable, encode_fn: Callable,
 
 def _load_families() -> None:
     import importlib
+    import logging
     for mod in _FAMILY_MODULES:
         try:
             importlib.import_module(mod)
-        except ImportError:
-            pass
+        except ImportError as e:
+            # a swallowed import failure would surface later as a
+            # misleading "unsupported timm model" — keep the real cause
+            logging.getLogger(__name__).warning(
+                "trunk family %s failed to import (%r); its configs "
+                "will be unavailable", mod, e)
 
 
 def spec_for_timm_name(name: str, embed_dim: int,

@@ -189,6 +189,12 @@ def main(args=None) -> Dict:
             image_resize_mode=args.image_resize_mode,
             aug_cfg=AugmentationCfg.parse(args.aug_cfg or None))
         cfg = model.cfg
+        if cfg.resnet is not None:
+            LOG.warning(
+                "RN towers train with FROZEN (inference-mode) BatchNorm "
+                "statistics in this framework — fine for finetuning "
+                "pretrained weights, a deviation from torch train-mode "
+                "BN when training from scratch")
         params = replicate(model.params, mesh)
     tokenizer = get_tokenizer(args.model if not is_coca else "")
 

@@ -177,3 +177,43 @@ def test_custom_text_clip_with_timm_trunk_loads():
                         jnp.asarray(toks))
     assert out["image_features"].shape == (2, 48)
     assert out["text_features"].shape == (2, 48)
+
+
+def test_layerscale_folding_and_optional_qkv_bias():
+    """qkv_bias=False timm ViTs (vit_medium_*_gap) load with zero
+    biases, and LayerScale gammas fold losslessly into the branch
+    output projections: gamma*(h@W + b) == h@(W*gamma) + b*gamma."""
+    import numpy as np
+    from leaf_tpu.models.timm_vision import timm_vit_blocks_to_stack
+
+    rng = np.random.default_rng(0)
+    D, L = 8, 2
+    sd = {}
+    for i in range(L):
+        p = f"t.blocks.{i}."
+        sd[p + "attn.qkv.weight"] = rng.normal(size=(3 * D, D))
+        sd[p + "attn.proj.weight"] = rng.normal(size=(D, D))
+        sd[p + "attn.proj.bias"] = rng.normal(size=(D,))
+        sd[p + "mlp.fc1.weight"] = rng.normal(size=(4 * D, D))
+        sd[p + "mlp.fc1.bias"] = rng.normal(size=(4 * D,))
+        sd[p + "mlp.fc2.weight"] = rng.normal(size=(D, 4 * D))
+        sd[p + "mlp.fc2.bias"] = rng.normal(size=(D,))
+        sd[p + "norm1.weight"] = np.ones(D); sd[p + "norm1.bias"] = np.zeros(D)
+        sd[p + "norm2.weight"] = np.ones(D); sd[p + "norm2.bias"] = np.zeros(D)
+        sd[p + "ls1.gamma"] = rng.normal(size=(D,)) * 1e-1
+        sd[p + "ls2.gamma"] = rng.normal(size=(D,)) * 1e-1
+    blocks = timm_vit_blocks_to_stack(sd, "t.", L)
+    assert np.allclose(blocks["attn"]["qkv_b"], 0.0)  # no qkv bias key
+    # fold parity on the attention projection of layer 0
+    h = rng.normal(size=(5, D))
+    g1 = sd["t.blocks.0.ls1.gamma"]
+    ref = (h @ sd["t.blocks.0.attn.proj.weight"].T
+           + sd["t.blocks.0.attn.proj.bias"]) * g1
+    got = h @ blocks["attn"]["out_w"][0] + blocks["attn"]["out_b"][0]
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-6)
+    g2 = sd["t.blocks.0.ls2.gamma"]
+    h4 = rng.normal(size=(5, 4 * D))
+    ref2 = (h4 @ sd["t.blocks.0.mlp.fc2.weight"].T
+            + sd["t.blocks.0.mlp.fc2.bias"]) * g2
+    got2 = h4 @ blocks["mlp"]["proj_w"][0] + blocks["mlp"]["proj_b"][0]
+    np.testing.assert_allclose(got2, ref2, rtol=2e-5, atol=1e-6)
