@@ -49,6 +49,16 @@ def main():
         watchdog = True
     except Exception:  # noqa: BLE001 — e.g. pytest-captured stderr (no fileno)
         watchdog = False
+    try:
+        _bench_body(watchdog)
+    finally:
+        # an exception mid-bench must not leave an armed exit=True
+        # watchdog in a long-lived caller's interpreter
+        if watchdog:
+            faulthandler.cancel_dump_traceback_later()
+
+
+def _bench_body(watchdog):
 
     from leaf_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
@@ -175,8 +185,6 @@ def main():
     if mesh is not None:
         out["mesh_devices"] = n_mesh
         out["per_chip_samples_per_sec"] = round(samples_per_sec / n_mesh, 2)
-    if watchdog:
-        faulthandler.cancel_dump_traceback_later()
     print(json.dumps(out))
 
 

@@ -183,7 +183,11 @@ def encode_image_mci_vit(params: Params, spec: MciViTSpec,
     x = jnp.concatenate([cls, x], axis=1)
     x = layers.transformer_stack(params["blocks"], x, None, spec.heads,
                                  layers.gelu, spec.ln_eps, remat=remat,
-                                 packed=(x.shape[1], False))
+                                 # same rule as clip.py: the Pallas
+                                 # custom_vjp under jax.checkpoint is a
+                                 # measured net loss
+                                 packed=None if remat
+                                 else (x.shape[1], False))
     x = layers.layer_norm(params["ln_post"], x, spec.ln_eps)
     pooled = x[:, 0]                                   # timm_pool='token'
     pooled = pooled @ params["proj"].astype(dtype) \
@@ -496,7 +500,7 @@ def _fuse_mobileone(g: _SD, k: int, groups: int) -> Tuple[np.ndarray,
         b_sum = b_sum + b
     if g.has("identity.weight"):         # bare BN skip branch
         c = w_sum.shape[0]
-        wid = _identity_kernel(c, c if groups == 1 else c, groups, k)
+        wid = _identity_kernel(c, c, groups, k)
         w, b = fuse_conv_bn(wid, g.get("identity.weight"),
                             g.get("identity.bias"),
                             g.get("identity.running_mean"),

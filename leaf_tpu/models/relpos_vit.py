@@ -104,12 +104,8 @@ def rel_log_coords(g: int) -> np.ndarray:
     return np.sign(coords) * np.log1p(np.abs(coords))
 
 
-def rel_pos_index(g: int) -> np.ndarray:
-    """[N, N] int32 map from token pair → row of the (2g-1)² table."""
-    ys, xs = np.meshgrid(np.arange(g), np.arange(g), indexing="ij")
-    pos = np.stack([ys.reshape(-1), xs.reshape(-1)], axis=-1)  # [N, 2]
-    d = pos[:, None, :] - pos[None, :, :] + (g - 1)            # [N, N, 2]
-    return (d[..., 0] * (2 * g - 1) + d[..., 1]).astype(np.int32)
+# shared with the swin tower (same relative-position table indexing)
+from leaf_tpu.models.swin import rel_pos_index  # noqa: E402,F401
 
 
 def _rel_pos_bias(p: Params, coords: jnp.ndarray, index: jnp.ndarray,

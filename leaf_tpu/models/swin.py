@@ -234,7 +234,9 @@ def encode_image_swin(params: Params, spec: SwinVisionSpec,
     for s in range(len(spec.depths)):
         stage_fn = _stage
         if remat:
-            stage_fn = jax.checkpoint(_stage, static_argnums=(3,))
+            # spec (a frozen dataclass) and the stage index are both
+            # static — omitting spec crashed checkpoint's abstraction
+            stage_fn = jax.checkpoint(_stage, static_argnums=(2, 3))
         x = stage_fn(params["stages"][s], x, spec, s)
     x = layers.layer_norm(params["ln_post"], x, spec.ln_eps)
     pooled = x.mean(axis=(1, 2))                    # timm global avg pool

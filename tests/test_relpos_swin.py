@@ -331,3 +331,20 @@ def test_interop_routes_swin_trunk_checkpoints():
     out = lclip.encode_image_model(params, cfg, x, normalize=True)
     assert out.shape == (2, cfg.embed_dim)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_trunk_families_remat_forward():
+    """grad checkpointing must work for every trunk family — the swin
+    stage checkpoint used to crash on the non-static spec argument."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from leaf_tpu.models import factory
+    from leaf_tpu.models import trunks
+    for name in ("swin-tiny-test", "relpos-tiny-test", "eva-tiny-test",
+                 "mci-vit-tiny-test", "vitamin-tiny-test"):
+        m = factory.create_model(name, None)
+        x = jnp.zeros((1, m.cfg.vision.image_size,
+                       m.cfg.vision.image_size, 3), jnp.float32)
+        f = trunks.encode(m.params["visual"], m.cfg.trunk, x, remat=True)
+        assert np.isfinite(np.asarray(f)).all(), name
