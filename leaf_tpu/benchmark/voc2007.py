@@ -95,12 +95,11 @@ class Voc2007Multilabel:
         self.samples = []
         for image_id in read_split(root, split):
             target = np.zeros(len(OBJECT_CATEGORIES), np.float32)
-            for label, _, difficult in read_objects(root, image_id):
-                # `difficult` objects are neither positive nor negative
-                # in the reference's CSV encoding — excluded from mAP
-                # positives (reference voc2007.py write_object_labels_csv)
-                if not difficult:
-                    target[label] = 1.0
+            for label, _, _difficult in read_objects(root, image_id):
+                # the reference sets 1 for EVERY bounding box including
+                # difficult ones (voc2007.py read_bndbox + labels[..]=1
+                # with no difficult filtering)
+                target[label] = 1.0
             self.samples.append((image_id, target))
 
     def __len__(self):

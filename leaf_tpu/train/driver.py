@@ -140,9 +140,11 @@ def main(args=None) -> Dict:
         image_resize_mode=args.image_resize_mode)
     cfg = model.cfg
     params = replicate(model.params, mesh)
-    # real buffer copy: the train step donates its text params, so the
-    # frozen anchor tower must own distinct device buffers
-    frozen_text_params = jax.tree.map(jnp.copy, params["text"])
+    # the frozen anchor tower takes the ORIGINAL buffers (popped so no
+    # dead third copy stays pinned in HBM — ~GBs for ViT-H towers);
+    # the trainable state below is created from a copy, which is what
+    # the train step donates
+    frozen_text_params = params.pop("text")
     dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
 
     # attack vocabulary V (`train_AT_text_only.py:93`)
@@ -178,8 +180,9 @@ def main(args=None) -> Dict:
                         grad_clip_norm=args.grad_clip_norm,
                         accum_freq=args.accum_freq)
     # copy: the jitted train step donates its buffers, which must not
-    # alias params["text"] (still referenced by epoch-0 eval)
-    state = TrainState.create(jax.tree.map(jnp.copy, params["text"]), tx)
+    # alias the frozen anchor tower
+    state = TrainState.create(
+        jax.tree.map(jnp.copy, frozen_text_params), tx)
 
     train_step = make_train_step(cfg, tx, normalize=args.normalize_fare,
                                  dtype=dtype, remat=args.grad_checkpointing,
@@ -229,10 +232,6 @@ def main(args=None) -> Dict:
         # the local run dir may be a fresh machine (reference
         # `train_AT_text_only.py:158-179`)
         if args.remote_sync and args.resume == "latest":
-            if args.save_most_recent:
-                raise ValueError(
-                    "cannot use --save-most-recent with --remote-sync and "
-                    "--resume latest (reference errors likewise)")
             remote_ckpts = os.path.join(args.remote_sync, run_name,
                                         "checkpoints")
             if "://" in remote_ckpts:
@@ -246,6 +245,13 @@ def main(args=None) -> Dict:
                     found = remote
         return found
 
+    # config validation must run on EVERY rank: a master-only raise
+    # would leave the other hosts hanging in the broadcast collective
+    if args.remote_sync and args.resume == "latest" \
+            and args.save_most_recent:
+        raise ValueError(
+            "cannot use --save-most-recent with --remote-sync and "
+            "--resume latest (reference errors likewise)")
     resume = broadcast_object(_discover_resume() if master else None)
     if resume is not None:
         epoch_done, path = resume
@@ -368,6 +374,10 @@ def main(args=None) -> Dict:
             save(0)
 
     if "train" not in data:
+        if sync_thread is not None:
+            sync_thread.stop(final_sync=True)   # epoch-0 eval results
+        if tracker is not None:
+            tracker.finish()
         return {"results": results.rows if results is not None else [],
                 "state": state}
 
@@ -386,7 +396,9 @@ def main(args=None) -> Dict:
         if tracker is not None:
             tracker.log({f"val/{k}": v for k, v in metrics.items()
                          if isinstance(v, (int, float))}, step=completed)
-        if completed % args.save_frequency == 0 or completed == args.epochs:
+        if (args.save_frequency > 0
+                and completed % args.save_frequency == 0) \
+                or completed == args.epochs:
             save(completed)
         if args.save_most_recent:
             ckpt.save_latest(ckpt_dir, completed, payload())

@@ -209,8 +209,11 @@ def main(argv=None):
     # completed runs clean their fallbacks up (reference
     # `adversarial_training_clip.py:253-255`); the milestone
     # checkpoints are the durable artifacts
+    ckpt.wait_for_checkpoints()   # final milestone must be COMMITTED
     if out["steps"] >= fcfg.steps and jax.process_index() == 0 \
             and os.path.isdir(ckpt_dir):
+        # ...before the fallbacks are deleted, or a crash in the write
+        # window leaves neither
         import shutil
         for name in os.listdir(ckpt_dir):
             if name.startswith("fallback_"):
@@ -218,7 +221,6 @@ def main(argv=None):
                               ignore_errors=True)
     LOG.info("FARE done: %d steps, final loss %.5g", out["steps"],
              out["final_loss"])
-    ckpt.wait_for_checkpoints()   # async Orbax commit must not race exit
     return out
 
 

@@ -63,11 +63,3 @@ def make_optimizer(
     if accum_freq > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accum_freq)
     return tx
-
-
-def get_default_hparams(model_name: str) -> Dict[str, float]:
-    """Per-model-family default lr/beta/eps when unset
-    (reference `params_AT.py:599-606` get_default_params)."""
-    if "ViT" in model_name or "coca" in model_name.lower():
-        return {"lr": 5.0e-4, "beta1": 0.9, "beta2": 0.98, "eps": 1.0e-6}
-    return {"lr": 5.0e-4, "beta1": 0.9, "beta2": 0.999, "eps": 1.0e-8}

@@ -82,11 +82,12 @@ class TimingLedger:
         self.times: List[float] = []
 
     def append(self, seconds: float):
+        # incremental append (this runs once per training batch —
+        # rewriting the whole file per step is O(n²) I/O)
+        header = not self.times and not os.path.exists(self.path)
         self.times.append(seconds)
-        tmp = self.path + ".tmp"
-        with open(tmp, "w", newline="") as f:
+        with open(self.path, "w" if header else "a", newline="") as f:
             writer = csv.writer(f)
-            writer.writerow(["0"])
-            for i, t in enumerate(self.times):
-                writer.writerow([t])
-        os.replace(tmp, self.path)
+            if header:
+                writer.writerow(["0"])
+            writer.writerow([seconds])
