@@ -43,13 +43,18 @@ def train_probe(features: np.ndarray, labels: np.ndarray, n_classes: int,
     key = jax.random.PRNGKey(seed)
     params = {"w": 0.01 * jax.random.normal(key, (D, n_classes)),
               "b": jnp.zeros((n_classes,))}
+    if epochs <= 0:
+        raise ValueError(f"linear probe needs epochs > 0, got {epochs}")
     tx = optax.adamw(lr, weight_decay=weight_decay)
     opt_state = tx.init(params)
     X = jnp.asarray(features)
     y = jnp.asarray(labels)
 
+    # X/y as jit ARGUMENTS: closing over them would bake the whole
+    # feature matrix into the executable as constants and retrace per
+    # train_probe call (the weight-decay sweep calls this repeatedly)
     @jax.jit
-    def step(params, opt_state):
+    def step(params, opt_state, X, y):
         def loss_fn(p):
             logits = X @ p["w"] + p["b"]
             logp = jax.nn.log_softmax(logits, -1)
@@ -59,7 +64,7 @@ def train_probe(features: np.ndarray, labels: np.ndarray, n_classes: int,
         return optax.apply_updates(params, updates), opt_state, loss
 
     for _ in range(epochs):
-        params, opt_state, loss = step(params, opt_state)
+        params, opt_state, loss = step(params, opt_state, X, y)
     return params, float(loss)
 
 

@@ -25,7 +25,6 @@ import numpy as np
 
 from leaf_tpu.attacks.engine import CandidateScorer
 from leaf_tpu.attacks.image import attack_image_classification, _normalize_images
-from leaf_tpu.attacks.text import attack_text_charmer_classification
 from leaf_tpu.models import clip as lclip
 from leaf_tpu.models.config import CLIPConfig
 from leaf_tpu.models.zero_shot import (

@@ -112,8 +112,15 @@ def main(argv=None) -> Dict[str, float]:
 
     pretrained = (resolve_pretrained(args.model, args.pretrained)
                   if args.pretrained else None)
-    model, _, preprocess = create_model_and_transforms(
+    model, _, _ = create_model_and_transforms(
         args.model, pretrained, precision=args.precision)
+    # anchor images must reach class_anchor_features UN-normalized —
+    # it normalizes internally via _normalize_images, and the factory's
+    # transform already normalizes (a double (x-m)/s corrupted the
+    # image-anchored class embeddings)
+    from leaf_tpu.models.preprocess import image_transform
+    preprocess = image_transform(model.cfg.vision.image_size,
+                                 do_normalize=False)
     tokenizer = get_tokenizer(args.model)
     dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
     scorer = CandidateScorer(model.cfg, dtype=dtype)
@@ -124,6 +131,8 @@ def main(argv=None) -> Dict[str, float]:
         textcls = TextClassificationData.from_samples("agnews", samples)
     else:
         from leaf_tpu.data.textcls import get_text_classification_dataset
+        if args.n_test is not None and args.n_test <= 0:
+            p.error("--n_test must be positive")
         textcls = get_text_classification_dataset(
             args.dataset, n_samples=args.n_test or 1000)
 
