@@ -276,15 +276,36 @@ def timm_convnext_to_params(sd: Mapping[str, Any], spec: ConvNeXtVisionSpec,
             }
         p["stages"].append(stage)
 
-    if spec.proj == "linear" and head_prefix + "proj.weight" in sd:
+    has_linear = head_prefix + "proj.weight" in sd
+    has_mlp = head_prefix + "mlp.fc1.weight" in sd
+    if spec.proj == "linear":
+        if not has_linear:
+            raise KeyError(
+                f"config expects a linear projection head but the "
+                f"checkpoint has no {head_prefix}proj.weight"
+                + (" (it carries an MLP head — config/checkpoint "
+                   "mismatch)" if has_mlp else
+                   " (trunk-only checkpoint?)"))
         p["proj"] = _np(sd[head_prefix + "proj.weight"]).T
-    elif spec.proj == "mlp" and head_prefix + "mlp.fc1.weight" in sd:
+    elif spec.proj == "mlp":
+        if not has_mlp:
+            raise KeyError(
+                f"config expects an MLP projection head but the "
+                f"checkpoint has no {head_prefix}mlp.fc1.weight"
+                + (" (it carries a linear head — config/checkpoint "
+                   "mismatch)" if has_linear else
+                   " (trunk-only checkpoint?)"))
         m = {"fc_w": _np(sd[head_prefix + "mlp.fc1.weight"]).T,
              "fc_b": _np(sd[head_prefix + "mlp.fc1.bias"]),
              "proj_w": _np(sd[head_prefix + "mlp.fc2.weight"]).T}
         if head_prefix + "mlp.fc2.bias" in sd:
             m["proj_b"] = _np(sd[head_prefix + "mlp.fc2.bias"])
         p["head_mlp"] = m
+    elif has_linear or has_mlp:
+        raise KeyError(
+            "config declares no projection head (proj='none') but the "
+            "checkpoint carries one — embeddings would silently come "
+            "out in trunk space")
     return jax.tree.map(jnp.asarray, p)
 
 
