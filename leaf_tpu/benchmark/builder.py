@@ -169,10 +169,16 @@ def classnames_and_templates(name: str, language: str = "en",
             classnames = babel[1]
         else:
             classnames = load_language_classnames("en")[key]
+    elif fallback_classes is not None \
+            and not _numeric_class_order(list(fallback_classes)):
+        # dataset-shipped REAL classnames (classnames.txt / folder
+        # names) define the label order — they win over the bundled
+        # table, whose order may differ
+        classnames = list(fallback_classes)
     elif key in load_language_classnames("en"):
-        # the en table's REAL names beat numeric folder placeholders —
-        # non-en languages ship only imagenet1k, and evaluating flowers
-        # against the literal strings '0'..'101' is near-random
+        # the en table's real names beat NUMERIC folder placeholders —
+        # evaluating flowers against the literal strings '0'..'101'
+        # is near-random
         classnames = load_language_classnames("en")[key]
     elif fallback_classes is not None:
         classnames = list(fallback_classes)

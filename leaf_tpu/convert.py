@@ -39,9 +39,15 @@ def params_to_openclip(params: Params, cfg: CLIPConfig) -> Dict[str, np.ndarray]
     put("positional_embedding", t["positional_embedding"])
     put("ln_final.weight", t["ln_final"]["scale"])
     put("ln_final.bias", t["ln_final"]["bias"])
-    put("text_projection", t["text_projection"])
-    if "text_projection_bias" in t:   # SigLIP-style Linear projection
+    if "text_projection_bias" in t:
+        # SigLIP-style Linear projection: open_clip (and our loaders)
+        # read the bias only alongside the nn.Linear-style
+        # 'text_projection.weight' ([out, in]) — the parameter-style
+        # 'text_projection' key would silently drop it on reload
+        put("text_projection.weight", np.asarray(t["text_projection"]).T)
         put("text_projection.bias", t["text_projection_bias"])
+    else:
+        put("text_projection", t["text_projection"])
     put("logit_scale", params["logit_scale"])
     if "logit_bias" in params:        # sigmoid-loss models
         put("logit_bias", params["logit_bias"])

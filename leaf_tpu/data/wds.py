@@ -98,15 +98,46 @@ def base_plus_ext(path: str) -> Tuple[Optional[str], Optional[str]]:
     return m.group(1), m.group(2)
 
 
-def _open_tar(url: str) -> tarfile.TarFile:
+class _PipeTar:
+    """tarfile over a `pipe:` subprocess; close() reaps the process and
+    surfaces a non-zero exit (a failed `aws s3 cp` would otherwise look
+    like an empty shard, and unwaited children accumulate as zombies)."""
+
+    def __init__(self, cmd: str):
+        import subprocess
+        self._cmd = cmd
+        self._proc = subprocess.Popen(cmd, shell=True,
+                                      stdout=subprocess.PIPE)
+        try:
+            self._tar = tarfile.open(fileobj=self._proc.stdout, mode="r|*")
+        except BaseException:
+            # reap even when the stream is immediately unreadable
+            # (e.g. the command exited without output)
+            self._proc.stdout.close()
+            self._proc.wait()
+            raise
+
+    def __iter__(self):
+        return iter(self._tar)
+
+    def extractfile(self, member):
+        return self._tar.extractfile(member)
+
+    def close(self):
+        self._tar.close()
+        self._proc.stdout.close()
+        rc = self._proc.wait()
+        if rc != 0:
+            LOG.warning("pipe shard command failed (exit %d): %s",
+                        rc, self._cmd)
+
+
+def _open_tar(url: str):
     """Local file, `pipe:cmd` subprocess stream, or http(s) stream —
     the url schemes webdataset accepts (reference tar urls are often
     `pipe:aws s3 cp ... -`)."""
     if url.startswith("pipe:"):
-        import subprocess
-        proc = subprocess.Popen(url[5:], shell=True,
-                                stdout=subprocess.PIPE)
-        return tarfile.open(fileobj=proc.stdout, mode="r|*")
+        return _PipeTar(url[5:])
     if url.startswith(("http://", "https://")):
         import urllib.request
         return tarfile.open(fileobj=urllib.request.urlopen(url),

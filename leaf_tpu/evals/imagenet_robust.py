@@ -121,7 +121,8 @@ def main(argv=None):
             eps, n_iter=args.attack_iters,
             n_targets=args.n_targets, norm=args.norm)
         fooled = np.asarray(fooled)
-        adv = np.asarray(adv)
+        adv = np.array(adv)   # writable copy (np.asarray of a jax
+        # array is read-only; square successes assign into it below)
         if args.square and (~fooled).any():
             from leaf_tpu.attacks.square import square_attack
             labels_j = jnp.asarray(labels)

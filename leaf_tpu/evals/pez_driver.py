@@ -54,7 +54,9 @@ def run_one_inversion(caption: str, params, cfg, tokenizer, args) -> dict:
                                cfg.quick_gelu, normalize=True)
     if args.prompt_len == "match":
         ids = np.asarray(tokens)[0]
-        prompt_len = int((ids != 0).sum()) - 2  # minus SOT/EOT
+        # EOT position (the max id), not a nonzero count — BPE id 0 is
+        # the non-final '!' token and appears mid-caption
+        prompt_len = int(ids.argmax()) - 1      # minus SOT
         prompt_len = max(1, min(prompt_len, cfg.text.context_length - 2))
     else:
         prompt_len = int(args.prompt_len)

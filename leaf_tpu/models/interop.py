@@ -288,13 +288,13 @@ def params_to_hf(params: Params, cfg: CLIPConfig) -> Dict[str, np.ndarray]:
     width = cfg.vision.width
     conv = np.asarray(v["patch_embedding"]).reshape(p, p, 3, width)
     put("vision_model.embeddings.patch_embedding.weight", conv.transpose(3, 2, 0, 1))
+    if "ln_pre" not in v or "class_embedding" not in v:
+        raise ValueError(
+            "transformers' CLIPModel has a mandatory pre_layrnorm and "
+            "class embedding; this tower lacks them (CLIPA-style "
+            "no_ln_pre / token-less) — export with --to openclip instead")
     put("vision_model.embeddings.class_embedding", v["class_embedding"])
     put("vision_model.embeddings.position_embedding.weight", v["positional_embedding"])
-    if "ln_pre" not in v:
-        raise ValueError(
-            "transformers' CLIPModel has a mandatory pre_layrnorm; this "
-            "tower has none (CLIPA-style no_ln_pre) — export with "
-            "--to openclip instead")
     put("vision_model.pre_layrnorm.weight", v["ln_pre"]["scale"])
     put("vision_model.pre_layrnorm.bias", v["ln_pre"]["bias"])
     put("vision_model.post_layernorm.weight", v["ln_post"]["scale"])

@@ -83,11 +83,13 @@ class TimingLedger:
 
     def append(self, seconds: float):
         # incremental append (this runs once per training batch —
-        # rewriting the whole file per step is O(n²) I/O)
-        header = not self.times and not os.path.exists(self.path)
+        # rewriting the whole file per step is O(n²) I/O).  The FIRST
+        # append of this ledger truncates: a stale times_*.csv from a
+        # previous run must not have new rows appended to it.
+        first = not self.times
         self.times.append(seconds)
-        with open(self.path, "w" if header else "a", newline="") as f:
+        with open(self.path, "w" if first else "a", newline="") as f:
             writer = csv.writer(f)
-            if header:
+            if first:
                 writer.writerow(["0"])
             writer.writerow([seconds])
