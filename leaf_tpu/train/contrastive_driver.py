@@ -419,6 +419,28 @@ def main(args=None) -> Dict:
         losses_m = AverageMeter()
         batch_time_m = AverageMeter()
         end = time.time()
+        # deferred logging: async device->host loss copy, emitted one
+        # logging point later (same as train.loop) — float(loss) right
+        # after the dispatch is a blocking device read, a full round
+        # trip per step on the tunneled TPU backend.  state.step is
+        # mirrored on host (step_ctr) because the device scalar of a
+        # past state may sit in a donated buffer by flush time.
+        pending = None
+        step_ctr = int(state.step)
+
+        def _flush(rec):
+            if rec is None:
+                return
+            loss_val = float(rec["loss_arr"])
+            losses_m.update(loss_val)
+            LOG.info("Contrastive Epoch %d [%d/%d] loss %.5g (%.5g) "
+                     "%.1f samples/s", epoch, rec["i1"], steps_per_epoch,
+                     loss_val, losses_m.avg, rec["sps"])
+            if tracker is not None:
+                tracker.log({"train/loss": loss_val,
+                             "train/samples_per_second": rec["sps"]},
+                            step=rec["step"])
+
         for i, (images, texts) in enumerate(
                 _batch_iter(info.loader, args.accum_freq)):
             ctx = cfg.text.context_length
@@ -437,21 +459,23 @@ def main(args=None) -> Dict:
                                          tokens_d)
             else:
                 state, metrics = step_fn(state, images_d, tokens_d)
+            step_ctr += 1
             batch_time_m.update(time.time() - end)
             end = time.time()
             if (i + 1) % args.log_every_n_steps == 0 \
                     or i + 1 == steps_per_epoch:
-                loss_val = float(metrics["loss"])
-                losses_m.update(loss_val)
+                loss_arr = metrics["loss"]
+                try:
+                    loss_arr.copy_to_host_async()
+                except AttributeError:
+                    pass
                 sps = (args.batch_size * args.accum_freq
                        * jax.process_count() / batch_time_m.val)
-                LOG.info("Contrastive Epoch %d [%d/%d] loss %.5g (%.5g) "
-                         "%.1f samples/s", epoch, i + 1, steps_per_epoch,
-                         loss_val, losses_m.avg, sps)
-                if tracker is not None:
-                    tracker.log({"train/loss": loss_val,
-                                 "train/samples_per_second": sps},
-                                step=int(state.step))
+                rec = {"loss_arr": loss_arr, "i1": i + 1, "sps": sps,
+                       "step": step_ctr}
+                _flush(pending)
+                pending = rec
+        _flush(pending)
         completed = epoch + 1
         metrics = run_eval(completed)
         if metrics:

@@ -118,6 +118,39 @@ def train_one_epoch_text_only(
     end = time.time()
 
     log_data: Dict[str, float] = {}
+    # deferred logging: each logged step's loss is fetched with an async
+    # device->host copy and the log line is emitted one logging point
+    # later (flushed at epoch end).  float(metrics["loss"]) right after
+    # the dispatch is a blocking device read — on the tunneled TPU
+    # backend that is a full round trip per step at
+    # --log-every-n-steps 1 (measured: driver 320-370 samples/s vs
+    # bench 426 without the sync).  Content and order of the emitted
+    # lines are unchanged.
+    pending_log: Optional[Dict] = None
+
+    def _flush(rec: Optional[Dict]):
+        nonlocal log_data
+        if rec is None:
+            return
+        loss_val = float(rec["loss_arr"])
+        losses_m.update(loss_val, rec["n_texts"])
+        LOG.info(
+            "Train Epoch: %d [%d/%d (%.0f%%)] "
+            "Data (t): %.3f Batch (t): %.3f, %.1f/s "
+            "Attack (t): %.3f Loss: %.5g (%.5g)",
+            epoch, rec["seen"], info.num_samples, rec["pct"],
+            rec["data_time"], rec["batch_time"], rec["sps"],
+            rec["attack_seconds"], loss_val, losses_m.avg)
+        log_data = {
+            "train/loss": loss_val,
+            "train/data_time": rec["data_time_val"],
+            "train/batch_time": rec["batch_time_val"],
+            "train/samples_per_second": rec["sps"],
+            "train/attack_seconds": rec["attack_seconds"],
+            "train/step": rec["step"],
+        }
+        if tracker is not None:
+            tracker.log(log_data, step=rec["step"])
     loader_it = iter(info.loader)
     batch = next(loader_it, None)
     prepared = None
@@ -191,31 +224,32 @@ def train_one_epoch_text_only(
         if ((i + 1) % args.accum_freq == 0
                 and (batch_count % args.log_every_n_steps == 0
                      or batch_count == num_batches_per_epoch)):
-            loss_val = float(metrics["loss"])
-            losses_m.update(loss_val, len(texts))
+            loss_arr = metrics["loss"]
+            try:
+                loss_arr.copy_to_host_async()
+            except AttributeError:
+                pass  # already a host value (numpy / python float)
             samples_per_second = (args.accum_freq * args.batch_size
                                   * jax.process_count() / batch_time_m.val)
-            pct = 100.0 * batch_count / max(num_batches_per_epoch, 1)
-            LOG.info(
-                "Train Epoch: %d [%d/%d (%.0f%%)] "
-                "Data (t): %.3f Batch (t): %.3f, %.1f/s "
-                "Attack (t): %.3f Loss: %.5g (%.5g)",
-                epoch, batch_count * args.batch_size * args.accum_freq,
-                info.num_samples, pct, data_time_m.avg, batch_time_m.avg,
-                samples_per_second, attack_seconds, loss_val, losses_m.avg)
-            log_data = {
-                "train/loss": losses_m.val,
-                "train/data_time": data_time_m.val,
-                "train/batch_time": batch_time_m.val,
-                "train/samples_per_second": samples_per_second,
-                "train/attack_seconds": attack_seconds,
-                "train/step": step,
+            rec = {
+                "loss_arr": loss_arr,
+                "n_texts": len(texts),
+                "seen": batch_count * args.batch_size * args.accum_freq,
+                "pct": 100.0 * batch_count / max(num_batches_per_epoch, 1),
+                "data_time": data_time_m.avg,
+                "batch_time": batch_time_m.avg,
+                "data_time_val": data_time_m.val,
+                "batch_time_val": batch_time_m.val,
+                "sps": samples_per_second,
+                "attack_seconds": attack_seconds,
+                "step": step,
             }
-            if tracker is not None:
-                tracker.log(log_data, step=step)
+            _flush(pending_log)
+            pending_log = rec
             batch_time_m.reset()
             data_time_m.reset()
 
+    _flush(pending_log)
     if profiling:
         jax.profiler.stop_trace()
     log_data.setdefault("train/loss", losses_m.avg if losses_m.count else 0.0)
