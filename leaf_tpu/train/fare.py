@@ -256,6 +256,26 @@ def train_fare(model_params, cfg: CLIPConfig, fcfg: FareConfig, data_iter,
     loss_m = AverageMeter()
     step_total = start_step
     t0 = time.time()
+
+    # deferred metric reads: float(metrics[...]) right after the
+    # dispatch blocks on the device (a full round trip per step on the
+    # tunneled TPU backend).  Each step's metrics start an async
+    # device->host copy and are consumed one step later (flushed after
+    # the loop); log-line content is unchanged, emitted one step late.
+    pending = None
+
+    def _flush(rec):
+        if rec is None:
+            return
+        m, n, stp = rec
+        loss_m.update(float(m["loss"]), n)
+        if on_step is not None:
+            on_step(stp, {k: float(v) for k, v in m.items()})
+        if stp % fcfg.log_freq == 0:
+            LOG.info("FARE step %d/%d loss %.5g (%.5g) cos %.4f [%.2fs/step]",
+                     stp, fcfg.steps, loss_m.val, loss_m.avg,
+                     float(m["cos_sim"]),
+                     (time.time() - t0) / max(stp - start_step, 1))
     for images, targets in data_iter:
         if step_total >= fcfg.steps:
             break
@@ -276,20 +296,20 @@ def train_fare(model_params, cfg: CLIPConfig, fcfg: FareConfig, data_iter,
         state, metrics = train_step(state, embedding_orig, images, adv,
                                     targets_j, cls)
         step_total += 1
-        loss_m.update(float(metrics["loss"]), images.shape[0])
-        if on_step is not None:
-            on_step(step_total, {k: float(v) for k, v in metrics.items()})
-        if step_total % fcfg.log_freq == 0:
-            LOG.info("FARE step %d/%d loss %.5g (%.5g) cos %.4f [%.2fs/step]",
-                     step_total, fcfg.steps, loss_m.val, loss_m.avg,
-                     float(metrics["cos_sim"]),
-                     (time.time() - t0) / max(step_total - start_step, 1))
+        for v in metrics.values():
+            try:
+                v.copy_to_host_async()
+            except AttributeError:
+                pass
+        _flush(pending)
+        pending = (metrics, local_n, step_total)
         if checkpoint_fn is not None and step_total in milestones:
             checkpoint_fn(step_total, state)
         if fallback_fn is not None and fcfg.fallback_freq \
                 and step_total % fcfg.fallback_freq == 0:
             fallback_fn(step_total, state)
 
+    _flush(pending)
     out_params = dict(model_params)
     out_params["visual"] = state.text_params
     return {"params": out_params, "state": state, "steps": step_total,

@@ -67,6 +67,11 @@ def parse_args(argv=None):
     p.add_argument("--output-dir", type=str, default="./fare_out")
     p.add_argument("--experiment-name", type=str, default="FARE")
     p.add_argument("--log-freq", type=int, default=10)
+    p.add_argument("--report-to", default="", type=str,
+                   help="comma-sep: wandb,tensorboard (the reference "
+                        "FARE trainer's --wandb, robust_vlm/utils.py:"
+                        "96-115)")
+    p.add_argument("--wandb-project-name", type=str, default="clip-finetune")
     p.add_argument("--fallback-freq", type=int, default=20,
                    help="rolling crash-recovery checkpoint cadence "
                         "(reference saves fallback_<step> every 20 "
@@ -200,12 +205,24 @@ def main(argv=None):
                                     step=loaded["step"])
 
     from leaf_tpu.parallel import create_mesh
+    from leaf_tpu.parallel.distributed import is_master
+    from leaf_tpu.utils.trackers import create_tracker
     mesh = create_mesh()
+    tracker = create_tracker(args.report_to, out_dir, args.experiment_name,
+                             wandb_project=args.wandb_project_name,
+                             config=vars(args)) \
+        if is_master() and args.report_to else None
+    on_step = None
+    if tracker is not None:
+        def on_step(step, metrics):  # noqa: F811
+            tracker.log({f"train/{k}": v for k, v in metrics.items()},
+                        step=step)
     out = train_fare(model.params, cfg, fcfg, repeat_forever(),
                      classifier=classifier, seed=args.seed,
                      checkpoint_fn=checkpoint_fn,
                      fallback_fn=fallback_fn, mesh=mesh,
-                     init_state=init_state, start_step=start_step)
+                     init_state=init_state, start_step=start_step,
+                     on_step=on_step)
     # completed runs clean their fallbacks up (reference
     # `adversarial_training_clip.py:253-255`); the milestone
     # checkpoints are the durable artifacts
@@ -219,6 +236,8 @@ def main(argv=None):
             if name.startswith("fallback_"):
                 shutil.rmtree(os.path.join(ckpt_dir, name),
                               ignore_errors=True)
+    if tracker is not None:
+        tracker.finish()
     LOG.info("FARE done: %d steps, final loss %.5g", out["steps"],
              out["final_loss"])
     return out

@@ -117,9 +117,15 @@ def test_fare_training_reduces_adv_drift(setup):
         while True:
             yield np.asarray(images), None
 
-    out = train_fare(params, cfg, fcfg, data_iter(), seed=0)
+    # on_step fires once per step with host floats (it is deferred one
+    # step behind the dispatch and flushed after the loop)
+    seen = []
+    out = train_fare(params, cfg, fcfg, data_iter(), seed=0,
+                     on_step=lambda s, m: seen.append((s, m)))
     assert out["steps"] == 3
     assert np.isfinite(out["final_loss"])
+    assert [s for s, _ in seen] == [1, 2, 3]
+    assert all(isinstance(m["loss"], float) for _, m in seen)
     # vision params moved, text untouched
     moved = jax.tree.leaves(jax.tree.map(
         lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
