@@ -115,7 +115,8 @@ def attention(p: Params, x: jnp.ndarray, mask: Optional[jnp.ndarray],
     `shard_map` pass `enabled(n_devices=1)` since each shard is local.
     """
     if packed is not None:
-        from leaf_tpu.ops.packed_attention import enabled, packed_attention
+        from leaf_tpu.ops.packed_attention import (
+            enabled, packed_attention, packed_attention_supported)
         kern_ok = enabled() if use_kernels is None else use_kernels
         # measured: without the full block fusion, the standalone kernel
         # beats XLA when rows need no padding, or when rows are long
@@ -123,7 +124,9 @@ def attention(p: Params, x: jnp.ndarray, mask: Optional[jnp.ndarray],
         # kernel 196 ms vs XLA 222).  Row-padded *short* rows (77-token
         # text) were slower than XLA; the fused block in residual_block
         # wins in every case.
-        if kern_ok and (x.shape[1] % 128 == 0 or x.shape[1] >= 192):
+        if kern_ok and (x.shape[1] % 128 == 0 or x.shape[1] >= 192) \
+                and packed_attention_supported(x.shape[-1], x.dtype,
+                                               x.shape[1]):
             group_len, causal = packed
             qkv = x @ p["qkv_w"].astype(x.dtype) + p["qkv_b"].astype(x.dtype)
             out = packed_attention(

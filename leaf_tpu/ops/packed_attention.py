@@ -78,6 +78,21 @@ def enabled(n_devices: Optional[int] = None) -> bool:
     return n == 1
 
 
+def packed_attention_supported(width: int, dtype,
+                               seq_len: int) -> bool:
+    """VMEM gate for the standalone kernel: one grid program holds the
+    double-buffered qkv-in `[1, L_pad, 3D]` and out `[1, L_pad, D]`
+    blocks plus an fp32 `[L_pad, L_pad]` logits/probs temporary.  fp32
+    ViT-L vision shapes (D=1024, L_pad=384) exceed the 16 MB scoped
+    budget (measured: compile-time VMEM OOM at 16.61 MB) — such shapes
+    must take the XLA path."""
+    itemsize = jnp.dtype(dtype).itemsize
+    l_pad = _round_up(seq_len, _LANE)
+    blocks = itemsize * l_pad * 4 * width * 2     # in+out, double-buffered
+    scratch = 4 * l_pad * l_pad * 2               # fp32 logits + probs
+    return blocks + scratch < 13 * 1024 * 1024
+
+
 def _kernel(qkv_ref, o_ref, *, n_heads: int, head_dim: int, group_len: int,
             seq_len: int, sm_scale: float, causal: bool):
     qkv = qkv_ref[0]

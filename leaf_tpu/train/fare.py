@@ -210,8 +210,14 @@ def train_fare(model_params, cfg: CLIPConfig, fcfg: FareConfig, data_iter,
                checkpoint_fn: Optional[Callable[[int, Any], None]] = None,
                fallback_fn: Optional[Callable[[int, Any], None]] = None,
                mesh=None, init_state: Optional[TrainState] = None,
-               start_step: int = 0) -> Dict:
+               start_step: int = 0, dtype=jnp.float32) -> Dict:
     """Run FARE training for fcfg.steps optimizer steps.
+
+    `dtype` is the compute dtype of every encode in the step (PGD inner
+    loop, train fwd/bwd, frozen anchor) — LN/softmax and the loss stay
+    fp32 inside the tower as everywhere else.  The CLI derives it from
+    `--precision` (bf16 default); fp32 here keeps library callers and
+    existing tests bit-stable.
 
     data_iter yields (images [B,H,W,3] in [0,1], targets or None).
     Checkpointing: 10 evenly-spaced milestones + the final step
@@ -244,10 +250,10 @@ def train_fare(model_params, cfg: CLIPConfig, fcfg: FareConfig, data_iter,
     else:
         state = TrainState.create(jax.tree.map(jnp.copy,
                                                model_params["visual"]), tx)
-    attack = make_fare_attack(cfg, fcfg)
-    train_step = make_fare_train_step(cfg, fcfg, tx)
+    attack = make_fare_attack(cfg, fcfg, dtype=dtype)
+    train_step = make_fare_train_step(cfg, fcfg, tx, dtype=dtype)
     anchor_encode = jax.jit(lambda p, x: encode_vision(
-        p, cfg, x, fcfg.output_normalize))
+        p, cfg, x, fcfg.output_normalize, dtype=dtype))
 
     milestones = {int(fcfg.steps * (i + 1) / 10) for i in range(10)}
     key = jax.random.PRNGKey(seed)

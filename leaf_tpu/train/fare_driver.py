@@ -13,6 +13,7 @@ import os
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from leaf_tpu.models import create_model, get_tokenizer
@@ -217,12 +218,18 @@ def main(argv=None):
         def on_step(step, metrics):  # noqa: F811
             tracker.log({f"train/{k}": v for k, v in metrics.items()},
                         step=step)
+    # compute dtype from --precision: bf16 halves both the MXU time and
+    # the activation footprint of the PGD-10 fwd/bwd ladder (before
+    # this, --precision only cast the *params* and every encode still
+    # computed fp32); LN/softmax/loss stay fp32 inside the tower
+    dtype = jnp.bfloat16 if args.precision in ("bf16", "amp") \
+        else jnp.float32
     out = train_fare(model.params, cfg, fcfg, repeat_forever(),
                      classifier=classifier, seed=args.seed,
                      checkpoint_fn=checkpoint_fn,
                      fallback_fn=fallback_fn, mesh=mesh,
                      init_state=init_state, start_step=start_step,
-                     on_step=on_step)
+                     on_step=on_step, dtype=dtype)
     # completed runs clean their fallbacks up (reference
     # `adversarial_training_clip.py:253-255`); the milestone
     # checkpoints are the durable artifacts

@@ -137,6 +137,32 @@ def test_fare_training_reduces_adv_drift(setup):
     assert max(same) == 0
 
 
+def test_fare_training_bf16_compute(setup):
+    """--precision bf16 must reach the encodes: train_fare(dtype=bf16)
+    runs the PGD ladder and the update in bf16 (before the fix the CLI
+    cast only the params and every encode computed fp32)."""
+    cfg, params, images = setup
+    fcfg = FareConfig(steps=2, warmup=1, lr=1e-4, eps=EPS,
+                      iterations_adv=2, stepsize_adv=EPS / 2, log_freq=1)
+
+    def data_iter():
+        while True:
+            yield np.asarray(images), None
+
+    out = train_fare(params, cfg, fcfg, data_iter(), seed=0,
+                     dtype=jnp.bfloat16)
+    assert out["steps"] == 2
+    assert np.isfinite(out["final_loss"])
+    moved = jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        out["params"]["visual"], params["visual"]))
+    assert max(moved) > 0
+    # params keep their storage dtype — only compute is bf16
+    assert all(np.asarray(l).dtype == np.asarray(o).dtype
+               for l, o in zip(jax.tree.leaves(out["params"]["visual"]),
+                               jax.tree.leaves(params["visual"])))
+
+
 def test_square_attack(setup):
     from leaf_tpu.attacks.square import make_margin_loss_fn, square_attack
     cfg, params, images = setup

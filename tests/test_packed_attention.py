@@ -200,3 +200,17 @@ def test_fused_block_supported_cutoff():
     assert fused_block_supported(768, jnp.bfloat16)
     assert fused_block_supported(1024, jnp.bfloat16)
     assert not fused_block_supported(1280, jnp.float32)
+
+
+def test_packed_attention_supported_cutoff():
+    """fp32 ViT-L vision shapes (D=1024, 257 tokens → L_pad 384) blow
+    the standalone kernel's 16 MB scoped-VMEM budget (measured
+    compile-time OOM at 16.61 MB on v5e) and must take the XLA path;
+    bf16 at the same shape and fp32 at text shapes fit."""
+    from leaf_tpu.ops.packed_attention import packed_attention_supported
+
+    assert not packed_attention_supported(1024, jnp.float32, 257)
+    assert not packed_attention_supported(1280, jnp.float32, 257)
+    assert packed_attention_supported(1024, jnp.bfloat16, 257)
+    assert packed_attention_supported(1280, jnp.bfloat16, 257)
+    assert packed_attention_supported(768, jnp.float32, 128)
