@@ -41,6 +41,11 @@ OBJECTIVES = ("l2", "negl2", "sim", "dissim")
 # of the FLOPs.  (The reference always pads to 77; typical captions
 # are ~15 tokens, a >4× saving.)
 CONTEXT_BUCKETS = (16, 32, 48, 64, 77)
+# Finer buckets (12/14/20/24) were tried and measured SLOWER end-to-end
+# (416.8 vs 429.7 samples/s) and barely faster in isolation (S=12 packed
+# encode 109.9 ms vs S=16 117.3 ms at B=6400 on v5e): the packed rows
+# already amortise padding, and extra buckets cost compile shapes and
+# fragment the candidate batch.
 
 
 def bucket_tokens(tokens, buckets=CONTEXT_BUCKETS):
