@@ -163,26 +163,31 @@ def _bench_body(watchdog):
     # (tunnel + clock ramp; measured cold-first-run 371 vs 400-434
     # warm), and the round driver invokes this script exactly once.
     windows = int(os.environ.get("BENCH_WINDOWS", 3))
-    best_dt = float("inf")
-    for w in range(windows):
-        rngs = [np.random.default_rng(10 + 100 * w + i)
-                for i in range(STEPS)]
-        step_texts = get_texts()
-        prepared = None
-        t0 = time.perf_counter()
-        for i in range(STEPS):
-            state, step_info = fused(state, frozen_text, step_texts, rngs[i],
-                                     prepared=prepared)
-            metrics = step_info["metrics"]
-            prepared = None
-            if i + 1 < STEPS:
-                step_texts = get_texts()
-                prepared = fused.prepare_probes(step_texts, rngs[i + 1])
-        np.asarray(metrics["loss"])    # hard sync (block_until_ready is
-        dt = time.perf_counter() - t0  # unreliable through the tunnel)
-        best_dt = min(best_dt, dt)
 
-    steps_per_sec = STEPS / best_dt
+    def measure(step, n_windows, rng_base=10):
+        best = float("inf")
+        for w in range(n_windows):
+            rngs = [np.random.default_rng(rng_base + 100 * w + i)
+                    for i in range(STEPS)]
+            step_texts = get_texts()
+            prepared = None
+            t0 = time.perf_counter()
+            for i in range(STEPS):
+                nonlocal_state[0], step_info = step(
+                    nonlocal_state[0], frozen_text, step_texts, rngs[i],
+                    prepared=prepared)
+                metrics = step_info["metrics"]
+                prepared = None
+                if i + 1 < STEPS:
+                    step_texts = get_texts()
+                    prepared = step.prepare_probes(step_texts, rngs[i + 1])
+            np.asarray(metrics["loss"])   # hard sync (block_until_ready
+            dt = time.perf_counter() - t0  # is unreliable via the tunnel)
+            best = min(best, dt)
+        return STEPS / best
+
+    nonlocal_state = [state]
+    steps_per_sec = measure(fused, windows)
     samples_per_sec = steps_per_sec * BATCH
     out = {
         "metric": "leaf_train_samples_per_sec",
@@ -194,6 +199,26 @@ def _bench_body(watchdog):
     if mesh is not None:
         out["mesh_devices"] = n_mesh
         out["per_chip_samples_per_sec"] = round(samples_per_sec / n_mesh, 2)
+
+    # the released LEAF models all train with --constrain (BASELINE.md
+    # recipe): also report that configuration, so the headline is not
+    # only the friendliest path (VERDICT r2 weak #1).  The constraint is
+    # applied host-side to the fixed-shape token buffers (C++
+    # wc_valid_edits masks inside prepare_probes, overlapped like the
+    # rest of the host work), so the device phases — and their compiled
+    # executables — are exactly the ones already warmed above.
+    if os.environ.get("BENCH_CONSTRAINED", "1") != "0":
+        from leaf_tpu.attacks.constraint import WordConstraint
+        fused_c = FusedLeafStep(cfg, tx, tokenizer, rho=RHO,
+                                dtype=jnp.bfloat16, mesh=mesh,
+                                constraint=WordConstraint())
+        fused_c.anchor_cache = fused.anchor_cache  # steady-state epochs >= 1
+        state_c, m = fused_c(nonlocal_state[0], frozen_text, get_texts(),
+                             np.random.default_rng(7))  # warm host masks
+        np.asarray(m["metrics"]["loss"])
+        nonlocal_state[0] = state_c
+        c_steps = measure(fused_c, max(1, windows - 1), rng_base=5000)
+        out["constrained_samples_per_sec"] = round(c_steps * BATCH, 2)
     print(json.dumps(out))
 
 
