@@ -114,8 +114,12 @@ def _bench_body(watchdog):
     state = TrainState.create(jax.tree.map(jnp.copy, model.params["text"]),
                               tx)
     frozen_text = jax.tree.map(jnp.copy, model.params["text"])
+    # BENCH_PIPELINE=0/1 forces the half-batch readback pipelining off/on
+    # (unset = the FusedLeafStep default); used to A/B the overlap on-chip
+    _pl = os.environ.get("BENCH_PIPELINE")
+    pipeline = None if _pl is None else _pl != "0"
     fused = FusedLeafStep(cfg, tx, tokenizer, rho=RHO, dtype=jnp.bfloat16,
-                          mesh=mesh)
+                          mesh=mesh, pipeline=pipeline)
 
     words = ("the quick brown fox jumps over lazy dog stock market rally "
              "world cup final tech giant unveils new chip government "
@@ -248,7 +252,8 @@ def _bench_body(watchdog):
         from leaf_tpu.attacks.constraint import WordConstraint
         fused_c = FusedLeafStep(cfg, tx, tokenizer, rho=RHO,
                                 dtype=jnp.bfloat16, mesh=mesh,
-                                constraint=WordConstraint())
+                                constraint=WordConstraint(),
+                                pipeline=pipeline)
         fused_c.anchor_cache = fused.anchor_cache  # steady-state epochs >= 1
         for w in range(4 if batch_iter is not None else 1):
             state_c, m = fused_c(nonlocal_state[0], frozen_text, get_texts(),

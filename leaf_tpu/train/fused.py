@@ -182,6 +182,84 @@ def make_fused_phase2_step(cfg: CLIPConfig, tx: optax.GradientTransformation,
         out_specs=(P(), P("data"), P())), donate_argnums=dn)
 
 
+def make_fused_phase2_score(cfg: CLIPConfig, normalize: bool = False,
+                            dtype=jnp.float32, objective: str = "l2",
+                            mesh=None):
+    """(train_text, cand_tokens [b,N,C], anchors [b,D]) →
+    (best [b], adv_tokens [b,C]): the scoring half of phase 2, used by
+    the pipelined step (the update is deferred to `make_fused_train_only`
+    so the two half-batches can share one optimizer step)."""
+    norm_sc = objective in ("sim", "dissim")
+    use_k = _mesh_kernels(mesh)
+
+    def body(train_text, cand_tokens, anchors):
+        B, N, C = cand_tokens.shape
+        feats = lclip.encode_text(train_text, cfg.text,
+                                  cand_tokens.reshape(B * N, C),
+                                  cfg.quick_gelu, norm_sc, dtype,
+                                  use_kernels=use_k)
+        loss = objective_loss(
+            feats.reshape(B, N, -1).astype(jnp.float32),
+            _scoring_anchors(anchors, objective), objective)
+        best = jnp.argmax(loss, axis=-1)
+        adv = jnp.take_along_axis(cand_tokens, best[:, None, None],
+                                  axis=1)[:, 0]
+        return best, adv
+
+    if mesh is None:
+        return jax.jit(body)
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh, check_vma=False,
+        in_specs=(P(), P("data"), P("data")),
+        out_specs=(P("data"), P("data"))))
+
+
+def make_fused_train_only(cfg: CLIPConfig, tx: optax.GradientTransformation,
+                          normalize: bool = False, dtype=jnp.float32,
+                          remat: bool = False, donate: bool = True,
+                          objective: str = "l2", w_fare_text: float = 1.0,
+                          mesh=None):
+    """(state, adv1 [b,C1], anch1 [b,D], adv2 [b,C2], anch2 [b,D]) →
+    (state', metrics): one TextFARE update over the concatenation of two
+    half-batches, computed as two half encodes (so the halves may sit in
+    different context buckets — no pad/concat).  The loss is the mean
+    over ALL 2b rows, exactly `make_fused_phase2_step`'s
+    `sum(-1).mean()` (reference `utils_AT.py:321-322`)."""
+    use_k = _mesh_kernels(mesh)
+
+    def step_fn(state: TrainState, adv1, anch1, adv2, anch2):
+        def loss_fn(text_params):
+            total = 0.0
+            for adv, anch in ((adv1, anch1), (adv2, anch2)):
+                feats = lclip.encode_text(text_params, cfg.text, adv,
+                                          cfg.quick_gelu, normalize, dtype,
+                                          remat=remat, use_kernels=use_k)
+                diff = anch.astype(jnp.float32) - feats.astype(jnp.float32)
+                total = total + jnp.square(diff).sum(-1).sum()
+            n_rows = adv1.shape[0] + adv2.shape[0]
+            return w_fare_text * total / n_rows
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.text_params)
+        if mesh is not None:
+            loss = jax.lax.pmean(loss, "data")
+            grads = jax.lax.pmean(grads, "data")
+        updates, opt_state = tx.update(grads, state.opt_state,
+                                       state.text_params)
+        params = optax.apply_updates(state.text_params, updates)
+        new_state = TrainState(text_params=params, opt_state=opt_state,
+                               step=state.step + 1)
+        return new_state, {"loss": loss,
+                           "grad_norm": optax.global_norm(grads)}
+
+    dn = (0,) if donate else ()
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=dn)
+    return jax.jit(jax.shard_map(
+        step_fn, mesh=mesh, check_vma=False,
+        in_specs=(P(), P("data"), P("data"), P("data"), P("data")),
+        out_specs=(P(), P())), donate_argnums=dn)
+
+
 def _filter_tokens(tokens: np.ndarray, clean: np.ndarray,
                    valid: np.ndarray) -> np.ndarray:
     """Replace invalid candidates' token rows with the clean sentence's
@@ -206,7 +284,7 @@ class FusedLeafStep:
                  dtype=jnp.float32, remat: bool = False, mesh=None,
                  cache_anchors: bool = True, constraint=None,
                  objective: str = "l2", w_fare_text: float = 1.0,
-                 k: int = 1):
+                 k: int = 1, pipeline: Optional[bool] = None):
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.rho = rho
@@ -252,6 +330,20 @@ class FusedLeafStep:
                                              objective=objective,
                                              w_fare_text=w_fare_text,
                                              mesh=mesh)
+        # half-batch pipelining (k=1 only): split the batch in two, keep
+        # BOTH halves' phase-1 dispatches in flight, and overlap each
+        # half's best-probe readback — the step's only hard host sync,
+        # ~31 ms through a tunneled backend — with the other half's
+        # device work.  Selection/update math is identical (same rng
+        # stream, same scoring, one combined optimizer step); pinned by
+        # tests/test_fused_step.py::test_pipelined_step_equivalence.
+        self._pipeline = pipeline if pipeline is not None else True
+        self.phase2_score = make_fused_phase2_score(cfg, normalize, dtype,
+                                                    objective, mesh=mesh)
+        self.train_only = make_fused_train_only(cfg, tx, normalize, dtype,
+                                                remat, objective=objective,
+                                                w_fare_text=w_fare_text,
+                                                mesh=mesh)
         if mesh is None:
             self._plain = (self.phase1, self.phase1_cached, self.phase2)
         else:
@@ -369,12 +461,114 @@ class FusedLeafStep:
         return {"texts": texts, "positions": positions,
                 "probe_raw": probe_raw, "clean_raw": clean_raw}
 
+    def _use_pipeline(self, B: int) -> bool:
+        """Half-batch pipelining applies to k=1 single-process steps
+        with an evenly splittable batch (and, on a mesh, halves that
+        still divide the data axis; TP meshes keep the GSPMD phases)."""
+        if not self._pipeline or self.k != 1 or B % 2 or B < 4:
+            return False
+        if jax.process_count() > 1:
+            return False
+        if self.mesh is not None:
+            if any(ax != "data" and size > 1
+                   for ax, size in self.mesh.shape.items()):
+                return False
+            if (B // 2) % self.mesh.shape["data"]:
+                return False
+        return True
+
+    def _pipelined(self, state: TrainState, frozen_text, texts,
+                   rng: np.random.Generator, prepared: Optional[dict]
+                   ) -> Tuple[TrainState, dict]:
+        """k=1 step as 5 dispatches over half-batches: P1(H1), P1(H2),
+        score(H1), score(H2), train(H1+H2).  While the host blocks on
+        H1's best-probe readback, the device runs H2's phase 1; H2's
+        readback overlaps H1's candidate scoring — the device never
+        idles on the tunnel round trip.  The rng stream (positions for
+        the whole batch, then per-row char draws in row order) is
+        identical to the unpipelined step."""
+        from leaf_tpu.parallel.sharding import host_local_batch
+
+        B = len(texts)
+        h = B // 2
+        n = self.rho
+        texts = list(texts)
+        if prepared is not None and prepared["texts"] == texts:
+            positions = prepared["positions"]
+            probe_raw = prepared["probe_raw"]
+            clean_raw = prepared["clean_raw"]
+        else:
+            prep = self.prepare_probes(texts, rng)
+            positions, probe_raw, clean_raw = (
+                prep["positions"], prep["probe_raw"], prep["clean_raw"])
+        probe_tokens = self._bucket(probe_raw)  # full-batch bucket: both
+        cache = self.anchor_cache               # halves share the shape
+        if clean_raw is None and not (
+                cache is not None and all(t in cache for t in texts)):
+            clean_raw = np.asarray(self.tokenizer(texts))
+
+        # dispatch BOTH halves' phase 1 before reading either result
+        halves = []
+        for rows in (slice(0, h), slice(h, B)):
+            t_h = texts[rows]
+            pt = self._put(probe_tokens[rows])
+            if cache is not None and all(t in cache for t in t_h):
+                anch = self._put(np.stack([cache[t] for t in t_h]))
+                bp = self.phase1_cached(state.text_params, pt, anch)
+                fill = False
+            else:
+                anch, bp = self.phase1(
+                    frozen_text, state.text_params,
+                    self._put(self._bucket(clean_raw[rows])), pt)
+                fill = (cache is not None
+                        and len(cache) < self.MAX_CACHED_ANCHORS)
+            halves.append({"rows": rows, "texts": t_h, "anch": anch,
+                           "bp": bp, "fill": fill})
+
+        outs = []
+        for hd in halves:
+            # hard sync — overlapped by the other half's in-flight work
+            bp = host_local_batch(hd["bp"], self.mesh)
+            if hd["fill"]:
+                for t, a in zip(hd["texts"],
+                                host_local_batch(hd["anch"], self.mesh)):
+                    cache[t] = a
+            pos_rows = positions[hd["rows"]]
+            best_pos = [int(pos_rows[i][bp[i]]) for i in range(h)]
+            us = np.stack([rng.choice(len(self.vocab_list), size=n,
+                                      replace=(n > len(self.vocab_list)))
+                           for _ in range(h)])
+            cand_raw = self._cand_tokens(hd["texts"], best_pos, us)
+            if self.constraint is not None:
+                zs = np.repeat(np.asarray(best_pos, np.int32)[:, None], n,
+                               axis=1)
+                valid = self.constraint.valid_edits_batch(hd["texts"], zs,
+                                                          self.vocab[us])
+                cand_raw = _filter_tokens(cand_raw, clean_raw[hd["rows"]],
+                                          valid)
+            best, adv = self.phase2_score(
+                state.text_params, self._put(self._bucket(cand_raw)),
+                hd["anch"])
+            outs.append({"best_pos": best_pos, "us": us, "best": best,
+                         "adv": adv})
+
+        state, metrics = self.train_only(
+            state, outs[0]["adv"], halves[0]["anch"],
+            outs[1]["adv"], halves[1]["anch"])
+        info = {"best_pos": outs[0]["best_pos"] + outs[1]["best_pos"],
+                "best_char_idx": (outs[0]["best"], outs[1]["best"]),
+                "us": np.concatenate([outs[0]["us"], outs[1]["us"]]),
+                "base_texts": texts, "metrics": metrics}
+        return state, info
+
     def __call__(self, state: TrainState, frozen_text, texts,
                  rng: np.random.Generator, prepared: Optional[dict] = None
                  ) -> Tuple[TrainState, dict]:
         from leaf_tpu.parallel.sharding import host_local_batch
 
         B = len(texts)
+        if self._use_pipeline(B):
+            return self._pipelined(state, frozen_text, texts, rng, prepared)
         n = self.rho
         texts_cur = list(texts)
         anchors = None
@@ -445,8 +639,14 @@ class FusedLeafStep:
     def adv_sentences(self, texts, info):
         """Reconstruct the winning adversarial strings (logging only).
         `texts` is the ORIGINAL batch; for k>1 the final round's base
-        strings are carried in `info`."""
+        strings are carried in `info`.  The pipelined step stores the
+        two halves' winner indices as a tuple."""
         from leaf_tpu.parallel.sharding import host_local_batch
-        best = host_local_batch(info["best_char_idx"], self.mesh)
+        best = info["best_char_idx"]
+        if isinstance(best, tuple):
+            best = np.concatenate(
+                [host_local_batch(b, self.mesh) for b in best])
+        else:
+            best = host_local_batch(best, self.mesh)
         return self._apply_winners(info.get("base_texts", texts),
                                    info["best_pos"], info["us"], best)

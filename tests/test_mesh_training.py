@@ -123,7 +123,10 @@ def test_fused_step_on_mesh_matches_single_device(tiny):
     # single-device
     state0 = TrainState.create(jax.tree.map(jnp.copy, params["text"]), tx)
     frozen0 = jax.tree.map(jnp.copy, params["text"])
-    fused0 = FusedLeafStep(cfg, tx, tok, rho=6)
+    # pipeline=False on both sides: this test pins the plain 2-dispatch
+    # phases' mesh ≡ single-device semantics (the pipelined split has its
+    # own equivalence tests in test_fused_step.py)
+    fused0 = FusedLeafStep(cfg, tx, tok, rho=6, pipeline=False)
     state0, info0 = fused0(state0, frozen0, texts,
                            np.random.default_rng(7))
 
@@ -131,7 +134,7 @@ def test_fused_step_on_mesh_matches_single_device(tiny):
     p_repl = replicate(params["text"], mesh)
     state1 = TrainState.create(jax.tree.map(jnp.copy, p_repl), tx)
     frozen1 = replicate(jax.tree.map(np.asarray, params["text"]), mesh)
-    fused1 = FusedLeafStep(cfg, tx, tok, rho=6, mesh=mesh)
+    fused1 = FusedLeafStep(cfg, tx, tok, rho=6, mesh=mesh, pipeline=False)
     state1, info1 = fused1(state1, frozen1, texts,
                            np.random.default_rng(7))
 
@@ -223,7 +226,7 @@ def test_fused_step_mesh_kernels_via_shard_map(tiny, monkeypatch):
     monkeypatch.setenv("LEAF_TPU_PACKED_ATTN", "0")
     state0 = TrainState.create(jax.tree.map(jnp.copy, params["text"]), tx)
     frozen0 = jax.tree.map(jnp.copy, params["text"])
-    fused0 = FusedLeafStep(cfg, tx, tok, rho=6)
+    fused0 = FusedLeafStep(cfg, tx, tok, rho=6, pipeline=False)
     state0, info0 = fused0(state0, frozen0, texts,
                            np.random.default_rng(7))
 
@@ -251,7 +254,7 @@ def test_fused_step_mesh_kernels_via_shard_map(tiny, monkeypatch):
     p_repl = replicate(params["text"], mesh)
     state1 = TrainState.create(jax.tree.map(jnp.copy, p_repl), tx)
     frozen1 = replicate(jax.tree.map(np.asarray, params["text"]), mesh)
-    fused1 = FusedLeafStep(cfg, tx, tok, rho=6, mesh=mesh)
+    fused1 = FusedLeafStep(cfg, tx, tok, rho=6, mesh=mesh, pipeline=False)
     state1, info1 = fused1(state1, frozen1, texts,
                            np.random.default_rng(7))
 
