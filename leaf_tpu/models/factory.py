@@ -254,6 +254,15 @@ def create_model(
         # every released LEAF model.  The checkpoint's declaration wins
         # unless the caller explicitly forced quick_gelu.
         ckpt_qg = interop.checkpoint_quick_gelu(pretrained)
+        if ckpt_qg is None and isinstance(pretrained, str):
+            # raw .pt checkpoints carry no activation metadata; the
+            # pretrained registry may declare it instead (e.g. the
+            # laion400m ViT-B-32 tags, whose weights are QuickGELU —
+            # reference pretrained.py:132-135 lists them under the
+            # plain GELU name silently)
+            from leaf_tpu.models.pretrained import get_pretrained_cfg
+            ckpt_qg = get_pretrained_cfg(model_name, pretrained).get(
+                "quick_gelu")
         if ckpt_qg is not None and ckpt_qg != cfg.quick_gelu:
             import logging
             log = logging.getLogger(__name__)

@@ -152,6 +152,19 @@ _METACLIP = "https://dl.fbaipublicfiles.com/MMPT/metaclip/"
 # off the -quickgelu names, exactly as in the reference.
 _EXTRA_TAGS = {
     "ViT-B-32": dict(
+        # the laion400m B-32 weights are QuickGELU (see the filename);
+        # the reference lists them under the plain name too
+        # (`pretrained.py:132-135`), which silently loads them into the
+        # GELU config.  Here the registry entry *declares* the
+        # activation and `create_model` adopts it with a warning
+        # (factory activation reconciliation), so name parity is kept
+        # without the footgun.
+        laion400m_e31=dict(url=_GH_W + "vit_b_32-quickgelu-laion400m_e31-"
+                           "d867053b.pt", sha256="d867053b",
+                           quick_gelu=True),
+        laion400m_e32=dict(url=_GH_W + "vit_b_32-quickgelu-laion400m_e32-"
+                           "46683a32.pt", sha256="46683a32",
+                           quick_gelu=True),
         laion2b_e16=dict(url=_GH_W + "vit_b_32-laion2b_e16-af8dbd0c.pth",
                          sha256="af8dbd0c"),
         datacomp_m_s128m_b4k=_hub("laion/CLIP-ViT-B-32-DataComp.M-s128M-b4K"),

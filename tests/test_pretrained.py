@@ -47,10 +47,11 @@ def test_registry_surface():
 
 def test_registry_covers_reference_zoo():
     """Every (model, tag) pair of the reference `_PRETRAINED` table
-    (`src/open_clip/pretrained.py:639-720`) resolves here, EXCEPT
-    (ViT-B-32, laion400m_e31/e32): those weights are QuickGELU and this
-    repo deliberately carries them only on ViT-B-32-quickgelu (the
-    silent-activation footgun the factory removes)."""
+    (`src/open_clip/pretrained.py:639-720`) resolves here.  The
+    laion400m B-32 tags live under BOTH names like the reference, but
+    here the plain-name entries declare `quick_gelu=True` so the
+    factory adopts the right activation instead of loading silently
+    (test_registry_declared_activation_adopted)."""
     pairs = set(list_pretrained())
     assert len(pairs) >= 125
     spot = [
@@ -74,17 +75,17 @@ def test_registry_covers_reference_zoo():
     ]
     missing = [p for p in spot if p not in pairs]
     assert not missing, missing
-    # the documented divergence — GELU names must NOT carry the
-    # quickgelu laion400m weights
-    assert ("ViT-B-32", "laion400m_e31") not in pairs
+    assert ("ViT-B-32", "laion400m_e31") in pairs
 
 
 @pytest.mark.skipif(not os.path.isdir("/root/reference"),
                     reason="reference checkout not mounted")
 def test_registry_covers_reference_zoo_exhaustively():
     """Load the reference `pretrained.py` standalone and diff its whole
-    `list_pretrained()` against ours — only the two documented
-    quickgelu-footgun omissions may differ."""
+    `list_pretrained()` against ours — the registry must be a strict
+    superset (the laion400m B-32 tags are carried under the plain name
+    too, with a registry-declared activation — see
+    test_registry_declared_activation_adopted)."""
     import importlib.util
     import types
 
@@ -105,8 +106,7 @@ def test_registry_covers_reference_zoo_exhaustively():
             if k.startswith("_refoc"):
                 del sys.modules[k]
     ours = set(list_pretrained())
-    allowed = {("ViT-B-32", "laion400m_e31"), ("ViT-B-32", "laion400m_e32")}
-    missing = (ref - ours) - allowed
+    missing = ref - ours
     assert not missing, sorted(missing)
 
 
@@ -346,6 +346,42 @@ def test_checkpoint_activation_reconciled(tmp_path, caplog):
                           force_quick_gelu=True)
     assert m2.cfg.quick_gelu is True
     assert any("forced" in r.message for r in caplog.records)
+
+
+def test_registry_declared_activation_adopted(tmp_path, caplog, monkeypatch):
+    """A raw .pt checkpoint carries no activation metadata; when the
+    pretrained-registry entry declares `quick_gelu=True` (the laion400m
+    ViT-B-32 tags), `create_model` adopts it with a warning instead of
+    silently loading QuickGELU weights into a GELU config (the
+    reference's footgun, `pretrained.py:132-135`)."""
+    import logging
+
+    import numpy as np
+    import torch
+
+    from leaf_tpu.models import create_model
+    from leaf_tpu.models import pretrained as preg
+    from leaf_tpu.models.interop import params_to_hf
+
+    base = create_model("ViT-tiny-test")
+    assert base.cfg.quick_gelu is False
+    ck = str(tmp_path / "weights.bin")
+    torch.save({k: torch.from_numpy(np.asarray(v))
+                for k, v in params_to_hf(base.params, base.cfg).items()}, ck)
+
+    monkeypatch.setitem(
+        preg._PRETRAINED, "ViT-tiny-test",
+        {"fake400m": {"url": "https://example.invalid/w.pt",
+                      "quick_gelu": True}})
+    monkeypatch.setattr(preg, "resolve_pretrained",
+                        lambda *a, **k: ck)
+    with caplog.at_level(logging.WARNING):
+        m = create_model("ViT-tiny-test", pretrained="fake400m")
+    assert m.cfg.quick_gelu is True
+    assert any("quick_gelu" in r.message for r in caplog.records)
+    # the real registry entries carry the declaration
+    for tag in ("laion400m_e31", "laion400m_e32"):
+        assert preg.get_pretrained_cfg("ViT-B-32", tag)["quick_gelu"] is True
 
 
 def test_checkpoint_activation_openclip_config(tmp_path):
