@@ -23,11 +23,13 @@ Architecture (timm `eva.py` Eva / EVA-CLIP `eva_vit_model.py`):
     plain GELU MLP at ratio 15360/1792, no rope / SwiGLU
     (EVA-CLIP's bigE config: postnorm=true).
 
-NO ORACLE in this container: timm is not installed, so unlike the
-ViT/convnext/SigLIP towers there is no parity test against reference
-weights — shapes, invariants and checkpoint-key ingestion are pinned
-by tests/test_eva.py and the implementation is documented
-line-by-line against the published architecture (see PARITY.md).
+Oracle: timm itself is not installed, so tests/test_trunk_oracles.py
+carries an independent hand-written torch forward of the published
+timm `eva.py` architecture (all three variants: fused-qkv EVA01,
+rope+SwiGLU+sub-LN EVA02, post-norm enormous) that consumes the same
+timm-layout state dict — the two implementations must agree
+numerically.  Shapes/ingestion are additionally pinned by
+tests/test_eva.py.
 
 All towers run as a single `lax.scan` over stacked block params with
 fp32 LayerNorm/softmax, like every other leaf_tpu tower.

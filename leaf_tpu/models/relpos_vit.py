@@ -20,10 +20,11 @@ VisionTransformerRelPos):
   * pre-LN blocks, final LayerNorm, token pooling, then the open_clip
     linear projection head (`timm_model.py` head_layers['proj']).
 
-NO ORACLE in this container (timm is not installed): shapes,
-invariants, and checkpoint-key ingestion are pinned by
-tests/test_relpos_swin.py; implementation documented against the
-published timm source (see PARITY.md).
+Oracle: timm itself is not installed, so tests/test_trunk_oracles.py
+carries an independent torch forward written from the published timm
+source (meshgrid-based signed-log coord table, RelPosMlp gather +
+class-token pad) consuming the same timm-layout state dict;
+shapes/ingestion additionally pinned by tests/test_relpos_swin.py.
 """
 from __future__ import annotations
 

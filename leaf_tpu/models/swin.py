@@ -24,9 +24,12 @@ each stage runs one `lax.scan` over stacked block params with the
 shift amount/mask selected per block by traced flag — no Python-level
 branching per block.  LayerNorm/softmax in fp32.
 
-NO ORACLE in this container (timm is not installed): shapes,
-invariants, and checkpoint-key ingestion are pinned by
-tests/test_relpos_swin.py (see PARITY.md).
+Oracle: timm itself is not installed, so tests/test_trunk_oracles.py
+carries an independent torch forward written from the published Swin
+paper/code (original-formulation PatchMerging slices, explicit window
+partition, img_mask construction) consuming the same timm-layout
+state dict; shapes/ingestion additionally pinned by
+tests/test_relpos_swin.py.
 """
 from __future__ import annotations
 

@@ -22,10 +22,13 @@ a 3-stage hybrid at strides 2/4/8/16 —
   * pool: token mean → LayerNorm (timm fc_norm, applied *after*
     pooling when global_pool='avg').
 
-NO ORACLE in this container (timm absent) — shapes/invariants and the
-timm checkpoint-key ingestion are pinned by tests/test_vitamin.py;
-see PARITY.md.  LayerNorms/softmax accumulate in fp32 like every
-other leaf_tpu tower; the ViT stage runs as one `lax.scan`.
+Oracle: timm itself is absent, so tests/test_trunk_oracles.py carries
+an independent hand-written torch forward of the published timm
+`vitamin.py` architecture (Stem, MbConvLNBlock, Downsample2d shortcut,
+StridedConv pool, GeGluMlp ViT stage) consuming the same timm-layout
+state dict; shapes/ingestion additionally pinned by
+tests/test_vitamin.py.  LayerNorms/softmax accumulate in fp32 like
+every other leaf_tpu tower; the ViT stage runs as one `lax.scan`.
 """
 from __future__ import annotations
 
@@ -112,12 +115,18 @@ def _conv(x, w, b, stride=1, pad=0, groups=1):
 
 
 def _mbconv(p: Params, x: jnp.ndarray, stride: int) -> jnp.ndarray:
-    """MBConv-LN block; p carries the shortcut kind via its keys."""
+    """MBConv-LN block; p carries the shortcut kind via its keys.
+
+    Stride-2 shortcut = timm vitamin `Downsample2d`: 2×2 avg pool, then
+    a 1×1 expand conv ONLY when the channel count changes (expand is
+    Identity for cin == cout — e.g. stage 0's first block — so real
+    checkpoints carry no weights there)."""
     if stride == 2:
-        s = jax.lax.reduce_window(
+        shortcut = jax.lax.reduce_window(
             x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1),
             "VALID") * 0.25
-        shortcut = _conv(s, p["sc_w"], p["sc_b"])
+        if "sc_w" in p:
+            shortcut = _conv(shortcut, p["sc_w"], p["sc_b"])
     elif "sc_w" in p:
         shortcut = _conv(x, p["sc_w"], p["sc_b"])
     else:
@@ -201,7 +210,7 @@ def init_vitamin(key, spec: ViTaminVisionSpec) -> Params:
              "exp_w": nrm(1, 1, cin, mid), "exp_b": zeros(mid),
              "dw_w": nrm(3, 3, 1, mid), "dw_b": zeros(mid),
              "proj_w": nrm(1, 1, mid, cout), "proj_b": zeros(cout)}
-        if stride == 2 or cin != cout:
+        if cin != cout:      # Downsample2d.expand is Identity otherwise
             p["sc_w"] = nrm(1, 1, cin, cout)
             p["sc_b"] = zeros(cout)
         return p

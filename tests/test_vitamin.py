@@ -100,7 +100,11 @@ def _synthetic_timm_sd(spec: ViTaminVisionSpec, seed: int = 0):
                 b + "conv3_1x1.weight": f(cout, mid, 1, 1),
                 b + "conv3_1x1.bias": f(cout),
             })
-            if bi == 0:     # stride-2 block: avgpool + 1x1 shortcut
+            if bi == 0 and ci != cout:
+                # stride-2 block: Downsample2d = avgpool + 1x1 expand;
+                # the expand conv exists only when channels change
+                # (timm makes it Identity for cin == cout, so real
+                # checkpoints carry no weights there)
                 sd[b + "shortcut.expand.weight"] = f(cout, ci, 1, 1)
                 sd[b + "shortcut.expand.bias"] = f(cout)
     for i in range(spec.vit_depth):
