@@ -74,34 +74,149 @@ def attack_captions(
     return out
 
 
-def generate_images(captions: Sequence[str], sd_model_path: str,
+class SDComponents:
+    """The modules the generation loop needs, decoupled from diffusers.
+
+    The denoise orchestration (classifier-free guidance, DDIM stepping,
+    latent scaling, VAE decode — the loop the reference drives through
+    `StableDiffusionPipeline`, `eval_text_to_image.py:172-242`) is
+    implemented natively in `generate_images`; diffusers is needed only
+    as a *weight loader* (`from_pretrained`).  Tests inject tiny
+    random-weight components instead, so the generation branch runs in
+    CI without SD weights (VERDICT r3 next #6).
+
+    Interface:
+      tokenize(list[str]) -> LongTensor [B, T]
+      text_encoder(ids)   -> FloatTensor [B, T, D] hidden states
+      unet(x, t, emb)     -> predicted noise, same shape as x
+      vae_decode(z)       -> images in [-1, 1], NCHW
+    """
+
+    def __init__(self, tokenize, text_encoder, unet, vae_decode,
+                 latent_channels: int = 4, latent_scale: float = 0.18215,
+                 image_size: int = 512, vae_factor: int = 8,
+                 beta_start: float = 0.00085, beta_end: float = 0.012,
+                 train_steps: int = 1000, steps_offset: int = 1):
+        self.tokenize = tokenize
+        self.text_encoder = text_encoder
+        self.unet = unet
+        self.vae_decode = vae_decode
+        self.latent_channels = latent_channels
+        self.latent_scale = latent_scale
+        self.image_size = image_size
+        self.vae_factor = vae_factor
+        self.beta_start = beta_start
+        self.beta_end = beta_end
+        self.train_steps = train_steps
+        self.steps_offset = steps_offset
+
+    @classmethod
+    def from_pretrained(cls, sd_model_path: str,
+                        robust_text_encoder_hf_dir: Optional[str] = None
+                        ) -> "SDComponents":
+        """Load UNet/VAE (diffusers) + tokenizer/text encoder
+        (transformers) from a local SD checkpoint dir, optionally
+        swapping in the robust text encoder exported via
+        `leaf_tpu.convert --to hf` (reference swap at
+        `eval_text_to_image.py:172-178`)."""
+        import json
+        import os
+
+        try:
+            import torch  # noqa: F401
+            from diffusers import AutoencoderKL, UNet2DConditionModel
+        except ImportError as e:  # pragma: no cover
+            raise RuntimeError(
+                "loading SD weights requires the `diffusers` package; "
+                "run stages 1/3 (attack_captions, compute_clipscores) "
+                "standalone, or inject SDComponents directly") from e
+        from transformers import CLIPTextModel, CLIPTokenizer
+
+        unet = UNet2DConditionModel.from_pretrained(
+            sd_model_path, subfolder="unet").eval()
+        vae = AutoencoderKL.from_pretrained(
+            sd_model_path, subfolder="vae").eval()
+        tok = CLIPTokenizer.from_pretrained(sd_model_path,
+                                            subfolder="tokenizer")
+        te = CLIPTextModel.from_pretrained(
+            robust_text_encoder_hf_dir or os.path.join(
+                sd_model_path, "text_encoder")).eval()
+        sched_cfg = {}
+        sched_json = os.path.join(sd_model_path, "scheduler",
+                                  "scheduler_config.json")
+        if os.path.exists(sched_json):
+            with open(sched_json) as f:
+                sched_cfg = json.load(f)
+        return cls(
+            tokenize=lambda caps: tok(
+                caps, padding="max_length", truncation=True,
+                max_length=tok.model_max_length,
+                return_tensors="pt").input_ids,
+            text_encoder=lambda ids: te(ids).last_hidden_state,
+            unet=lambda x, t, emb: unet(
+                x, t, encoder_hidden_states=emb).sample,
+            vae_decode=lambda z: vae.decode(z).sample,
+            latent_channels=unet.config.in_channels,
+            image_size=unet.config.sample_size * 8,
+            vae_factor=8,
+            latent_scale=getattr(vae.config, "scaling_factor", 0.18215),
+            beta_start=sched_cfg.get("beta_start", 0.00085),
+            beta_end=sched_cfg.get("beta_end", 0.012),
+            train_steps=sched_cfg.get("num_train_timesteps", 1000),
+            steps_offset=sched_cfg.get("steps_offset", 1))
+
+
+def generate_images(captions: Sequence[str],
+                    sd_model_path: Optional[str] = None,
                     robust_text_encoder_hf_dir: Optional[str] = None,
                     num_inference_steps: int = 50, seed: int = 0,
-                    device: str = "cpu") -> np.ndarray:
-    """Generate images with a local SD pipeline, optionally swapping in
-    the robust text encoder (exported via `leaf_tpu.convert --to hf`).
-    Requires the `diffusers` package."""
-    try:
-        import torch
-        from diffusers import StableDiffusionPipeline
-    except ImportError as e:  # pragma: no cover
-        raise RuntimeError(
-            "text-to-image generation requires the `diffusers` package and "
-            "local SD weights; run stages 1/3 (attack_captions, "
-            "compute_clipscores) standalone instead") from e
-    pipe = StableDiffusionPipeline.from_pretrained(sd_model_path)
-    if robust_text_encoder_hf_dir:
-        from transformers import CLIPTextModel
-        pipe.text_encoder = CLIPTextModel.from_pretrained(
-            robust_text_encoder_hf_dir)
-    pipe = pipe.to(device)
+                    device: str = "cpu", guidance_scale: float = 7.5,
+                    components: Optional[SDComponents] = None) -> np.ndarray:
+    """Native latent-diffusion generation: DDIM (eta=0, leading timestep
+    spacing + steps_offset — the SD scheduler configuration) with
+    classifier-free guidance against the empty prompt, 0.18215 latent
+    scaling, VAE decode, [0,1] clamp.  Returns [N, H, W, 3] float32 in
+    [0, 1] (the reference pipeline's `output_type="np"`).
+
+    Pass `components` to run without diffusers (tests inject tiny
+    random-weight modules); otherwise weights load from
+    `sd_model_path`."""
+    import torch
+
+    c = components if components is not None else SDComponents.from_pretrained(
+        sd_model_path, robust_text_encoder_hf_dir)
+    B = len(captions)
+    # the SD "scaled_linear" beta schedule
+    betas = torch.linspace(c.beta_start ** 0.5, c.beta_end ** 0.5,
+                           c.train_steps, dtype=torch.float64) ** 2
+    alphas_cumprod = torch.cumprod(1.0 - betas, dim=0)
+    ratio = c.train_steps // num_inference_steps
+    timesteps = (torch.arange(num_inference_steps) * ratio).flip(0) \
+        + c.steps_offset
     gen = torch.Generator(device=device).manual_seed(seed)
-    images = []
-    for cap in captions:
-        out = pipe(cap, num_inference_steps=num_inference_steps,
-                   generator=gen, output_type="np")
-        images.append(out.images[0])
-    return np.stack(images)
+    size = c.image_size // c.vae_factor
+    latents = torch.randn(B, c.latent_channels, size, size,
+                          generator=gen, device=device)
+
+    with torch.no_grad():
+        cond = c.text_encoder(c.tokenize(list(captions)).to(device))
+        uncond = c.text_encoder(c.tokenize([""] * B).to(device))
+        emb = torch.cat([uncond, cond])
+        for t in timesteps.tolist():
+            t = min(int(t), c.train_steps - 1)
+            inp = torch.cat([latents, latents])
+            eps = c.unet(inp, t, emb)
+            eps_u, eps_c = eps.chunk(2)
+            eps = eps_u + guidance_scale * (eps_c - eps_u)
+            a_t = alphas_cumprod[t].float()
+            t_prev = t - ratio
+            a_prev = (alphas_cumprod[t_prev].float() if t_prev >= 0
+                      else torch.ones(()))
+            x0 = (latents - (1 - a_t).sqrt() * eps) / a_t.sqrt()
+            latents = a_prev.sqrt() * x0 + (1 - a_prev).sqrt() * eps
+        imgs = c.vae_decode(latents / c.latent_scale)
+    imgs = (imgs / 2 + 0.5).clamp(0, 1)
+    return imgs.permute(0, 2, 3, 1).float().cpu().numpy()
 
 
 def main(argv=None):
