@@ -229,7 +229,8 @@ def _bench_body(watchdog):
     # warmup (the first warm step is a cache miss), so this measures
     # throughput, not compile.  Median reported: cold is what a user
     # sees first, best-of would undercut the point of reporting it.
-    if fused.anchor_cache is not None:
+    if fused.anchor_cache is not None \
+            and os.environ.get("BENCH_COLD", "1") != "0":
         saved_cache = dict(fused.anchor_cache)
         _, cold_med = measure(fused, windows, rng_base=20000,
                               pre_step=fused.anchor_cache.clear)

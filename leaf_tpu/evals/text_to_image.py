@@ -96,7 +96,13 @@ class SDComponents:
                  latent_channels: int = 4, latent_scale: float = 0.18215,
                  image_size: int = 512, vae_factor: int = 8,
                  beta_start: float = 0.00085, beta_end: float = 0.012,
-                 train_steps: int = 1000, steps_offset: int = 1):
+                 train_steps: int = 1000, steps_offset: int = 1,
+                 prediction_type: str = "epsilon",
+                 set_alpha_to_one: bool = False):
+        if prediction_type not in ("epsilon", "v_prediction"):
+            raise ValueError(
+                f"unsupported prediction_type {prediction_type!r} "
+                "(epsilon | v_prediction)")
         self.tokenize = tokenize
         self.text_encoder = text_encoder
         self.unet = unet
@@ -109,11 +115,15 @@ class SDComponents:
         self.beta_end = beta_end
         self.train_steps = train_steps
         self.steps_offset = steps_offset
+        self.prediction_type = prediction_type
+        # SD v1 configs ship set_alpha_to_one=false: the final DDIM
+        # step uses alphas_cumprod[0], not exactly 1
+        self.set_alpha_to_one = set_alpha_to_one
 
     @classmethod
     def from_pretrained(cls, sd_model_path: str,
-                        robust_text_encoder_hf_dir: Optional[str] = None
-                        ) -> "SDComponents":
+                        robust_text_encoder_hf_dir: Optional[str] = None,
+                        device: str = "cpu") -> "SDComponents":
         """Load UNet/VAE (diffusers) + tokenizer/text encoder
         (transformers) from a local SD checkpoint dir, optionally
         swapping in the robust text encoder exported via
@@ -133,14 +143,14 @@ class SDComponents:
         from transformers import CLIPTextModel, CLIPTokenizer
 
         unet = UNet2DConditionModel.from_pretrained(
-            sd_model_path, subfolder="unet").eval()
+            sd_model_path, subfolder="unet").eval().to(device)
         vae = AutoencoderKL.from_pretrained(
-            sd_model_path, subfolder="vae").eval()
+            sd_model_path, subfolder="vae").eval().to(device)
         tok = CLIPTokenizer.from_pretrained(sd_model_path,
                                             subfolder="tokenizer")
         te = CLIPTextModel.from_pretrained(
             robust_text_encoder_hf_dir or os.path.join(
-                sd_model_path, "text_encoder")).eval()
+                sd_model_path, "text_encoder")).eval().to(device)
         sched_cfg = {}
         sched_json = os.path.join(sd_model_path, "scheduler",
                                   "scheduler_config.json")
@@ -163,7 +173,9 @@ class SDComponents:
             beta_start=sched_cfg.get("beta_start", 0.00085),
             beta_end=sched_cfg.get("beta_end", 0.012),
             train_steps=sched_cfg.get("num_train_timesteps", 1000),
-            steps_offset=sched_cfg.get("steps_offset", 1))
+            steps_offset=sched_cfg.get("steps_offset", 1),
+            prediction_type=sched_cfg.get("prediction_type", "epsilon"),
+            set_alpha_to_one=sched_cfg.get("set_alpha_to_one", False))
 
 
 def generate_images(captions: Sequence[str],
@@ -181,10 +193,21 @@ def generate_images(captions: Sequence[str],
     Pass `components` to run without diffusers (tests inject tiny
     random-weight modules); otherwise weights load from
     `sd_model_path`."""
-    import torch
+    try:
+        import torch
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError(
+            "text-to-image generation requires torch; run stages 1/3 "
+            "(attack_captions, compute_clipscores) standalone") from e
 
     c = components if components is not None else SDComponents.from_pretrained(
-        sd_model_path, robust_text_encoder_hf_dir)
+        sd_model_path, robust_text_encoder_hf_dir, device=device)
+    if not 1 <= num_inference_steps <= c.train_steps:
+        # ratio would floor to 0 and every "step" would be an exact
+        # no-op, silently decoding the initial noise
+        raise ValueError(
+            f"num_inference_steps={num_inference_steps} must be in "
+            f"[1, {c.train_steps}]")
     B = len(captions)
     # the SD "scaled_linear" beta schedule
     betas = torch.linspace(c.beta_start ** 0.5, c.beta_end ** 0.5,
@@ -193,6 +216,10 @@ def generate_images(captions: Sequence[str],
     ratio = c.train_steps // num_inference_steps
     timesteps = (torch.arange(num_inference_steps) * ratio).flip(0) \
         + c.steps_offset
+    # set_alpha_to_one=false (the SD v1 config): the final step uses
+    # alphas_cumprod[0], not exactly 1
+    final_alpha = (torch.ones(()) if c.set_alpha_to_one
+                   else alphas_cumprod[0].float())
     gen = torch.Generator(device=device).manual_seed(seed)
     size = c.image_size // c.vae_factor
     latents = torch.randn(B, c.latent_channels, size, size,
@@ -205,14 +232,23 @@ def generate_images(captions: Sequence[str],
         for t in timesteps.tolist():
             t = min(int(t), c.train_steps - 1)
             inp = torch.cat([latents, latents])
-            eps = c.unet(inp, t, emb)
-            eps_u, eps_c = eps.chunk(2)
-            eps = eps_u + guidance_scale * (eps_c - eps_u)
+            out = c.unet(inp, t, emb)
+            # classifier-free guidance on the raw model output (as the
+            # reference pipeline applies it), then interpret per the
+            # checkpoint's prediction_type
+            out_u, out_c = out.chunk(2)
+            out = out_u + guidance_scale * (out_c - out_u)
             a_t = alphas_cumprod[t].float()
+            if c.prediction_type == "v_prediction":
+                # v = sqrt(a)·eps − sqrt(1−a)·x0  (SD 2.x checkpoints)
+                x0 = a_t.sqrt() * latents - (1 - a_t).sqrt() * out
+                eps = a_t.sqrt() * out + (1 - a_t).sqrt() * latents
+            else:
+                eps = out
+                x0 = (latents - (1 - a_t).sqrt() * eps) / a_t.sqrt()
             t_prev = t - ratio
             a_prev = (alphas_cumprod[t_prev].float() if t_prev >= 0
-                      else torch.ones(()))
-            x0 = (latents - (1 - a_t).sqrt() * eps) / a_t.sqrt()
+                      else final_alpha)
             latents = a_prev.sqrt() * x0 + (1 - a_prev).sqrt() * eps
         imgs = c.vae_decode(latents / c.latent_scale)
     imgs = (imgs / 2 + 0.5).clamp(0, 1)

@@ -364,6 +364,15 @@ def checkpoint_quick_gelu(path: str) -> Optional[bool]:
     `config.json` (text_config.hidden_act == "quick_gelu")."""
     import json
 
+    if os.path.isfile(path):
+        # per-file sidecar written by `resolve_pretrained` for registry
+        # entries that declare the activation (the cache dir is shared
+        # across weights, so a directory-level config would collide)
+        sc = path + ".open_clip_config.json"
+        if os.path.exists(sc):
+            with open(sc) as f:
+                return bool(json.load(f).get("model_cfg", {})
+                            .get("quick_gelu", False))
     d = path if os.path.isdir(path) else os.path.dirname(path)
     if not d:
         # a bare filename has no config directory — reading ./config.json

@@ -605,4 +605,18 @@ def resolve_pretrained(model: str, tag_or_path: str,
     url = cfg["url"]
     if url.startswith("hf-hub:"):
         return download_pretrained_from_hf(url, cache_dir, hf_download)
-    return download_pretrained_from_url(url, cache_dir, cfg.get("sha256"))
+    path = download_pretrained_from_url(url, cache_dir, cfg.get("sha256"))
+    if cfg.get("quick_gelu") is not None:
+        # persist the registry-declared activation next to the cached
+        # file so it survives pre-resolution: every driver resolves the
+        # tag to a path BEFORE create_model, which would otherwise lose
+        # the declaration (raw .pt files carry no metadata) and load
+        # QuickGELU weights into a GELU config silently.
+        # `interop.checkpoint_quick_gelu` reads this per-file sidecar.
+        import json
+        sidecar = path + ".open_clip_config.json"
+        if not os.path.exists(sidecar):
+            with open(sidecar, "w") as f:
+                json.dump({"model_cfg": {"quick_gelu":
+                                         bool(cfg["quick_gelu"])}}, f)
+    return path

@@ -334,9 +334,14 @@ class FusedLeafStep:
         # BOTH halves' phase-1 dispatches in flight, and overlap each
         # half's best-probe readback — the step's only hard host sync,
         # ~31 ms through a tunneled backend — with the other half's
-        # device work.  Selection/update math is identical (same rng
-        # stream, same scoring, one combined optimizer step); pinned by
-        # tests/test_fused_step.py::test_pipelined_step_equivalence.
+        # device work.  Same rng stream, same winners, one combined
+        # optimizer step whose loss is the mean over all B rows — but
+        # the loss reduces in a different fp order (two half-sums/B vs
+        # mean-over-B), so grads match the 2-dispatch step only to
+        # ~1e-7 and Adam trajectories drift at noise level; pass
+        # pipeline=False to reproduce pre-r4 numerics bit-exactly.
+        # Pinned by tests/test_fused_step.py (winners+losses under
+        # Adam, params under SGD).
         # Measured on the real chip: 437 → 527 samples/s (+20.6%).
         # k>1 stays unpipelined ON PURPOSE: round r+1's position draws
         # retokenise round r's winners, so the full-batch rng order
@@ -508,9 +513,15 @@ class FusedLeafStep:
                 prep["positions"], prep["probe_raw"], prep["clean_raw"])
         probe_tokens = self._bucket(probe_raw)  # full-batch bucket: both
         cache = self.anchor_cache               # halves share the shape
+        clean_tokens = None
         if clean_raw is None and not (
                 cache is not None and all(t in cache for t in texts)):
             clean_raw = np.asarray(self.tokenizer(texts))
+        if clean_raw is not None:
+            # bucket the clean tokens once, full-batch, so both halves'
+            # phase-1 dispatches share one shape (per-half bucketing
+            # would fragment the compile cache into width pairs)
+            clean_tokens = self._bucket(clean_raw)
 
         # dispatch BOTH halves' phase 1 before reading either result
         halves = []
@@ -524,7 +535,7 @@ class FusedLeafStep:
             else:
                 anch, bp = self.phase1(
                     frozen_text, state.text_params,
-                    self._put(self._bucket(clean_raw[rows])), pt)
+                    self._put(clean_tokens[rows]), pt)
                 fill = (cache is not None
                         and len(cache) < self.MAX_CACHED_ANCHORS)
             halves.append({"rows": rows, "texts": t_h, "anch": anch,
@@ -551,9 +562,20 @@ class FusedLeafStep:
                                                           self.vocab[us])
                 cand_raw = _filter_tokens(cand_raw, clean_raw[hd["rows"]],
                                           valid)
+            cand_tokens = self._bucket(cand_raw)
+            if self._do_bucket and cand_tokens.shape[-1] < probe_tokens.shape[-1]:
+                # pad each half's candidates up to the shared probe
+                # bucket: candidates replace the probe's inserted space
+                # at the same slot, so both halves almost always share
+                # that width — one (C, C) train_only shape instead of a
+                # per-half (C1, C2) compile-cache cross product.
+                # Zero-pad past EOT is exactly what a wider bucket is
+                # (feature-invariant for causal+argmax towers, the only
+                # towers _do_bucket enables).
+                pad = probe_tokens.shape[-1] - cand_tokens.shape[-1]
+                cand_tokens = np.pad(cand_tokens, ((0, 0), (0, 0), (0, pad)))
             best, adv = self.phase2_score(
-                state.text_params, self._put(self._bucket(cand_raw)),
-                hd["anch"])
+                state.text_params, self._put(cand_tokens), hd["anch"])
             outs.append({"best_pos": best_pos, "us": us, "best": best,
                          "adv": adv})
 

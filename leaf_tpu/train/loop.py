@@ -55,10 +55,20 @@ def run_attack(scorer: CandidateScorer, text_params, tokenizer, texts,
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
         scorer = scorer.host_local()
         repl = NamedSharding(scorer.mesh, P())
-        text_params = jax.tree.map(
-            lambda x: jax.device_put(x.addressable_data(0), repl)
-            if isinstance(x, jax.Array) and not x.is_fully_addressable
-            else x, text_params)
+
+        def _rehome(x):
+            if not isinstance(x, jax.Array) or x.is_fully_addressable:
+                return x
+            # addressable_data(0) is the full value ONLY for replicated
+            # params; a sharded leaf here (future FSDP/TP over the
+            # global mesh) would silently hand the attack one shard
+            if not x.sharding.is_fully_replicated:
+                raise ValueError(
+                    "multi-host attack path needs replicated text "
+                    f"params; got sharding {x.sharding} for {x.shape}")
+            return jax.device_put(x.addressable_data(0), repl)
+
+        text_params = jax.tree.map(_rehome, text_params)
     if args.use_charmer:
         # batched charmer: per-sentence searches identical to the
         # sequential `attack_text_charmer_inference` (deterministic,

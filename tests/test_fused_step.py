@@ -141,6 +141,37 @@ def test_pipelined_step_equivalence(setup):
     np.testing.assert_allclose(losses_p, losses_u, rtol=1e-5)
 
 
+def test_pipelined_heterogeneous_halves_share_bucket(setup):
+    """Halves whose captions land in different context buckets: the
+    pipelined step pads each half's candidates up to the shared
+    full-batch probe bucket (one (C, C) train_only shape instead of a
+    (C1, C2) compile cross product) and must still match the plain
+    step exactly on winners and losses."""
+    cfg, params, tok, tx = setup
+    frozen = jax.tree.map(jnp.copy, params["text"])
+    # H1 short, H2 long — natural per-half buckets differ
+    texts = ["a cat", "hi there",
+             "an extremely long caption about the market rally that "
+             "keeps going with many more words to cross a bucket "
+             "boundary for sure",
+             "another quite long sentence padded with extra words to "
+             "stay in the wide context bucket alongside its neighbour"]
+
+    def run(pipeline):
+        fused = FusedLeafStep(cfg, tx, tok, rho=5, pipeline=pipeline)
+        state = TrainState.create(jax.tree.map(jnp.copy, params["text"]), tx)
+        rng = np.random.default_rng(41)
+        state, info = fused(state, frozen, list(texts), rng)
+        return (float(info["metrics"]["loss"]),
+                fused.adv_sentences(list(texts), info), info)
+
+    loss_p, advs_p, info_p = run(True)
+    loss_u, advs_u, _ = run(False)
+    assert advs_p == advs_u
+    np.testing.assert_allclose(loss_p, loss_u, rtol=1e-5)
+    assert isinstance(info_p["best_char_idx"], tuple)  # pipelined path ran
+
+
 def test_pipelined_grads_equal_under_sgd(setup):
     """Param equality between the pipelined and plain updates, pinned
     under SGD.  (The two paths reduce the TextFARE loss in a different

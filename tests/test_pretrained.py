@@ -384,6 +384,53 @@ def test_registry_declared_activation_adopted(tmp_path, caplog, monkeypatch):
         assert preg.get_pretrained_cfg("ViT-B-32", tag)["quick_gelu"] is True
 
 
+def test_registry_activation_survives_preresolution(tmp_path, caplog,
+                                                    monkeypatch):
+    """Every driver resolves the tag to a local path BEFORE
+    create_model (e.g. train/driver.py), which loses the (model, tag)
+    pair — so `resolve_pretrained` persists the registry-declared
+    activation as a per-file sidecar that `checkpoint_quick_gelu`
+    reads.  The driver-style two-step flow must still adopt it."""
+    import logging
+    import shutil
+
+    import numpy as np
+    import torch
+
+    from leaf_tpu.models import create_model
+    from leaf_tpu.models import pretrained as preg
+    from leaf_tpu.models.interop import checkpoint_quick_gelu, params_to_hf
+
+    base = create_model("ViT-tiny-test")
+    src = str(tmp_path / "src.bin")
+    torch.save({k: torch.from_numpy(np.asarray(v))
+                for k, v in params_to_hf(base.params, base.cfg).items()},
+               src)
+    cache = tmp_path / "cache"
+    cache.mkdir()
+
+    def fake_download(url, cache_dir=None, expected_sha256=None):
+        target = str(cache / "w.pt")
+        shutil.copy(src, target)
+        return target
+
+    monkeypatch.setitem(
+        preg._PRETRAINED, "ViT-tiny-test",
+        {"fake400m": {"url": "https://example.invalid/w.pt",
+                      "quick_gelu": True}})
+    monkeypatch.setattr(preg, "download_pretrained_from_url",
+                        fake_download)
+
+    path = preg.resolve_pretrained("ViT-tiny-test", "fake400m",
+                                   cache_dir=str(cache))
+    assert os.path.exists(path + ".open_clip_config.json")
+    assert checkpoint_quick_gelu(path) is True
+    with caplog.at_level(logging.WARNING):
+        m = create_model("ViT-tiny-test", pretrained=path)
+    assert m.cfg.quick_gelu is True
+    assert any("quick_gelu" in r.message for r in caplog.records)
+
+
 def test_checkpoint_activation_openclip_config(tmp_path):
     """open_clip_config.json's model_cfg.quick_gelu is read too."""
     import json

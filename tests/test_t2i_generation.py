@@ -73,9 +73,11 @@ def test_generate_images_e2e_and_deterministic():
 
 def test_ddim_zero_noise_closed_form():
     """With eps ≡ 0, each DDIM step multiplies the latents by
-    sqrt(a_prev/a_t); the chain telescopes to 1/sqrt(a_{t_max}) (the
-    last step reaches a_prev = 1).  Pins the scheduler arithmetic —
-    betas, alphas_cumprod, leading spacing, steps_offset."""
+    sqrt(a_prev/a_t); the chain telescopes to
+    sqrt(final_alpha/a_{t_max}) (set_alpha_to_one=False — the SD v1
+    config — makes the last step's a_prev = alphas_cumprod[0], not 1).
+    Pins the scheduler arithmetic: betas, alphas_cumprod, leading
+    spacing, steps_offset, final_alpha."""
     comps = _dummy_components()
     holder = {}
     comps.unet = lambda x, t, emb: torch.zeros_like(x)
@@ -93,9 +95,49 @@ def test_ddim_zero_noise_closed_form():
     gen = torch.Generator().manual_seed(seed)
     size = comps.image_size // comps.vae_factor
     init = torch.randn(2, comps.latent_channels, size, size, generator=gen)
-    want = init / a_cum[t_max].float().sqrt()
+    want = init * (a_cum[0] / a_cum[t_max]).float().sqrt()
     got = holder["z"] * comps.latent_scale     # loop decodes z/scale
     np.testing.assert_allclose(got.numpy(), want.numpy(), rtol=1e-5)
+
+
+def test_ddim_v_prediction_zero_output_closed_form():
+    """prediction_type='v_prediction' (SD 2.x): with the model output
+    v ≡ 0, x0 = sqrt(a_t)·x and eps = sqrt(1−a_t)·x, so each step
+    scales the latents by sqrt(a_prev·a_t) + sqrt((1−a_prev)(1−a_t)).
+    Pins the v-prediction conversion against that closed form."""
+    comps = _dummy_components()
+    comps.prediction_type = "v_prediction"
+    holder = {}
+    comps.unet = lambda x, t, emb: torch.zeros_like(x)
+    comps.vae_decode = lambda z: holder.setdefault("z", z) * 0.0
+
+    n_steps, seed = 3, 11
+    generate_images(["a"], components=comps,
+                    num_inference_steps=n_steps, seed=seed)
+
+    betas = torch.linspace(comps.beta_start ** 0.5, comps.beta_end ** 0.5,
+                           comps.train_steps, dtype=torch.float64) ** 2
+    a_cum = torch.cumprod(1.0 - betas, dim=0).float()
+    ratio = comps.train_steps // n_steps
+    final_alpha = a_cum[0]
+    gen = torch.Generator().manual_seed(seed)
+    size = comps.image_size // comps.vae_factor
+    x = torch.randn(1, comps.latent_channels, size, size, generator=gen)
+    for t in ((torch.arange(n_steps) * ratio).flip(0)
+              + comps.steps_offset).tolist():
+        a_t = a_cum[t]
+        a_prev = a_cum[t - ratio] if t - ratio >= 0 else final_alpha
+        x = ((a_prev * a_t).sqrt()
+             + ((1 - a_prev) * (1 - a_t)).sqrt()) * x
+    got = holder["z"] * comps.latent_scale
+    np.testing.assert_allclose(got.numpy(), x.numpy(), rtol=1e-5)
+
+
+def test_generate_rejects_too_many_steps():
+    comps = _dummy_components()
+    with pytest.raises(ValueError, match="num_inference_steps"):
+        generate_images(["a"], components=comps,
+                        num_inference_steps=comps.train_steps + 1)
 
 
 def test_full_t2i_pipeline_attack_generate_score(tmp_path):
