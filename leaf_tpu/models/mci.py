@@ -27,12 +27,16 @@ Two families:
     what XLA/TPU want; the fusion math is oracle-tested against a
     multi-branch numpy forward in tests/test_mci.py.
 
-NO timm IN THIS CONTAINER: no weight-level oracle (see PARITY.md);
-shapes, invariants, fusion math, and checkpoint-key ingestion are
-pinned by tests/test_mci.py.  Key layout follows timm's train-form
-naming (`conv_kxk.0.{conv,bn}`, `conv_scale`, `identity`,
-`token_mixer.{mixer,norm}`, `layer_scale.gamma`, ...); deploy-form
-checkpoints (`reparam_conv`) are also accepted.
+Oracles (timm itself is absent from this container): per-block fusion
+algebra is numpy-oracle-tested, AND both full forwards are pinned
+end-to-end against independent train-form implementations composed
+from the published architectures — a branch-by-branch numpy FastVit
+(multi-branch MobileOne blocks, RepMixer residuals, layer scales,
+SE/act placement) and a torch hybrid-ViT — in tests/test_mci.py.  Key
+layout follows timm's train-form naming (`conv_kxk.0.{conv,bn}`,
+`conv_scale`, `identity`, `token_mixer.{mixer,norm}`,
+`layer_scale.gamma`, ...); deploy-form checkpoints (`reparam_conv`)
+are also accepted.
 """
 from __future__ import annotations
 

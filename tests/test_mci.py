@@ -264,8 +264,10 @@ def _synthetic_fastvit_sd(spec: FastVitSpec, seed: int = 0,
     sd = {}
     sd.update(_mobileone_sd(r, prefix + "stem.0.", 3, 3, d0, 1,
                             n_branches=1, identity=False))
+    # stem.1 is stride 2: timm's MobileOneBlock only builds the BN
+    # identity branch for in_chs == out_chs AND stride == 1
     sd.update(_mobileone_sd(r, prefix + "stem.1.", 3, d0, d0, d0,
-                            n_branches=1))
+                            n_branches=1, identity=False))
     sd.update(_mobileone_sd(r, prefix + "stem.2.", 1, d0, d0, 1,
                             n_branches=1, scale=False))
     for s in range(len(spec.depths)):
@@ -364,6 +366,144 @@ def test_fastvit_deploy_form_roundtrip():
                                params["stem"][0]["b"], rtol=1e-6)
 
 
+def _se_ref(sd, prefix: str, x: np.ndarray) -> np.ndarray:
+    """Squeeze-excite: GAP → 1×1 relu → 1×1 sigmoid gate (numpy)."""
+    s = x.mean(axis=(1, 2), keepdims=True)
+    s = _conv_ref(s, sd[prefix + "fc1.weight"], padding=0) \
+        + sd[prefix + "fc1.bias"]
+    s = np.maximum(s, 0.0)
+    s = _conv_ref(s, sd[prefix + "fc2.weight"], padding=0) \
+        + sd[prefix + "fc2.bias"]
+    return x * (1.0 / (1.0 + np.exp(-s)))
+
+
+def _gelu_np(x: np.ndarray) -> np.ndarray:
+    # exact (erf) GELU — torch nn.GELU default
+    import math
+
+    import torch
+    erf = torch.erf(torch.from_numpy(
+        np.asarray(x / math.sqrt(2.0)))).numpy()
+    return x * 0.5 * (1.0 + erf)
+
+
+def _mob_full_ref(sd, prefix: str, x, k, stride, groups,
+                  act=True) -> np.ndarray:
+    """Train-form MobileOneBlock incl. SE and activation."""
+    y = _mobileone_ref(sd, prefix, x, k, stride, groups)
+    if prefix + "se.fc1.weight" in sd:
+        y = _se_ref(sd, prefix + "se.", y)
+    return _gelu_np(y) if act else y
+
+
+def _convmlp_ref(sd, prefix: str, x, dim) -> np.ndarray:
+    """ConvMlp: dw7×7 conv+BN, 1×1 fc1 → GELU → 1×1 fc2."""
+    y = _bn_ref(_conv_ref(x, sd[prefix + "conv.conv.weight"], 1, dim),
+                sd[prefix + "conv.bn.weight"], sd[prefix + "conv.bn.bias"],
+                sd[prefix + "conv.bn.running_mean"],
+                sd[prefix + "conv.bn.running_var"])
+    y = _gelu_np(_conv_ref(y, sd[prefix + "fc1.weight"], padding=0)
+                 + sd[prefix + "fc1.bias"])
+    return _conv_ref(y, sd[prefix + "fc2.weight"], padding=0) \
+        + sd[prefix + "fc2.bias"]
+
+
+def _attention_ref(sd, prefix: str, x, head_dim) -> np.ndarray:
+    B, H, W, C = x.shape
+    nh = C // head_dim
+    t = x.reshape(B, H * W, C)
+    qkv = t @ sd[prefix + "qkv.weight"].T + sd[prefix + "qkv.bias"]
+    q, k, v = np.split(qkv, 3, axis=-1)
+
+    def heads(z):
+        return z.reshape(B, H * W, nh, head_dim).transpose(0, 2, 1, 3)
+
+    q, k, v = heads(q), heads(k), heads(v)
+    a = np.einsum("bhqd,bhkd->bhqk", q, k) * head_dim ** -0.5
+    a = a - a.max(-1, keepdims=True)
+    a = np.exp(a)
+    a = a / a.sum(-1, keepdims=True)
+    o = np.einsum("bhqk,bhkd->bhqd", a, v)
+    o = o.transpose(0, 2, 1, 3).reshape(B, H * W, C)
+    o = o @ sd[prefix + "proj.weight"].T + sd[prefix + "proj.bias"]
+    return o.reshape(B, H, W, C)
+
+
+def test_fastvit_full_forward_matches_trainform_oracle():
+    """END-TO-END oracle: the published train-form FastViT network
+    (multi-branch MobileOne stem, ReparamLargeKernelConv+SE
+    downsamples, RepCPE, RepMixer blocks x = tm(x); x += γ·ConvMlp(x)
+    with tm(x) = x + γ_m·(mixer(x) − norm(x)), BN-normed attention
+    blocks, SE'd final conv, GAP head) composed in numpy branch by
+    branch from the same synthetic train-form state dict that
+    `timm_fastvit_to_params` fuses — the fused deploy-form JAX forward
+    must reproduce it.  This pins the composed *wiring* (block order,
+    residual placement, layer-scale application, SE/act positions),
+    not just the per-block fusion algebra the tests above pin."""
+    spec = TINY_FV
+    sd_full = _synthetic_fastvit_sd(spec)
+    sd = {k.replace("visual.trunk.", ""): v for k, v in sd_full.items()}
+    r = np.random.RandomState(5)
+    x = r.rand(2, spec.image_size, spec.image_size, 3).astype(np.float32)
+
+    # ---- numpy train-form forward
+    y = _mob_full_ref(sd, "stem.0.", x, 3, 2, 1)
+    y = _mob_full_ref(sd, "stem.1.", y, 3, 2, spec.dims[0])
+    y = _mob_full_ref(sd, "stem.2.", y, 1, 1, 1)
+    for s in range(len(spec.depths)):
+        C = spec.dims[s]
+        pre = f"stages.{s}."
+        if s > 0:
+            Cin = spec.dims[s - 1]
+            d = pre + "downsample.proj.0."
+            z = (_bn_ref(_conv_ref(y, sd[d + "large_conv.conv.weight"], 2,
+                                   Cin),
+                         sd[d + "large_conv.bn.weight"],
+                         sd[d + "large_conv.bn.bias"],
+                         sd[d + "large_conv.bn.running_mean"],
+                         sd[d + "large_conv.bn.running_var"])
+                 + _bn_ref(_conv_ref(y, sd[d + "small_conv.conv.weight"], 2,
+                                     Cin, padding=1),
+                           sd[d + "small_conv.bn.weight"],
+                           sd[d + "small_conv.bn.bias"],
+                           sd[d + "small_conv.bn.running_mean"],
+                           sd[d + "small_conv.bn.running_var"]))
+            if d + "se.fc1.weight" in sd:
+                z = _se_ref(sd, d + "se.", z)
+            y = _gelu_np(z)
+            y = _mob_full_ref(sd, pre + "downsample.proj.1.", y, 1, 1, 1)
+        if s in spec.pos_emb_stages:
+            y = y + _conv_ref(y, sd[pre + "pos_emb.proj.weight"], 1, C) \
+                + sd[pre + "pos_emb.proj.bias"]
+        for j in range(spec.depths[s]):
+            b = pre + f"blocks.{j}."
+            if spec.token_mixers[s] == "repmixer":
+                gm = sd[b + "token_mixer.layer_scale.gamma"].reshape(-1)
+                y = y + gm * (
+                    _mobileone_ref(sd, b + "token_mixer.mixer.", y, 3, 1, C)
+                    - _mobileone_ref(sd, b + "token_mixer.norm.", y, 3, 1, C))
+                g2 = sd[b + "layer_scale.gamma"].reshape(-1)
+                y = y + g2 * _convmlp_ref(sd, b + "mlp.", y, C)
+            else:
+                n = _bn_ref(y, sd[b + "norm.weight"], sd[b + "norm.bias"],
+                            sd[b + "norm.running_mean"],
+                            sd[b + "norm.running_var"])
+                g1 = sd[b + "layer_scale_1.gamma"].reshape(-1)
+                y = y + g1 * _attention_ref(sd, b + "token_mixer.", n,
+                                            spec.attn_head_dim)
+                g2 = sd[b + "layer_scale_2.gamma"].reshape(-1)
+                y = y + g2 * _convmlp_ref(sd, b + "mlp.", y, C)
+    y = _mob_full_ref(sd, "final_conv.", y, 3, 1, spec.dims[-1])
+    pooled = y.mean(axis=(1, 2))
+    want = pooled @ sd["head.fc.weight"].T + sd["head.fc.bias"]
+
+    # ---- fused deploy-form JAX forward over the ingested params
+    params = jax.tree.map(jnp.asarray, timm_fastvit_to_params(sd_full,
+                                                              spec))
+    got = np.asarray(encode_image_fastvit(params, spec, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
 def test_fastvit_missing_key_is_loud():
     sd = _synthetic_fastvit_sd(TINY_FV)
     del sd["visual.trunk.stem.0.conv_kxk.0.conv.weight"]
@@ -404,6 +544,71 @@ def _synthetic_mci_vit_sd(spec: MciViTSpec, seed: int = 0,
     sd[prefix + "head.weight"] = f(spec.output_dim, D)
     sd[prefix + "head.bias"] = f(spec.output_dim)
     return sd
+
+
+def test_mci_vit_full_forward_matches_torch_oracle():
+    """Composed oracle for the hybrid MCi-ViT (timm vit_base_mci_224):
+    ConvStem (conv+BN+GELU per layer, kernel == stride, pad 0) →
+    HybridEmbed 1×1 proj → no_embed_class (pos embed on patch tokens,
+    cls prepended after) → pre-LN ViT blocks → final LN → token pool →
+    trunk head.  Written in torch from the published architecture,
+    consuming the same timm-layout state dict the ingestion fuses."""
+    import torch
+    import torch.nn.functional as F
+
+    spec = TINY_VIT
+    sd_np = _synthetic_mci_vit_sd(spec)
+    sd = {k.replace("visual.trunk.", ""): torch.from_numpy(np.asarray(v))
+          for k, v in sd_np.items()}
+    r = np.random.RandomState(9)
+    imgs = r.rand(2, spec.image_size, spec.image_size, 3).astype(np.float32)
+
+    with torch.no_grad():
+        x = torch.from_numpy(imgs.transpose(0, 3, 1, 2))
+        for i, k in enumerate(spec.stem_kernels):
+            p = f"patch_embed.backbone.{i}."
+            x = F.conv2d(x, sd[p + "conv.weight"], stride=k)
+            x = F.batch_norm(x, sd[p + "bn.running_mean"],
+                             sd[p + "bn.running_var"],
+                             sd[p + "bn.weight"], sd[p + "bn.bias"],
+                             training=False)
+            x = F.gelu(x)
+        x = F.conv2d(x, sd["patch_embed.proj.weight"],
+                     sd["patch_embed.proj.bias"])
+        B, D, gh, gw = x.shape
+        x = x.flatten(2).transpose(1, 2)
+        x = x + sd["pos_embed"]                     # no_embed_class
+        x = torch.cat([sd["cls_token"].expand(B, -1, -1), x], dim=1)
+        hd = D // spec.heads
+        for i in range(spec.layers):
+            b = f"blocks.{i}."
+            y = F.layer_norm(x, (D,), sd[b + "norm1.weight"],
+                             sd[b + "norm1.bias"], spec.ln_eps)
+            qkv = F.linear(y, sd[b + "attn.qkv.weight"],
+                           sd[b + "attn.qkv.bias"])
+            q, k, v = qkv.chunk(3, dim=-1)
+            q = q.reshape(B, -1, spec.heads, hd).transpose(1, 2)
+            k = k.reshape(B, -1, spec.heads, hd).transpose(1, 2)
+            v = v.reshape(B, -1, spec.heads, hd).transpose(1, 2)
+            a = ((q @ k.transpose(-2, -1)) * hd ** -0.5).softmax(dim=-1)
+            o = (a @ v).transpose(1, 2).reshape(B, -1, D)
+            x = x + F.linear(o, sd[b + "attn.proj.weight"],
+                             sd[b + "attn.proj.bias"])
+            y = F.layer_norm(x, (D,), sd[b + "norm2.weight"],
+                             sd[b + "norm2.bias"], spec.ln_eps)
+            h = F.gelu(F.linear(y, sd[b + "mlp.fc1.weight"],
+                                sd[b + "mlp.fc1.bias"]))
+            x = x + F.linear(h, sd[b + "mlp.fc2.weight"],
+                             sd[b + "mlp.fc2.bias"])
+        x = F.layer_norm(x, (D,), sd["norm.weight"], sd["norm.bias"],
+                         spec.ln_eps)
+        want = F.linear(x[:, 0], sd["head.weight"],
+                        sd["head.bias"]).numpy()
+
+    params = jax.tree.map(jnp.asarray, timm_mci_vit_to_params(sd_np, spec))
+    got = np.asarray(mci.encode_image_mci_vit(params, spec,
+                                              jnp.asarray(imgs)))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
 
 
 def test_mci_vit_ingestion():
