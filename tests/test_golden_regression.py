@@ -25,9 +25,13 @@ from leaf_tpu.models.config import get_model_config
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "assets", "golden")
 
 # CI-sized sweep: one per tower family that shares forward math with
-# its larger siblings (ViT, ResNet, SigLIP/MAP-pool, ConvNeXt)
+# its larger siblings (ViT, ResNet, SigLIP/MAP-pool, ConvNeXt, and —
+# since r4 — every timm-trunk family: EVA, ViTamin, swin, relpos ViT,
+# FastViT, hybrid MCi-ViT)
 MODELS = ["ViT-tiny-test", "RN50", "ViT-B-32", "ViT-B-16-SigLIP",
-          "convnext_base"]
+          "convnext_base", "eva-tiny-test", "vitamin-tiny-test",
+          "swin-tiny-test", "relpos-tiny-test", "fastvit-tiny-test",
+          "mci-vit-tiny-test"]
 
 
 def _batches(cfg):
