@@ -141,6 +141,34 @@ def test_pipelined_step_equivalence(setup):
     np.testing.assert_allclose(losses_p, losses_u, rtol=1e-5)
 
 
+def test_use_pipeline_decision_matrix(setup):
+    """The half-batch pipeline must engage exactly where documented:
+    k=1, single-process, even batch >= 4 whose halves divide the data
+    axis; never on TP meshes or k>1."""
+    from jax.sharding import Mesh
+
+    cfg, params, tok, tx = setup
+    f = FusedLeafStep(cfg, tx, tok, rho=5)
+    assert f._use_pipeline(128)            # the bench/production shape
+    assert f._use_pipeline(4)
+    assert not f._use_pipeline(2)          # halves of 1: nothing to overlap
+    assert not f._use_pipeline(5)          # odd batch
+    assert not FusedLeafStep(cfg, tx, tok, rho=5,
+                             k=2)._use_pipeline(128)   # k>1: rng order
+    assert not FusedLeafStep(cfg, tx, tok, rho=5,
+                             pipeline=False)._use_pipeline(128)
+
+    devs = jax.devices()
+    if len(devs) >= 8:
+        mesh = Mesh(np.asarray(devs[:8]), ("data",))
+        fm = FusedLeafStep(cfg, tx, tok, rho=5, mesh=mesh)
+        assert fm._use_pipeline(128)       # v5e-8: halves of 64 / 8 ok
+        assert not fm._use_pipeline(8)     # halves of 4 don't divide 8
+        mesh2 = Mesh(np.asarray(devs[:8]).reshape(4, 2), ("data", "model"))
+        fm2 = FusedLeafStep(cfg, tx, tok, rho=5, mesh=mesh2)
+        assert not fm2._use_pipeline(128)  # TP meshes keep GSPMD phases
+
+
 def test_pipelined_heterogeneous_halves_share_bucket(setup):
     """Halves whose captions land in different context buckets: the
     pipelined step pads each half's candidates up to the shared
