@@ -247,19 +247,26 @@ def _extract_block(src: str, header: str) -> str:
     return src[start:start + 1 + min(ends)] if ends else src[start:]
 
 
-class _ScheduledDraws:
-    """Pre-drawn attack randomness, popped in call order.  Both sides
-    of the trajectory test consume an identical copy, so the position /
-    char draws — the only randomness in the LEAF step — are pinned."""
+class _SharedStreamDraws:
+    """Attack randomness drawn lazily from a private stream, recording
+    every `(n, size, replace)` call.  Both sides of the trajectory test
+    run one instance seeded identically: as long as the two
+    implementations issue the same call sequence they receive the same
+    draws — and for k>1 the call sequence itself depends on the
+    evolving sentences (round r+1's position space is
+    ``2*len(winner)+1``), so a winner divergence on either side
+    surfaces as a call-log mismatch instead of silent drift.  Pre-drawn
+    schedules cannot cover k>1 because the draw spaces aren't known
+    until the previous round's winner is scored."""
 
-    def __init__(self, draws):
-        self._q = list(draws)
+    def __init__(self, seed):
+        self._rng = np.random.default_rng(seed)
+        self.log = []
 
     def choice(self, a, size=None, replace=True):
-        arr = self._q.pop(0)
         n = int(a) if isinstance(a, (int, np.integer)) else len(a)
-        assert len(arr) == size and int(arr.max()) < n, (size, n)
-        return arr.copy()
+        self.log.append((n, int(size), bool(replace)))
+        return self._rng.choice(n, size=size, replace=replace)
 
 
 class _RandomProxy:
@@ -283,17 +290,26 @@ class _NumpyProxy:
         return getattr(np, name)
 
 
+@pytest.mark.parametrize("k_adv,constrain,n_steps", [
+    (1, True, 24),   # the released-model recipe (pipelined k=1 path)
+    (2, True, 10),   # multi-round: round 2 retokenises round-1 winners
+    (1, False, 10),  # unconstrained recipe (train_AT default)
+])
 def test_train_trajectory_parity_vs_reference(ref_open_clip, torch, tmp_path,
-                                              monkeypatch):
-    """Integrated 24-step LEAF training trajectory vs the reference's
+                                              monkeypatch, k_adv, constrain,
+                                              n_steps):
+    """Integrated LEAF training trajectory vs the reference's
     OWN `train_one_epoch_text_only` (`utils_AT.py:262-426`) driving its
     OWN `attack_text_leaf` (`utils_attacks.py:297-393`), exec'd from
     source in CPU torch: same tiny CLIP weights (via interop), same
-    captions, same pinned attack randomness, constrained recipe,
+    captions, same shared-stream attack randomness,
     AdamW + weight-decay mask + grad clipping on both sides.  Asserts
     the per-step TextFARE losses and the final trained parameters
     agree — the compositional gate the per-component parity tests
-    cannot provide (VERDICT r3 next #2)."""
+    cannot provide (VERDICT r3 next #2).  The k=2 case additionally
+    pins the multi-round composition: round 2's position space is
+    ``2*len(round-1 winner)+1``, so the call-log equality check at the
+    end fails if the two sides ever disagree on a winner."""
     import contextlib
     import types
 
@@ -310,7 +326,7 @@ def test_train_trajectory_parity_vs_reference(ref_open_clip, torch, tmp_path,
     from leaf_tpu.train.step import TrainState
 
     monkeypatch.chdir(tmp_path)  # the ref loop writes times_*.csv to cwd
-    N_STEPS, BS, RHO = 24, 4, 6
+    N_STEPS, BS, RHO = n_steps, 4, 6
     LR, WD, CLIP_NORM = 1e-3, 1e-4, 1.0
     V = list(edits.DEFAULT_VOCAB)
     wc = WordConstraint()
@@ -322,19 +338,6 @@ def test_train_trajectory_parity_vs_reference(ref_open_clip, torch, tmp_path,
     cap_rng = np.random.default_rng(7)
     batches = [[" ".join(cap_rng.choice(word_pool, size=5))
                 for _ in range(BS)] for _ in range(N_STEPS)]
-
-    # -- shared attack-randomness schedule (positions then chars, per
-    #    batch row — the exact draw order of both implementations) ----
-    master = np.random.default_rng(42)
-    schedule = []
-    for texts in batches:
-        for S in texts:
-            total = 2 * len(S) + 1
-            schedule.append(master.choice(total, size=RHO,
-                                          replace=RHO > total))
-        for S in texts:
-            schedule.append(master.choice(len(V), size=RHO,
-                                          replace=RHO > len(V)))
 
     # -- reference side: tiny CLIP + exec'd attack + exec'd train loop -
     from open_clip.model import CLIP, CLIPTextCfg, CLIPVisionCfg
@@ -364,7 +367,7 @@ def test_train_trajectory_parity_vs_reference(ref_open_clip, torch, tmp_path,
 
     atk_ns = {"words": _WordsStub(), "word_tokenize": word_tokenize}
     exec("\n".join(atk_lines), atk_ns)  # noqa: S102 — test-only oracle
-    ref_sched = _ScheduledDraws(schedule)
+    ref_sched = _SharedStreamDraws(42)
     atk_ns["np"] = _NumpyProxy(ref_sched)
 
     at_src = open(os.path.join(REFERENCE, "utils_AT.py")).read()
@@ -417,7 +420,7 @@ def test_train_trajectory_parity_vs_reference(ref_open_clip, torch, tmp_path,
                                            set_epoch=lambda e: None)}
     args = types.SimpleNamespace(
         device="cpu", precision="fp32", accum_freq=1, skip_scheduler=True,
-        use_charmer=False, rho=RHO, k_adv=1, constrain=True,
+        use_charmer=False, rho=RHO, k_adv=k_adv, constrain=constrain,
         normalize_fare=False, grad_clip_norm=CLIP_NORM, horovod=False,
         log_every_n_steps=10 ** 6, batch_size=BS, world_size=1, wandb=False)
     ref_tok = ref_open_clip.get_tokenizer("ViT-B-32")
@@ -429,7 +432,8 @@ def test_train_trajectory_parity_vs_reference(ref_open_clip, torch, tmp_path,
     loop_ns["train_one_epoch_text_only"](
         ref, ref_frozen, ref_tok, V, data, None, 0, opt, None, None, args)
     assert len(ref_losses) == N_STEPS
-    assert not ref_sched._q, "reference consumed a partial schedule"
+    # per attack round: BS position draws then BS char draws
+    assert len(ref_sched.log) == N_STEPS * k_adv * 2 * BS
 
     # -- our side: identical weights, fused production step -----------
     cfg = get_model_config("ViT-tiny-test")
@@ -438,15 +442,18 @@ def test_train_trajectory_parity_vs_reference(ref_open_clip, torch, tmp_path,
                         eps=1e-6, grad_clip_norm=CLIP_NORM)
     state = TrainState.create(jax.tree.map(jnp.asarray, params["text"]), tx)
     frozen_text = jax.tree.map(jnp.asarray, params["text"])
-    fused = FusedLeafStep(cfg, tx, get_tokenizer(), rho=RHO,
-                          dtype=jnp.float32, constraint=WordConstraint(),
-                          objective="l2")
-    our_sched = _ScheduledDraws(schedule)
+    fused = FusedLeafStep(cfg, tx, get_tokenizer(), rho=RHO, k=k_adv,
+                          dtype=jnp.float32, objective="l2",
+                          constraint=WordConstraint() if constrain else None)
+    our_sched = _SharedStreamDraws(42)
     our_losses = []
     for texts in batches:
         state, info = fused(state, frozen_text, texts, our_sched)
         our_losses.append(float(np.asarray(info["metrics"]["loss"])))
-    assert not our_sched._q, "fused step consumed a partial schedule"
+    # identical draw-call sequences = identical randomness; for k>1 the
+    # round-2 position spaces depend on round-1 winners, so this also
+    # asserts both sides crowned the same winners every round
+    assert our_sched.log == ref_sched.log
 
     # per-step loss trajectories agree to fp32 tolerance
     np.testing.assert_allclose(our_losses, ref_losses, rtol=2e-3, atol=1e-5)
