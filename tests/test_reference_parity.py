@@ -467,6 +467,200 @@ def test_train_trajectory_parity_vs_reference(ref_open_clip, torch, tmp_path,
         state.text_params, final_ref["text"])
 
 
+def test_fare_train_trajectory_parity_vs_reference(ref_open_clip, torch,
+                                                   monkeypatch):
+    """Integrated FARE training trajectory vs the reference's OWN
+    `train_one_epoch` + `pgd` (`robust_vlm/train/
+    adversarial_training_clip.py:309-497`, `pgd_train.py:6-66`), exec'd
+    from source in CPU torch: same tiny CLIP weights (via interop),
+    same image stream, same PGD init perturbations (the only
+    randomness, injected into both sides), same AdamW(wd on all
+    params) + robust_vlm cosine/warmup schedule.  Asserts per-step
+    adversarial losses and the final trained vision tower agree — the
+    FARE counterpart of the LEAF trajectory gate above: it pins the
+    composition (frozen-anchor encode, inner PGD on the live tower,
+    embedding-L2 outer step, schedule stepping order) that the
+    per-component PGD/loss/forward parity tests cannot."""
+    import types
+
+    import jax
+    import jax.numpy as jnp
+
+    from leaf_tpu.attacks.image import pgd as our_pgd
+    from leaf_tpu.models import interop
+    from leaf_tpu.models.config import get_model_config
+    from leaf_tpu.models.preprocess import (OPENAI_DATASET_MEAN,
+                                            OPENAI_DATASET_STD)
+    from leaf_tpu.train import fare as fare_mod
+
+    N_STEPS, BS, IMG = 8, 4, 64
+    EPS, ITER, STEP_SZ = 4 / 255, 5, 1 / 255
+    LR, WD, WARMUP = 1e-3, 1e-4, 2
+
+    # -- shared image stream + shared PGD init perturbations (NHWC) ----
+    rng = np.random.default_rng(11)
+    images = rng.uniform(0, 1, (N_STEPS, BS, IMG, IMG, 3)).astype(np.float32)
+    perts = rng.uniform(-EPS, EPS,
+                        (N_STEPS, BS, IMG, IMG, 3)).astype(np.float32)
+
+    # -- reference side: tiny CLIP + exec'd trainer ---------------------
+    from open_clip.model import CLIP, CLIPTextCfg, CLIPVisionCfg
+    torch.manual_seed(5)
+    ref = CLIP(embed_dim=64,
+               vision_cfg=CLIPVisionCfg(layers=2, width=64, head_width=64,
+                                        patch_size=16, image_size=IMG),
+               text_cfg=CLIPTextCfg(context_length=77, vocab_size=49408,
+                                    width=64, heads=2, layers=2),
+               quick_gelu=False)
+    init_state_dict = {k: v.clone() for k, v in ref.state_dict().items()}
+
+    ROBUST = os.path.join(REFERENCE, "src", "robust_vlm", "train")
+    util_src = open(os.path.join(ROBUST, "utils.py")).read()
+    at_src = open(os.path.join(ROBUST, "adversarial_training_clip.py")).read()
+    pgd_src = open(os.path.join(ROBUST, "pgd_train.py")).read()
+
+    recorded = {}
+
+    class _RecMeter:
+        """AverageMeter stand-in that records every update by name."""
+
+        def __init__(self, name, fmt=":f"):
+            self.vals = recorded.setdefault(name, [])
+            self.val = self.avg = 0.0
+
+        def update(self, val, n=1):
+            self.vals.append(float(val))
+            self.val = val
+
+    ns = {"torch": torch, "F": torch.nn.functional, "np": np,
+          "time": __import__("time"), "logging": __import__("logging"),
+          "os": os, "wandb": None, "evaluate": None, "unwrap_model": None,
+          "AverageMeter": _RecMeter, "apgd": None,
+          # ClipVisionModel only isinstance-checks transformers.CLIPModel
+          "transformers": types.SimpleNamespace(CLIPModel=())}
+    for block in ("def assign_learning_rate", "def _warmup_lr",
+                  "def cosine_lr", "def project_perturbation",
+                  "def normalize_grad"):
+        exec(_extract_block(util_src, block), ns)  # noqa: S102 — oracle
+    exec(_extract_block(pgd_src, "def pgd"), ns)  # noqa: S102
+    for block in ("class ClipVisionModel", "class ComputeLossWrapper",
+                  "def compute_acc", "def compute_loss", "def l2",
+                  "def l1", "def ce", "def train_one_epoch"):
+        exec(_extract_block(at_src, block), ns)  # noqa: S102
+
+    # inject the shared init perturbation (the loop draws it inline:
+    # `torch.zeros_like(data).uniform_(-eps, eps)`, :352)
+    real_pgd, ctr = ns["pgd"], {"i": 0}
+
+    def pgd_shared_init(**kw):
+        p0 = perts[ctr["i"]].transpose(0, 3, 1, 2).copy()
+        ctr["i"] += 1
+        kw["perturbation"] = torch.tensor(p0).requires_grad_(True)
+        return real_pgd(**kw)
+    ns["pgd"] = pgd_shared_init
+
+    # the reference loop is CUDA-hardwired; run its .cuda() as identity
+    monkeypatch.setattr(torch.Tensor, "cuda",
+                        lambda self, *a, **k: self, raising=False)
+
+    mean_t = torch.tensor(OPENAI_DATASET_MEAN).view(1, 3, 1, 1)
+    std_t = torch.tensor(OPENAI_DATASET_STD).view(1, 3, 1, 1)
+    model = ns["ClipVisionModel"](
+        model=ref, args=None, normalize=lambda x: (x - mean_t) / std_t)
+    from copy import deepcopy
+    model_orig = deepcopy(model).eval()
+    opt = torch.optim.AdamW(model.model.parameters(), lr=LR,
+                            weight_decay=WD)
+    scheduler = ns["cosine_lr"](opt, LR, WARMUP, N_STEPS)
+    scheduler(0)  # reference main(): scheduler(args.start_step), :220
+
+    args = types.SimpleNamespace(
+        attack="pgd", norm="linf", eps=EPS, iterations_adv=ITER,
+        stepsize_adv=STEP_SZ, output_normalize=False, inner_loss="l2",
+        loss="l2", loss_clean="l2", clean_weight=0.0, trades=False,
+        steps=N_STEPS, total_epochs=1, eval_freq=10 ** 6,
+        log_freq=10 ** 6, save_checkpoints=False, output_dir="")
+    loader = [(torch.tensor(b.transpose(0, 3, 1, 2).copy()),
+               ["cap"] * BS) for b in images]
+    steps_done = ns["train_one_epoch"](
+        0, model, model_orig, loader, opt, scheduler, None, None, args,
+        epoch=0)
+    assert steps_done == N_STEPS and ctr["i"] == N_STEPS
+    ref_losses = recorded["loss"]
+
+    # -- our side: identical weights through train_fare ----------------
+    cfg = get_model_config("ViT-tiny-test")
+    params = jax.tree.map(jnp.asarray,
+                          interop.openclip_to_params(init_state_dict, cfg))
+    fcfg = fare_mod.FareConfig(
+        steps=N_STEPS, warmup=WARMUP, batch_size=BS, lr=LR, wd=WD,
+        attack="pgd", norm="linf", eps=EPS, iterations_adv=ITER,
+        stepsize_adv=STEP_SZ, clean_weight=0.0, output_normalize=False,
+        log_freq=10 ** 6, fallback_freq=0, eval_freq=10 ** 6, remat=False)
+
+    def fake_make_attack(cfg_, fcfg_, dtype=jnp.float32):
+        ctr2 = {"i": 0}
+
+        def attack(visual_params, imgs, embedding_orig, targets, cls, key):
+            def loss_fn(x_adv):
+                emb = fare_mod.encode_vision(visual_params, cfg_, x_adv,
+                                             fcfg_.output_normalize, dtype)
+                return fare_mod.embedding_loss(fcfg_.inner_loss, emb,
+                                               embedding_orig,
+                                               reduction="mean")
+            p0 = jnp.asarray(perts[ctr2["i"]])
+            ctr2["i"] += 1
+            return our_pgd(loss_fn, imgs, norm=fcfg_.norm, eps=fcfg_.eps,
+                           iterations=fcfg_.iterations_adv,
+                           stepsize=fcfg_.stepsize_adv, mode="max",
+                           perturbation=p0)
+        return attack
+
+    monkeypatch.setattr(fare_mod, "make_fare_attack", fake_make_attack)
+    our_losses = []
+    out = fare_mod.train_fare(
+        params, cfg, fcfg, iter([(b, None) for b in images]),
+        on_step=lambda stp, m: our_losses.append(m["loss"]))
+    assert out["steps"] == N_STEPS
+
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=5e-3, atol=1e-5)
+
+    final_ref = interop.openclip_to_params(
+        {k: v.detach() for k, v in ref.state_dict().items()}, cfg)
+
+    def _scrub_k_gauge(path, x):
+        # the K slice of the attention qkv bias is a gauge direction:
+        # adding a constant vector to every key shifts all of a query's
+        # logits equally, which softmax ignores — its true gradient is
+        # exactly zero.  Adam divides the fp-noise gradient there by its
+        # own magnitude, so the K bias performs an independent ±lr
+        # random walk on EACH side (measured: every other leaf agrees to
+        # ~1e-8 after a step while K-bias elements differ by ~lr).  The
+        # functional check below proves the scrub hides no real drift.
+        x = np.array(x)
+        if any(getattr(k, "key", None) == "qkv_b" for k in path):
+            w = x.shape[-1] // 3
+            x[..., w:2 * w] = 0
+        return x
+
+    import jax.tree_util as jtu
+    jax.tree.map(
+        lambda ours, theirs: np.testing.assert_allclose(
+            ours, theirs, rtol=2e-3, atol=1e-3),
+        jtu.tree_map_with_path(_scrub_k_gauge, out["params"]["visual"]),
+        jtu.tree_map_with_path(_scrub_k_gauge, final_ref["visual"]))
+
+    # functional equivalence of the two trained towers on fresh images
+    # (covers the scrubbed gauge slice: K-bias cannot change features)
+    probe = rng.uniform(0, 1, (BS, IMG, IMG, 3)).astype(np.float32)
+    ours_emb = np.asarray(fare_mod.encode_vision(
+        out["params"]["visual"], cfg, jnp.asarray(probe), False))
+    with torch.no_grad():
+        ref_emb = model(torch.tensor(probe.transpose(0, 3, 1, 2).copy()),
+                        output_normalize=False).numpy()
+    np.testing.assert_allclose(ours_emb, ref_emb, rtol=2e-3, atol=2e-4)
+
+
 def test_valid_sentence_logic_parity_vs_reference():
     """The constrained-attack validity LOGIC vs the reference's
     valid_sentence (`utils_attacks.py:80-108`), exec-extracted with the
