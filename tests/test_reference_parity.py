@@ -467,6 +467,23 @@ def test_train_trajectory_parity_vs_reference(ref_open_clip, torch, tmp_path,
         state.text_params, final_ref["text"])
 
 
+def _scrub_k_gauge(path, x):
+    """Zero the K slice of attention qkv biases before a trained-param
+    comparison.  The K bias is a gauge direction: adding a constant
+    vector to every key shifts all of a query's logits equally, which
+    softmax ignores — its true gradient is exactly zero.  Adam divides
+    the fp-noise gradient there by its own magnitude, so the K bias
+    performs an independent ±lr random walk on EACH side (measured:
+    every other leaf agrees to ~1e-8 after a step while K-bias elements
+    differ by ~lr).  Trajectory tests pair this scrub with a
+    feature-level check proving the scrub hides no real drift."""
+    x = np.array(x)
+    if any(getattr(k, "key", None) == "qkv_b" for k in path):
+        w = x.shape[-1] // 3
+        x[..., w:2 * w] = 0
+    return x
+
+
 def test_fare_train_trajectory_parity_vs_reference(ref_open_clip, torch,
                                                    monkeypatch):
     """Integrated FARE training trajectory vs the reference's OWN
@@ -628,21 +645,6 @@ def test_fare_train_trajectory_parity_vs_reference(ref_open_clip, torch,
     final_ref = interop.openclip_to_params(
         {k: v.detach() for k, v in ref.state_dict().items()}, cfg)
 
-    def _scrub_k_gauge(path, x):
-        # the K slice of the attention qkv bias is a gauge direction:
-        # adding a constant vector to every key shifts all of a query's
-        # logits equally, which softmax ignores — its true gradient is
-        # exactly zero.  Adam divides the fp-noise gradient there by its
-        # own magnitude, so the K bias performs an independent ±lr
-        # random walk on EACH side (measured: every other leaf agrees to
-        # ~1e-8 after a step while K-bias elements differ by ~lr).  The
-        # functional check below proves the scrub hides no real drift.
-        x = np.array(x)
-        if any(getattr(k, "key", None) == "qkv_b" for k in path):
-            w = x.shape[-1] // 3
-            x[..., w:2 * w] = 0
-        return x
-
     import jax.tree_util as jtu
     jax.tree.map(
         lambda ours, theirs: np.testing.assert_allclose(
@@ -659,6 +661,186 @@ def test_fare_train_trajectory_parity_vs_reference(ref_open_clip, torch,
         ref_emb = model(torch.tensor(probe.transpose(0, 3, 1, 2).copy()),
                         output_normalize=False).numpy()
     np.testing.assert_allclose(ours_emb, ref_emb, rtol=2e-3, atol=2e-4)
+
+
+@pytest.mark.parametrize("accum_freq", [1, 2])
+def test_contrastive_train_trajectory_parity_vs_reference(
+        ref_open_clip, torch, accum_freq):
+    """Integrated contrastive training trajectory vs the reference's
+    OWN `train_one_epoch` + ClipLoss (`open_clip_train/train.py:70-246`,
+    `open_clip/loss.py`), exec'd/imported in CPU torch: same tiny CLIP
+    weights, same normalized-image + token batches, AdamW with the
+    gain-or-bias decay split (`main.py:311-326`), the open_clip cosine
+    warmup schedule, grad clipping, and the post-step ln(100)
+    logit-scale clamp.  accum_freq=2 exercises the feature-cache
+    gradient accumulation (`train.py:120-136`): cached no-grad
+    features of all microbatches, per-microbatch re-forward spliced
+    into the global negatives matrix, per-microbatch backward SUMMED
+    (not averaged) into one optimizer step — composition the smoke
+    tests never checked against the reference."""
+    import contextlib
+    import types
+
+    import jax
+    import jax.numpy as jnp
+    import jax.tree_util as jtu
+
+    from leaf_tpu.models import interop
+    from leaf_tpu.models.config import get_model_config
+    from leaf_tpu.train.contrastive import (
+        make_accum_contrastive_train_step, make_contrastive_train_step)
+    from leaf_tpu.train.optim import make_optimizer
+    from leaf_tpu.train.schedules import make_scheduler
+    from leaf_tpu.train.step import TrainState
+
+    N_BATCHES, BS, IMG = 8, 4, 64
+    N_STEPS = N_BATCHES // accum_freq
+    LR, WD, WARMUP, CLIP_NORM = 1e-3, 0.1, 2, 1.0
+    BETA1, BETA2, EPS_ADAM = 0.9, 0.98, 1e-6
+
+    rng = np.random.default_rng(23)
+    # already-normalized model inputs (the pipelines normalize upstream)
+    images = rng.normal(0, 1, (N_BATCHES, BS, IMG, IMG, 3)) \
+        .astype(np.float32)
+    word_pool = ("a photo of the cat dog market rally tech fox giant "
+                 "ancient world policy").split()
+    caps = [[" ".join(rng.choice(word_pool, size=5)) for _ in range(BS)]
+            for _ in range(N_BATCHES)]
+    ref_tok = ref_open_clip.get_tokenizer("ViT-B-32")
+    tokens = [ref_tok(c) for c in caps]  # shared token batches
+
+    # -- reference side ------------------------------------------------
+    from open_clip.loss import ClipLoss
+    from open_clip.model import CLIP, CLIPTextCfg, CLIPVisionCfg
+    torch.manual_seed(9)
+    ref = CLIP(embed_dim=64,
+               vision_cfg=CLIPVisionCfg(layers=2, width=64, head_width=64,
+                                        patch_size=16, image_size=IMG),
+               text_cfg=CLIPTextCfg(context_length=77, vocab_size=49408,
+                                    width=64, heads=2, layers=2),
+               quick_gelu=False, output_dict=True)
+    init_state_dict = {k: v.clone() for k, v in ref.state_dict().items()}
+
+    OCT = os.path.join(REFERENCE, "src", "open_clip_train")
+    tr_src = open(os.path.join(OCT, "train.py")).read()
+    sch_src = open(os.path.join(OCT, "scheduler.py")).read()
+    ns = {"torch": torch, "math": __import__("math"), "np": np,
+          "time": __import__("time"), "logging": __import__("logging"),
+          "wandb": None, "is_master": lambda args, local=False: True,
+          "get_autocast": lambda precision: contextlib.nullcontext,
+          "get_input_dtype": lambda precision: torch.float32}
+    for block in ("def assign_learning_rate", "def _warmup_lr",
+                  "def cosine_lr"):
+        exec(_extract_block(sch_src, block), ns)  # noqa: S102 — oracle
+    for block in ("class AverageMeter", "def unwrap_model",
+                  "def backward", "def train_one_epoch"):
+        exec(_extract_block(tr_src, block), ns)  # noqa: S102
+
+    ref_losses = []
+    real_backward = ns["backward"]
+
+    def recording_backward(total_loss, scaler):
+        ref_losses.append(float(total_loss.item()))
+        real_backward(total_loss, scaler)
+    ns["backward"] = recording_backward
+
+    exclude = lambda n, p: (p.ndim < 2 or "bn" in n or "ln" in n  # noqa: E731
+                            or "bias" in n or "logit_scale" in n)
+    named = list(ref.named_parameters())
+    opt = torch.optim.AdamW(
+        [{"params": [p for n, p in named if exclude(n, p)],
+          "weight_decay": 0.0},
+         {"params": [p for n, p in named if not exclude(n, p)],
+          "weight_decay": WD}],
+        lr=LR, betas=(BETA1, BETA2), eps=EPS_ADAM)
+    scheduler = ns["cosine_lr"](opt, LR, WARMUP, N_STEPS)
+
+    class _Loader:
+        def __init__(self, batches):
+            self._b = batches
+            self.num_batches = len(batches)
+            self.num_samples = len(batches) * BS
+
+        def __iter__(self):
+            return iter(self._b)
+
+    loader = _Loader([(torch.tensor(b.transpose(0, 3, 1, 2).copy()), t)
+                      for b, t in zip(images, tokens)])
+    data = {"train": types.SimpleNamespace(dataloader=loader,
+                                           set_epoch=lambda e: None)}
+    args = types.SimpleNamespace(
+        device="cpu", precision="fp32", distill=False, horovod=False,
+        skip_scheduler=False, accum_freq=accum_freq, batch_size=BS,
+        world_size=1, wandb=False, log_every_n_steps=10 ** 6,
+        grad_clip_norm=CLIP_NORM)
+    loss = ClipLoss(local_loss=False, gather_with_grad=False,
+                    cache_labels=True, rank=0, world_size=1)
+    ns["train_one_epoch"](ref, data, loss, 0, opt, None, scheduler, None,
+                          args)
+    assert len(ref_losses) == N_BATCHES  # one backward per microbatch
+    # per optimizer step the reference backwards accum_freq losses
+    ref_step_losses = np.asarray(ref_losses).reshape(
+        N_STEPS, accum_freq).mean(axis=1)
+
+    # -- our side: identical weights through the driver's step fns -----
+    cfg = get_model_config("ViT-tiny-test")
+    params = jax.tree.map(jnp.asarray,
+                          interop.openclip_to_params(init_state_dict, cfg))
+    schedule = make_scheduler("cosine", LR, WARMUP, N_STEPS)
+    tx = make_optimizer(lambda step: jnp.asarray(schedule(step)),
+                        weight_decay=WD, beta1=BETA1, beta2=BETA2,
+                        eps=EPS_ADAM, grad_clip_norm=CLIP_NORM)
+    state = TrainState.create(jax.tree.map(jnp.copy, params), tx)
+    if accum_freq == 1:
+        step_fn = make_contrastive_train_step(cfg, tx, mesh=None,
+                                              local_loss=False)
+        feed = [(jnp.asarray(images[i]),
+                 jnp.asarray(np.asarray(tokens[i]), jnp.int32))
+                for i in range(N_BATCHES)]
+    else:
+        step_fn = make_accum_contrastive_train_step(cfg, tx,
+                                                    accum_freq=accum_freq)
+        feed = [(jnp.asarray(images[s * accum_freq:(s + 1) * accum_freq]),
+                 jnp.asarray(np.stack(
+                     [np.asarray(t) for t in
+                      tokens[s * accum_freq:(s + 1) * accum_freq]]),
+                     jnp.int32))
+                for s in range(N_STEPS)]
+    our_losses = []
+    for im, tk in feed:
+        state, metrics = step_fn(state, im, tk)
+        our_losses.append(float(np.asarray(metrics["loss"])))
+
+    np.testing.assert_allclose(our_losses, ref_step_losses, rtol=2e-3,
+                               atol=1e-5)
+
+    final_ref = interop.openclip_to_params(
+        {k: v.detach() for k, v in ref.state_dict().items()}, cfg)
+    jax.tree.map(
+        lambda ours, theirs: np.testing.assert_allclose(
+            np.asarray(ours), np.asarray(theirs), rtol=2e-3, atol=1e-3),
+        jtu.tree_map_with_path(_scrub_k_gauge, state.text_params),
+        jtu.tree_map_with_path(_scrub_k_gauge, final_ref))
+
+    # functional equivalence of the trained models on fresh inputs
+    # (covers the scrubbed K-gauge slices)
+    from leaf_tpu.models import clip as lclip
+    probe_im = rng.normal(0, 1, (BS, IMG, IMG, 3)).astype(np.float32)
+    probe_tk = ref_tok([" ".join(rng.choice(word_pool, size=4))
+                        for _ in range(BS)])
+    ours_out = lclip.forward(state.text_params, cfg,
+                             jnp.asarray(probe_im),
+                             jnp.asarray(np.asarray(probe_tk), jnp.int32),
+                             jnp.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.tensor(probe_im.transpose(0, 3, 1, 2).copy()),
+                      probe_tk)
+    np.testing.assert_allclose(np.asarray(ours_out["image_features"]),
+                               ref_out["image_features"].numpy(),
+                               rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(ours_out["text_features"]),
+                               ref_out["text_features"].numpy(),
+                               rtol=2e-3, atol=2e-4)
 
 
 def test_valid_sentence_logic_parity_vs_reference():
