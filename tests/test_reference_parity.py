@@ -843,6 +843,82 @@ def test_contrastive_train_trajectory_parity_vs_reference(
                                rtol=2e-3, atol=2e-4)
 
 
+def test_loss_value_and_grad_parity_vs_reference(ref_open_clip, torch):
+    """Every training loss family — Clip, SigLip, CoCa, DistillClip —
+    against the reference's OWN loss classes (`open_clip/loss.py`,
+    world_size=1): values AND input gradients (features + logit scale),
+    pinning sign/scale conventions, the SigLIP 1/n normalisation, the
+    CoCa ignore_index caption masking, and the distill soft-CE exactly.
+    The multi-shard forms are pinned separately by the local==global
+    invariance tests in test_loss.py; this gate anchors the
+    single-shard math they reduce to."""
+    import jax
+    import jax.numpy as jnp
+
+    from leaf_tpu.models import loss as L
+
+    from open_clip.loss import (ClipLoss, CoCaLoss, DistillClipLoss,
+                                SigLipLoss)
+
+    B, D, V, S = 6, 16, 50, 12
+    rng = np.random.default_rng(31)
+    img = rng.normal(0, 1, (B, D)).astype(np.float32)
+    txt = rng.normal(0, 1, (B, D)).astype(np.float32)
+    t_img = rng.normal(0, 1, (B, D)).astype(np.float32)   # teacher
+    t_txt = rng.normal(0, 1, (B, D)).astype(np.float32)
+    cap_logits = rng.normal(0, 1, (B, S, V)).astype(np.float32)
+    cap_labels = rng.integers(0, V, (B, S))
+    cap_labels[:, -3:] = 0  # pad tail → exercises ignore_index=0
+    scale, bias, t_scale = 30.0, -10.0, 50.0
+
+    def _t(x):
+        return torch.tensor(x, requires_grad=True)
+
+    def _check(name, our_fn, our_args, ref_loss, ref_args):
+        t_args = [_t(a) for a in ref_args]
+        ref_val = ref_loss(*t_args)
+        if isinstance(ref_val, tuple):
+            ref_val = sum(ref_val)
+        ref_val.backward()
+        val, grads = jax.value_and_grad(
+            lambda *a: our_fn(*a), argnums=tuple(range(len(our_args))))(
+                *[jnp.asarray(a) for a in our_args])
+        np.testing.assert_allclose(float(val), float(ref_val.detach()),
+                                   rtol=1e-5, err_msg=name)
+        for g_ours, t_arg in zip(grads, t_args):
+            if t_arg.grad is None:
+                continue
+            np.testing.assert_allclose(
+                np.asarray(g_ours), t_arg.grad.numpy(), rtol=1e-4,
+                atol=1e-6, err_msg=name)
+
+    _check("clip",
+           lambda i, t, s: L.clip_loss(i, t, s),
+           (img, txt, scale),
+           ClipLoss(), (img, txt, scale))
+
+    _check("siglip",
+           lambda i, t, s, b: L.siglip_loss(i, t, s, b),
+           (img, txt, scale, bias),
+           SigLipLoss(), (img, txt, scale, bias))
+
+    _check("coca",
+           lambda i, t, cl, s: sum(L.coca_loss(
+               i, t, cl, jnp.asarray(cap_labels), s,
+               caption_loss_weight=2.0, clip_loss_weight=1.0, pad_id=0)),
+           (img, txt, cap_logits, scale),
+           lambda i, t, cl, s: CoCaLoss(caption_loss_weight=2.0,
+                                        clip_loss_weight=1.0, pad_id=0)(
+               i, t, cl, torch.tensor(cap_labels), s),
+           (img, txt, cap_logits, scale))
+
+    _check("distill",
+           lambda i, t, s, di, dt, ds: sum(L.distill_clip_loss(
+               i, t, s, di, dt, ds)),
+           (img, txt, scale, t_img, t_txt, t_scale),
+           DistillClipLoss(), (img, txt, scale, t_img, t_txt, t_scale))
+
+
 def test_valid_sentence_logic_parity_vs_reference():
     """The constrained-attack validity LOGIC vs the reference's
     valid_sentence (`utils_attacks.py:80-108`), exec-extracted with the
