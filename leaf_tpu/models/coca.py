@@ -334,13 +334,20 @@ def encode_image_coca(params: Params, cfg: CoCaConfig, images: jnp.ndarray,
 
 def _cls_mask(tokens: jnp.ndarray, pad_id: int) -> jnp.ndarray:
     """Per-sample additive mask [B, S+1, S+1] (reference
-    `build_cls_mask`, `transformer.py:767-774`): column 0 is always
-    attendable; column j>0 is masked where tokens[:, j-1] == pad."""
+    `build_cls_mask`, `transformer.py:767-774`): ONLY the appended CLS
+    row (the last query) masks pad columns — ordinary token rows are
+    governed by the causal mask alone (the reference F.pads the top S
+    rows with True).  Masking pad columns for every row changes no live
+    computation (trailing pads are causally invisible to live queries
+    and the caption loss masks pad labels) but makes pad-position
+    activations diverge from the reference; row-S-only keeps them
+    bit-equal."""
     B, S = tokens.shape
     col_ok = jnp.concatenate(
         [jnp.ones((B, 1), bool), tokens != pad_id], axis=1)  # [B, S+1]
-    add = jnp.where(col_ok[:, None, :], 0.0, -jnp.inf).astype(jnp.float32)
-    return jnp.broadcast_to(add, (B, S + 1, S + 1))
+    cls_row = jnp.where(col_ok, 0.0, -jnp.inf).astype(jnp.float32)
+    add = jnp.zeros((B, S + 1, S + 1), jnp.float32)
+    return add.at[:, S, :].set(cls_row)
 
 
 def encode_text_coca(params: Params, cfg: CoCaConfig, tokens: jnp.ndarray,
@@ -462,13 +469,21 @@ def forward(params: Params, cfg: CoCaConfig, images, tokens,
 
 def generate(params: Params, cfg: CoCaConfig, images, key,
              seq_len: int = 30, top_k: int = 1, temperature: float = 1.0,
+             min_seq_len: int = 5, repetition_penalty: float = 1.0,
              sot_token_id: Optional[int] = None,
              eos_token_id: Optional[int] = None,
              pad_id: Optional[int] = None,
              dtype=jnp.float32) -> jnp.ndarray:
     """Autoregressive caption sampling (top-k; top_k=1 is greedy) as a
-    single jitted scan (the reference's HF-style loop,
-    `coca_model.py:204-300`)."""
+    single jitted scan, decision-equal to the reference's HF-style loop
+    (`coca_model.py:204-327`): `seq_len` counts the SOT slot
+    (MaxLengthCriteria semantics, so seq_len-1 tokens are generated),
+    EOS is blocked while the sequence is shorter than `min_seq_len`
+    (MinLengthLogitsProcessor), the final slot is forced to EOS for
+    still-running rows (`coca_model.py:314`), and tokens already in the
+    sequence — including SOT — are discounted by `repetition_penalty`
+    (RepetitionPenaltyLogitsProcessor; 1.0 is a no-op)."""
+    assert seq_len > min_seq_len, "seq_len must be larger than min_seq_len"
     # special ids default from the CONFIG (an HF tower's pad/bos/eos
     # differ from CLIP BPE's; roberta pads with 1 — filling with 0 would
     # let the bidirectional tower attend to phantom slots)
@@ -476,15 +491,24 @@ def generate(params: Params, cfg: CoCaConfig, images, key,
     eos_token_id = cfg.eos_token_id if eos_token_id is None else eos_token_id
     pad_id = cfg.pad_id if pad_id is None else pad_id
     B = images.shape[0]
+    seq_len = min(seq_len, cfg.multimodal.context_length)
     _, image_embs = encode_image_coca(params, cfg, images, dtype=dtype)
 
     def step(carry, _):
-        tokens, pos, done, key = carry
+        tokens, pos, done, seen, key = carry
         text_latent, token_embs = encode_text_coca(
             params, cfg, tokens, dtype=dtype)
         logits = decode(params, cfg, image_embs, token_embs, dtype)
         cur = jnp.take_along_axis(
             logits, (pos - 1)[None, None, None].repeat(B, 0), axis=1)[:, 0]
+        if repetition_penalty != 1.0:
+            cur = jnp.where(
+                seen,
+                jnp.where(cur < 0, cur * repetition_penalty,
+                          cur / repetition_penalty), cur)
+        # MinLengthLogitsProcessor: EOS blocked while len(seq) < min
+        cur = cur.at[:, eos_token_id].add(
+            jnp.where(pos < min_seq_len, -jnp.inf, 0.0))
         cur = cur / temperature
         if top_k > 1:
             kth = jnp.sort(cur, axis=-1)[:, -top_k][:, None]
@@ -493,16 +517,21 @@ def generate(params: Params, cfg: CoCaConfig, images, key,
             nxt = jax.random.categorical(sub, cur, axis=-1)
         else:
             nxt = jnp.argmax(cur, axis=-1)
+        # the reference forces EOS into the final slot of running rows
+        nxt = jnp.where(pos == seq_len - 1, eos_token_id, nxt)
         nxt = jnp.where(done, pad_id, nxt)
+        seen = seen | jax.nn.one_hot(nxt, seen.shape[-1], dtype=bool)
         done = done | (nxt == eos_token_id)
         tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, pos))
-        return (tokens, pos + 1, done, key), None
+        return (tokens, pos + 1, done, seen, key), None
 
     tokens0 = jnp.full((B, cfg.multimodal.context_length), pad_id, jnp.int32)
     tokens0 = tokens0.at[:, 0].set(sot_token_id)
-    (tokens, _, _, _), _ = jax.lax.scan(
-        step, (tokens0, jnp.asarray(1), jnp.zeros((B,), bool), key),
-        None, length=min(seq_len, cfg.multimodal.context_length - 1))
+    seen0 = jnp.zeros((B, cfg.multimodal.vocab_size), bool) \
+        .at[:, sot_token_id].set(True)
+    (tokens, _, _, _, _), _ = jax.lax.scan(
+        step, (tokens0, jnp.asarray(1), jnp.zeros((B,), bool), seen0, key),
+        None, length=seq_len - 1)
     return tokens
 
 

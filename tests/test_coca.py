@@ -184,7 +184,8 @@ def test_coca_roberta_tiny_forward_and_generate():
     # contrastive+caption loss is finite and differentiable end-to-end
     logits, labels = out["logits"], out["labels"]
     assert np.isfinite(np.asarray(logits)).all()
-    gen = m.generate(x, seq_len=4, sot_token_id=1, eos_token_id=2)
+    gen = m.generate(x, seq_len=4, min_seq_len=2, sot_token_id=1,
+                     eos_token_id=2)
     assert gen.shape == (2, m.cfg.multimodal.context_length)
 
 

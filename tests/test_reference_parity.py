@@ -136,6 +136,11 @@ def test_coca_forward_parity(ref_open_clip, torch):
 
     torch.manual_seed(0)
     ref = ref_open_clip.create_model("coca_ViT-B-32", pretrained=None).eval()
+    # open_clip random-init leaves the caption head's text_projection
+    # all-zero, which would make the logits comparison below vacuous
+    # (both sides identically zero); randomise it so it discriminates
+    with torch.no_grad():
+        ref.text_decoder.text_projection.normal_(0, 0.02)
     cfg = lcoca.coca_vit_b_32()
     params = coca_openclip_to_params(ref.state_dict(), cfg)
 
@@ -165,6 +170,122 @@ def test_coca_forward_parity(ref_open_clip, torch):
                                out["labels"].numpy())
     np.testing.assert_allclose(np.asarray(ours["logits"]),
                                out["logits"].numpy(), atol=2e-3, rtol=1e-2)
+
+
+def test_coca_generation_decision_parity(ref_open_clip, torch, monkeypatch):
+    """Greedy caption generation decisions vs the reference's OWN
+    HF-style sampling loop (`coca_model.py:204-327`, top_k=1): same
+    random-init weights → token-for-token identical captions,
+    including the MinLengthLogitsProcessor EOS block, the forced EOS
+    in the final slot (MaxLengthCriteria counts the SOT), and the
+    RepetitionPenaltyLogitsProcessor discount.
+
+    The installed transformers dropped BeamSearchScorer from its public
+    API, so the reference module self-disabled generation at import
+    (`coca_model.py:17-43`).  The loop under test is still entirely the
+    reference's; only the four tiny HF logits/stopping helpers it names
+    are supplied here, re-implemented faithfully from HF semantics."""
+    import jax.numpy as jnp
+    from leaf_tpu.models import coca as lcoca
+    from leaf_tpu.models.coca_interop import coca_openclip_to_params
+
+    import open_clip.coca_model as cm
+    NEG_INF = float("-inf")
+
+    class _LPList(list):
+        def __call__(self, input_ids, scores):
+            for p in self:
+                scores = p(input_ids, scores)
+            return scores
+
+    class _MinLength:
+        def __init__(self, min_length, eos_token_id):
+            self.min_length, self.eos = min_length, int(eos_token_id)
+
+        def __call__(self, input_ids, scores):
+            if input_ids.shape[-1] < self.min_length:
+                scores = scores.clone()
+                scores[:, self.eos] = NEG_INF
+            return scores
+
+    class _RepPenalty:
+        def __init__(self, penalty):
+            self.penalty = penalty
+
+        def __call__(self, input_ids, scores):
+            if self.penalty == 1.0:
+                return scores
+            score = torch.gather(scores, 1, input_ids)
+            score = torch.where(score < 0, score * self.penalty,
+                                score / self.penalty)
+            return scores.scatter(1, input_ids, score)
+
+    class _TopK:
+        def __init__(self, top_k):
+            self.top_k = top_k
+
+        def __call__(self, input_ids, scores):
+            k = min(self.top_k, scores.size(-1))
+            kth = torch.topk(scores, k)[0][..., -1, None]
+            return scores.masked_fill(scores < kth, NEG_INF)
+
+    class _MaxLen:
+        def __init__(self, max_length):
+            self.max_length = max_length
+
+        def __call__(self, input_ids, scores):
+            return torch.full((input_ids.shape[0],),
+                              input_ids.shape[-1] >= self.max_length,
+                              dtype=torch.bool)
+
+    class _SCList(list):
+        def __call__(self, input_ids, scores):
+            done = torch.zeros(input_ids.shape[0], dtype=torch.bool)
+            for c in self:
+                done = done | c(input_ids, scores)
+            return done
+
+    for name, val in (("LogitsProcessorList", _LPList),
+                      ("MinLengthLogitsProcessor", _MinLength),
+                      ("RepetitionPenaltyLogitsProcessor", _RepPenalty),
+                      ("MaxLengthCriteria", _MaxLen),
+                      ("StoppingCriteriaList", _SCList),
+                      ("_has_transformers", True),
+                      ("GENERATION_TYPES",
+                       {"top_k": _TopK, "beam_search": "beam_search"})):
+        monkeypatch.setattr(cm, name, val, raising=False)
+
+    torch.manual_seed(0)
+    ref = ref_open_clip.create_model("coca_ViT-B-32", pretrained=None).eval()
+    # open_clip random-init leaves the caption head's text_projection
+    # all-zero → identically-zero logits, which would make greedy
+    # decisions vacuous (argmax over zeros); randomise it like the RN50
+    # test randomises BN running stats
+    with torch.no_grad():
+        ref.text_decoder.text_projection.normal_(0, 0.02)
+    cfg = lcoca.coca_vit_b_32()
+    import jax
+    params = jax.tree.map(jnp.asarray,
+                          coca_openclip_to_params(ref.state_dict(), cfg))
+
+    rng = np.random.default_rng(3)
+    images = rng.standard_normal((2, 224, 224, 3)).astype(np.float32)
+    img_t = torch.from_numpy(images.transpose(0, 3, 1, 2))
+    key = jax.random.PRNGKey(0)  # unused at top_k=1 (argmax)
+
+    for rep_pen, min_len in ((1.0, 5), (1.3, 3)):
+        with torch.no_grad():
+            ref_out = ref.generate(
+                img_t, generation_type="top_k", top_k=1, seq_len=12,
+                min_seq_len=min_len, repetition_penalty=rep_pen).numpy()
+        ours = np.asarray(lcoca.generate(
+            params, cfg, jnp.asarray(images), key, seq_len=12, top_k=1,
+            min_seq_len=min_len, repetition_penalty=rep_pen))
+        L = ref_out.shape[1]
+        np.testing.assert_array_equal(
+            ours[:, :L], ref_out,
+            err_msg=f"rep_pen={rep_pen} min_len={min_len}")
+        assert (ours[:, L:] == cfg.pad_id).all()
 
 
 def test_rn50_forward_parity(ref_open_clip, torch):
