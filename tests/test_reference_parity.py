@@ -172,6 +172,34 @@ def test_coca_forward_parity(ref_open_clip, torch):
                                out["logits"].numpy(), atol=2e-3, rtol=1e-2)
 
 
+def _enable_reference_generation(monkeypatch, cm):
+    """Re-enable the reference's generation path: its module import of
+    transformers helpers fails on the first name (BeamSearchScorer was
+    dropped from transformers' public __init__, `coca_model.py:17-43`),
+    leaving `_has_transformers=False`.  All the classes still exist —
+    BeamSearchScorer at its private module path — so install the REAL
+    HF objects into the reference module's namespace."""
+    from transformers import (LogitsProcessorList, MaxLengthCriteria,
+                              MinLengthLogitsProcessor,
+                              RepetitionPenaltyLogitsProcessor,
+                              StoppingCriteriaList, TopKLogitsWarper,
+                              TopPLogitsWarper)
+    from transformers.generation.beam_search import BeamSearchScorer
+    for name, val in (("BeamSearchScorer", BeamSearchScorer),
+                      ("LogitsProcessorList", LogitsProcessorList),
+                      ("MinLengthLogitsProcessor", MinLengthLogitsProcessor),
+                      ("RepetitionPenaltyLogitsProcessor",
+                       RepetitionPenaltyLogitsProcessor),
+                      ("MaxLengthCriteria", MaxLengthCriteria),
+                      ("StoppingCriteriaList", StoppingCriteriaList),
+                      ("_has_transformers", True),
+                      ("GENERATION_TYPES",
+                       {"top_k": TopKLogitsWarper,
+                        "top_p": TopPLogitsWarper,
+                        "beam_search": "beam_search"})):
+        monkeypatch.setattr(cm, name, val, raising=False)
+
+
 def test_coca_generation_decision_parity(ref_open_clip, torch, monkeypatch):
     """Greedy caption generation decisions vs the reference's OWN
     HF-style sampling loop (`coca_model.py:204-327`, top_k=1): same
@@ -180,80 +208,17 @@ def test_coca_generation_decision_parity(ref_open_clip, torch, monkeypatch):
     in the final slot (MaxLengthCriteria counts the SOT), and the
     RepetitionPenaltyLogitsProcessor discount.
 
-    The installed transformers dropped BeamSearchScorer from its public
+    The installed transformers dropped BeamSearchScorer from its PUBLIC
     API, so the reference module self-disabled generation at import
-    (`coca_model.py:17-43`).  The loop under test is still entirely the
-    reference's; only the four tiny HF logits/stopping helpers it names
-    are supplied here, re-implemented faithfully from HF semantics."""
+    (`coca_model.py:17-43`) — but every helper it names still exists
+    (BeamSearchScorer at its private path), so the loop under test runs
+    with the real HF classes, exactly as the reference shipped."""
     import jax.numpy as jnp
     from leaf_tpu.models import coca as lcoca
     from leaf_tpu.models.coca_interop import coca_openclip_to_params
 
     import open_clip.coca_model as cm
-    NEG_INF = float("-inf")
-
-    class _LPList(list):
-        def __call__(self, input_ids, scores):
-            for p in self:
-                scores = p(input_ids, scores)
-            return scores
-
-    class _MinLength:
-        def __init__(self, min_length, eos_token_id):
-            self.min_length, self.eos = min_length, int(eos_token_id)
-
-        def __call__(self, input_ids, scores):
-            if input_ids.shape[-1] < self.min_length:
-                scores = scores.clone()
-                scores[:, self.eos] = NEG_INF
-            return scores
-
-    class _RepPenalty:
-        def __init__(self, penalty):
-            self.penalty = penalty
-
-        def __call__(self, input_ids, scores):
-            if self.penalty == 1.0:
-                return scores
-            score = torch.gather(scores, 1, input_ids)
-            score = torch.where(score < 0, score * self.penalty,
-                                score / self.penalty)
-            return scores.scatter(1, input_ids, score)
-
-    class _TopK:
-        def __init__(self, top_k):
-            self.top_k = top_k
-
-        def __call__(self, input_ids, scores):
-            k = min(self.top_k, scores.size(-1))
-            kth = torch.topk(scores, k)[0][..., -1, None]
-            return scores.masked_fill(scores < kth, NEG_INF)
-
-    class _MaxLen:
-        def __init__(self, max_length):
-            self.max_length = max_length
-
-        def __call__(self, input_ids, scores):
-            return torch.full((input_ids.shape[0],),
-                              input_ids.shape[-1] >= self.max_length,
-                              dtype=torch.bool)
-
-    class _SCList(list):
-        def __call__(self, input_ids, scores):
-            done = torch.zeros(input_ids.shape[0], dtype=torch.bool)
-            for c in self:
-                done = done | c(input_ids, scores)
-            return done
-
-    for name, val in (("LogitsProcessorList", _LPList),
-                      ("MinLengthLogitsProcessor", _MinLength),
-                      ("RepetitionPenaltyLogitsProcessor", _RepPenalty),
-                      ("MaxLengthCriteria", _MaxLen),
-                      ("StoppingCriteriaList", _SCList),
-                      ("_has_transformers", True),
-                      ("GENERATION_TYPES",
-                       {"top_k": _TopK, "beam_search": "beam_search"})):
-        monkeypatch.setattr(cm, name, val, raising=False)
+    _enable_reference_generation(monkeypatch, cm)
 
     torch.manual_seed(0)
     ref = ref_open_clip.create_model("coca_ViT-B-32", pretrained=None).eval()
