@@ -104,31 +104,50 @@ def cider_d(candidates: Sequence[str], references: Sequence[Sequence[str]],
 
 
 def evaluate_captioning(params, coca_cfg, tokenizer, dataset, key,
-                        seq_len: int = 30) -> Dict[str, float]:
+                        seq_len: int = 30,
+                        generation_type: str = "beam_search",
+                        num_beams: int = 6,
+                        num_beam_groups: int = 3) -> Dict[str, float]:
     """dataset iterates (images [B,H,W,3] in [0,1], reference-caption
-    lists); generates with the CoCa decoder and scores BLEU-4/CIDEr-D."""
+    lists); generates with the CoCa decoder and scores BLEU-4/CIDEr-D.
+
+    The default is group beam search with open_clip's generate()
+    defaults (K=6, G=3) because that is exactly what the reference
+    benchmark runs — `clip_benchmark/metrics/captioning.py:86` calls
+    `model.generate(img)` with no arguments.  `generation_type="top_k"`
+    selects the greedy/sampling scan instead (faster, and what `key`
+    feeds)."""
     import jax
     import jax.numpy as jnp
 
     from leaf_tpu.attacks.image import _normalize_images
-    from leaf_tpu.models.coca import generate
+    from leaf_tpu.models.coca import generate, generate_beamsearch
 
     candidates: List[str] = []
     references: List[List[str]] = []
     for images, caption_lists in dataset:
         key, sub = jax.random.split(key)
-        tokens = generate(params, coca_cfg,
-                          _normalize_images(jnp.asarray(images), coca_cfg),
-                          sub,
-                          seq_len=seq_len)
+        norm = _normalize_images(jnp.asarray(images), coca_cfg)
+        if generation_type == "beam_search":
+            tokens = generate_beamsearch(params, coca_cfg, norm,
+                                         num_beams=num_beams,
+                                         num_beam_groups=num_beam_groups,
+                                         seq_len=seq_len)
+        else:
+            tokens = generate(params, coca_cfg, norm, sub, seq_len=seq_len)
         # cut at the model's OWN eos id (roberta CoCa: eos 2; CLIP
         # BPE: 49407) — a hardcoded CLIP special set left pad/eos runs
         # in HF-tower captions and stripped genuine '!' (BPE id 0 ==
         # the pad value) from mid-caption.  generate() only writes pad
-        # after EOS, so break-at-EOS needs no pad stripping at all.
+        # after EOS, so break-at-EOS needs no pad stripping — but a
+        # beam hypothesis that ran the full length carries NO eos
+        # (BeamSearchScorer.finalize appends one only when it fits), so
+        # bound the scan to the generation cap: everything past it is
+        # pad fill, never caption.
+        limit = min(seq_len, coca_cfg.multimodal.context_length)
         for row, refs in zip(np.asarray(tokens), caption_lists):
             ids = []
-            for t in row[1:]:           # row[0] is the SOT slot
+            for t in row[1:limit]:      # row[0] is the SOT slot
                 if int(t) in (coca_cfg.eos_token_id,
                               coca_cfg.sot_token_id):
                     break

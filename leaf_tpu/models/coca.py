@@ -17,7 +17,10 @@ MultimodalTransformer):
 
 Parity vs the reference torch implementation is pinned by
 `tests/test_reference_parity.py::test_coca_forward_parity`.
-Greedy/top-k generation is `generate()` — one jitted `lax.scan`.
+Greedy/top-k/top-p generation is `generate()` — one jitted `lax.scan`;
+group beam search (`generate_beamsearch`) is decision-equal to the
+reference's `_generate_beamsearch` + HF BeamSearchScorer, pinned by
+`test_reference_parity.py::test_coca_beamsearch_decision_parity`.
 """
 from __future__ import annotations
 
@@ -467,8 +470,32 @@ def forward(params: Params, cfg: CoCaConfig, images, tokens,
     }
 
 
+def top_p_filter(logits: jnp.ndarray, top_p: float,
+                 min_tokens_to_keep: int = 1) -> jnp.ndarray:
+    """Nucleus filtering, semantics-equal to HF's TopPLogitsWarper
+    (transformers logits_process.py; the reference's
+    `generation_type="top_p"` warper, `coca_model.py:265-268`):
+    ascending sort, drop tokens whose inclusive cumulative probability
+    is <= 1 - top_p, always keeping the `min_tokens_to_keep` most
+    probable; dropped logits become -inf."""
+    if not 0.0 <= top_p <= 1.0:
+        raise ValueError(f"top_p must be in [0, 1], got {top_p}")
+    V = logits.shape[-1]
+    order = jnp.argsort(logits, axis=-1)              # ascending, stable
+    sorted_logits = jnp.take_along_axis(logits, order, -1)
+    cum = jnp.cumsum(
+        jax.nn.softmax(sorted_logits.astype(jnp.float32), -1), -1)
+    remove_sorted = (cum <= (1.0 - top_p)) \
+        & (jnp.arange(V) < V - min_tokens_to_keep)
+    # unsort the removal mask back to vocabulary order
+    inv = jnp.argsort(order, axis=-1)
+    remove = jnp.take_along_axis(remove_sorted, inv, -1)
+    return jnp.where(remove, -jnp.inf, logits)
+
+
 def generate(params: Params, cfg: CoCaConfig, images, key,
              seq_len: int = 30, top_k: int = 1, temperature: float = 1.0,
+             top_p: Optional[float] = None,
              min_seq_len: int = 5, repetition_penalty: float = 1.0,
              sot_token_id: Optional[int] = None,
              eos_token_id: Optional[int] = None,
@@ -482,7 +509,13 @@ def generate(params: Params, cfg: CoCaConfig, images, key,
     (MinLengthLogitsProcessor), the final slot is forced to EOS for
     still-running rows (`coca_model.py:314`), and tokens already in the
     sequence — including SOT — are discounted by `repetition_penalty`
-    (RepetitionPenaltyLogitsProcessor; 1.0 is a no-op)."""
+    (RepetitionPenaltyLogitsProcessor; 1.0 is a no-op).
+
+    `top_p` set selects nucleus sampling instead of top-k (the
+    reference's `generation_type="top_p"`): the keep-set is computed
+    from the processed logits BEFORE temperature, exactly as the
+    reference applies its warper before `softmax(logits/T)`
+    (`coca_model.py:308-309`)."""
     assert seq_len > min_seq_len, "seq_len must be larger than min_seq_len"
     # special ids default from the CONFIG (an HF tower's pad/bos/eos
     # differ from CLIP BPE's; roberta pads with 1 — filling with 0 would
@@ -509,8 +542,14 @@ def generate(params: Params, cfg: CoCaConfig, images, key,
         # MinLengthLogitsProcessor: EOS blocked while len(seq) < min
         cur = cur.at[:, eos_token_id].add(
             jnp.where(pos < min_seq_len, -jnp.inf, 0.0))
-        cur = cur / temperature
-        if top_k > 1:
+        if top_p is not None:
+            # nucleus: keep-set from pre-temperature logits (the
+            # reference warps before softmax(logits/T))
+            cur = top_p_filter(cur, top_p) / temperature
+            key, sub = jax.random.split(key)
+            nxt = jax.random.categorical(sub, cur, axis=-1)
+        elif top_k > 1:
+            cur = cur / temperature
             kth = jnp.sort(cur, axis=-1)[:, -top_k][:, None]
             cur = jnp.where(cur < kth, -jnp.inf, cur)
             key, sub = jax.random.split(key)
@@ -539,20 +578,47 @@ def generate_beamsearch(params: Params, cfg: CoCaConfig, images,
                         num_beams: int = 6, num_beam_groups: int = 3,
                         min_seq_len: int = 5, seq_len: int = 30,
                         length_penalty: float = 1.0,
+                        repetition_penalty: float = 1.0,
                         sot_token_id: Optional[int] = None,
                         eos_token_id: Optional[int] = None,
                         pad_id: Optional[int] = None,
                         dtype=jnp.float32) -> jnp.ndarray:
-    """Group beam search as one jitted scan (the reference's
-    `_generate_beamsearch`, `coca_model.py:329-420`, built on HF's
-    BeamSearchScorer with num_beams/num_beam_groups and a min-length
-    EOS block).
+    """Group beam search as one jitted scan, decision-equal to the
+    reference's `_generate_beamsearch` (`coca_model.py:329-476`) built
+    on HF's BeamSearchScorer (length_penalty fixed at the scorer's
+    default there; exposed here for generality).
 
-    Groups are contiguous beam blocks searched independently (HF group
-    semantics with zero diversity penalty); finished beams are frozen
-    by restricting them to a single pad continuation; the returned
-    sequence per image is the beam with the best length-normalised
-    score (HF length_penalty=1.0 default)."""
+    Faithful HF/reference semantics, in order of surprise:
+
+    - **Raw logits accumulate** — the reference never log-softmaxes
+      (`coca_model.py:416-419`), so beam scores are sums of logits,
+      not log-probs.
+    - Beam scores start at -1e9 except each group's first beam at 0
+      (`coca_model.py:374-377`).
+    - Per group and step, the top `2*bg` of the `bg*V` candidate grid
+      are taken **sorted**; EOS candidates at rank < bg are moved into
+      a per-(image, group) hypothesis pool of size bg with
+      replace-worst eviction (BeamHypotheses.add), normalised by
+      `(cur_len)**length_penalty` where cur_len counts the SOT *and*
+      the (unstored) EOS; non-EOS candidates fill the next live beams
+      until bg are placed and the rest are dropped
+      (BeamSearchScorer.process).
+    - A group retires when its pool is full AND the pool's worst
+      normalised score >= best_candidate_sum / cur_len**lp (the HF
+      early_stopping=False heuristic); retired groups emit pad at
+      score 0 and are skipped by finalize.
+    - MinLengthLogitsProcessor blocks EOS while the prefix (incl. SOT)
+      is shorter than min_seq_len; RepetitionPenaltyLogitsProcessor
+      discounts every token already in the beam's prefix (the
+      reference's generate() installs both, `coca_model.py:232-237`).
+    - Finalize adds all live beams of non-retired groups (normalised
+      by the final prefix length), then returns the best pooled
+      hypothesis per image, EOS appended when it fits
+      (BeamSearchScorer.finalize); ties across groups resolve to the
+      later group, as HF's stable sort + pop does.
+
+    Output is fixed-shape [B, context_length], pad-filled past the
+    hypothesis (the reference's fixed_output_length=True layout)."""
     sot_token_id = cfg.sot_token_id if sot_token_id is None else sot_token_id
     eos_token_id = cfg.eos_token_id if eos_token_id is None else eos_token_id
     pad_id = cfg.pad_id if pad_id is None else pad_id
@@ -561,62 +627,123 @@ def generate_beamsearch(params: Params, cfg: CoCaConfig, images,
     assert K % G == 0, "num_beams must divide into num_beam_groups"
     bg = K // G
     S = cfg.multimodal.context_length
-    steps = min(seq_len, S - 1)
+    V = cfg.multimodal.vocab_size
+    steps = min(seq_len, S) - 1          # MaxLengthCriteria counts the SOT
+    final_len = steps + 1
+    lp = length_penalty
     _, image_embs = encode_image_coca(params, cfg, images, dtype=dtype)
     image_embs_b = jnp.repeat(image_embs, K, axis=0)
 
-    tokens0 = jnp.full((B, K, S), pad_id, jnp.int32)
-    tokens0 = tokens0.at[:, :, 0].set(sot_token_id)
-    # within each group only beam 0 is live at step 1 (identical
-    # prefixes would otherwise fill the beam with duplicates)
-    beam_live = (jnp.arange(K) % bg == 0)
-    scores0 = jnp.where(beam_live, 0.0, -jnp.inf)[None, :].repeat(B, 0)
-    finished0 = jnp.zeros((B, K), bool)
-    lengths0 = jnp.ones((B, K), jnp.float32)
+    tokens0 = jnp.full((B, G, bg, S), pad_id, jnp.int32)
+    tokens0 = tokens0.at[..., 0].set(sot_token_id)
+    seen0 = jnp.zeros((B, G, bg, V), bool).at[..., sot_token_id].set(True)
+    scores0 = jnp.where(jnp.arange(bg) == 0, 0.0, -1e9)[None, None, :] \
+        .astype(jnp.float32).repeat(B, 0).repeat(G, 1)
+    pool_s0 = jnp.full((B, G, bg), -jnp.inf, jnp.float32)
+    pool_t0 = jnp.full((B, G, bg, S), pad_id, jnp.int32)
+    pool_l0 = jnp.zeros((B, G, bg), jnp.int32)
+    pool_n0 = jnp.zeros((B, G), jnp.int32)
+    done0 = jnp.zeros((B, G), bool)
+
+    def pool_add(pool, add_mask, score_norm, hyp_tokens, hyp_len):
+        """BeamHypotheses.add: insert where the pool has room or the
+        candidate beats the worst entry (evicting it).  -inf marks an
+        empty slot, so argmin lands on empties first — matching HF's
+        append-then-delete-min exactly (delete-min ties go to the
+        first index on both sides)."""
+        pool_s, pool_t, pool_l, pool_n = pool
+        ok = add_mask & ((pool_n < bg) | (score_norm > pool_s.min(-1)))
+        slot = jax.nn.one_hot(jnp.argmin(pool_s, -1), bg,
+                              dtype=bool) & ok[..., None]
+        pool_s = jnp.where(slot, score_norm[..., None], pool_s)
+        pool_t = jnp.where(slot[..., None], hyp_tokens[:, :, None, :],
+                           pool_t)
+        pool_l = jnp.where(slot, hyp_len, pool_l)
+        pool_n = jnp.where(ok, jnp.minimum(pool_n + 1, bg), pool_n)
+        return pool_s, pool_t, pool_l, pool_n
 
     def step(carry, _):
-        tokens, scores, finished, lengths, pos = carry
+        tokens, seen, scores, pool, done, pos = carry
         _, token_embs = encode_text_coca(
             params, cfg, tokens.reshape(B * K, S), dtype=dtype)
         logits = decode(params, cfg, image_embs_b, token_embs, dtype)
         cur = jnp.take_along_axis(
             logits, (pos - 1)[None, None, None].repeat(B * K, 0),
-            axis=1)[:, 0]
-        logp = jax.nn.log_softmax(cur.astype(jnp.float32), -1)
-        logp = logp.reshape(B, K, -1)
-        V = logp.shape[-1]
-        # min-length: EOS blocked until min_seq_len tokens generated
-        eos_block = jnp.where(pos < min_seq_len, -jnp.inf, 0.0)
-        logp = logp.at[:, :, eos_token_id].add(eos_block)
-        # frozen finished beams: single pad continuation at logp 0
-        pad_only = jnp.full((V,), -jnp.inf).at[pad_id].set(0.0)
-        logp = jnp.where(finished[:, :, None], pad_only[None, None], logp)
+            axis=1)[:, 0].astype(jnp.float32).reshape(B, G, bg, V)
+        # MinLengthLogitsProcessor: cur_len (incl. SOT) < min_seq_len
+        cur = cur.at[..., eos_token_id].add(
+            jnp.where(pos < min_seq_len, -jnp.inf, 0.0))
+        if repetition_penalty != 1.0:
+            cur = jnp.where(
+                seen, jnp.where(cur < 0, cur * repetition_penalty,
+                                cur / repetition_penalty), cur)
 
-        total = scores[:, :, None] + logp                      # [B,K,V]
-        grouped = total.reshape(B, G, bg * V)
-        top_scores, top_idx = jax.lax.top_k(grouped, bg)       # [B,G,bg]
-        beam_in_group = top_idx // V
-        tok = (top_idx % V).astype(jnp.int32)
-        beam_global = (beam_in_group
-                       + (jnp.arange(G) * bg)[None, :, None]).reshape(B, K)
-        tok = tok.reshape(B, K)
-        new_scores = top_scores.reshape(B, K)
+        total = scores[..., None] + cur                     # [B,G,bg,V]
+        cand_s, cand_i = jax.lax.top_k(
+            total.reshape(B, G, bg * V), 2 * bg)            # sorted desc
+        cand_src = cand_i // V                              # group-local
+        cand_tok = (cand_i % V).astype(jnp.int32)
+
+        # BeamSearchScorer.process: walk the sorted candidates, routing
+        # rank<bg EOS hits to the pool and filling live slots with the
+        # rest.  2*bg is small and static, so this unrolls.
+        cur_len = (pos + 1).astype(jnp.float32)   # prefix + pending token
+        nb_s = jnp.zeros((B, G, bg), jnp.float32)
+        nb_tok = jnp.full((B, G, bg), pad_id, jnp.int32)
+        nb_src = jnp.zeros((B, G, bg), jnp.int32)
+        fill = jnp.zeros((B, G), jnp.int32)
+        for r in range(2 * bg):
+            s, tok, src = cand_s[..., r], cand_tok[..., r], cand_src[..., r]
+            is_eos = tok == eos_token_id
+            if r < bg:
+                hyp = jnp.take_along_axis(
+                    tokens, src[:, :, None, None].repeat(S, 3),
+                    axis=2)[:, :, 0]
+                pool = pool_add(pool, ~done & is_eos,
+                                s / jnp.power(cur_len, lp), hyp, pos)
+            put = ~done & ~is_eos & (fill < bg)
+            sel = jax.nn.one_hot(fill, bg, dtype=bool) & put[..., None]
+            nb_s = jnp.where(sel, s[..., None], nb_s)
+            nb_tok = jnp.where(sel, tok[..., None], nb_tok)
+            nb_src = jnp.where(sel, src[..., None], nb_src)
+            fill = fill + put
+        # retired groups emit pad at score 0 from their beam 0
+        nb_s = jnp.where(done[..., None], 0.0, nb_s)
+        nb_tok = jnp.where(done[..., None], pad_id, nb_tok)
+        nb_src = jnp.where(done[..., None], 0, nb_src)
+        # BeamHypotheses.is_done (early_stopping=False heuristic)
+        pool_s, _, _, pool_n = pool
+        done = done | ((pool_n >= bg)
+                       & (pool_s.min(-1)
+                          >= cand_s[..., 0] / jnp.power(cur_len, lp)))
 
         gather = lambda x: jnp.take_along_axis(  # noqa: E731
-            x, beam_global.reshape(B, K, *([1] * (x.ndim - 2))), axis=1)
-        new_tokens = gather(tokens)
-        new_tokens = jax.lax.dynamic_update_slice(
-            new_tokens, tok[:, :, None], (0, 0, pos))
-        was_finished = jnp.take_along_axis(finished, beam_global, axis=1)
-        new_lengths = jnp.take_along_axis(lengths, beam_global, axis=1) \
-            + (~was_finished)
-        new_finished = was_finished | (tok == eos_token_id)
-        return (new_tokens, new_scores, new_finished, new_lengths,
-                pos + 1), None
+            x, nb_src.reshape(B, G, bg, *([1] * (x.ndim - 3))), axis=2)
+        tokens = jax.lax.dynamic_update_slice(
+            gather(tokens), nb_tok[..., None], (0, 0, 0, pos))
+        seen = gather(seen) | jax.nn.one_hot(nb_tok, V, dtype=bool)
+        return (tokens, seen, nb_s, pool, done, pos + 1), None
 
-    (tokens, scores, finished, lengths, _), _ = jax.lax.scan(
-        step, (tokens0, scores0, finished0, lengths0, jnp.asarray(1)),
+    (tokens, _, scores, pool, done, _), _ = jax.lax.scan(
+        step, (tokens0, seen0, scores0, (pool_s0, pool_t0, pool_l0,
+                                         pool_n0), done0, jnp.asarray(1)),
         None, length=steps)
-    final = scores / jnp.power(lengths, length_penalty)
-    best = jnp.argmax(final, axis=1)
-    return jnp.take_along_axis(tokens, best[:, None, None], axis=1)[:, 0]
+
+    # finalize: live beams of non-retired groups join their pools
+    for k in range(bg):
+        pool = pool_add(pool, ~done,
+                        scores[..., k] / float(final_len) ** lp,
+                        tokens[:, :, k], final_len)
+    pool_s, pool_t, pool_l, _ = pool
+    flat_s = pool_s.reshape(B, G * bg)
+    # HF tie-break (stable sort + pop): last max wins
+    best = G * bg - 1 - jnp.argmax(flat_s[:, ::-1], axis=1)
+    hyp = jnp.take_along_axis(
+        pool_t.reshape(B, G * bg, S), best[:, None, None], axis=1)[:, 0]
+    hyp_len = jnp.take_along_axis(
+        pool_l.reshape(B, G * bg), best[:, None], axis=1)[:, 0]
+    # finalize appends one EOS when the hypothesis is shorter than the cap
+    col = jnp.arange(S)[None, :]
+    return jnp.where((col == hyp_len[:, None]) & (hyp_len[:, None]
+                                                  < final_len),
+                     eos_token_id, hyp)

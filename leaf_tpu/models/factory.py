@@ -93,10 +93,27 @@ class CoCaModel:
         p = self.params if params is None else params
         return coca.forward(p, self.cfg, images, tokens, dtype=self.dtype)
 
-    def generate(self, images, key=None, **kw):
+    def generate(self, images, key=None, generation_type: str = "top_k",
+                 **kw):
+        """Caption generation, dispatched like the reference's
+        `CoCa.generate(generation_type=...)` (`coca_model.py:202-273`):
+        "beam_search" → the decision-faithful group beam scan (ignores
+        `key` — deterministic), "top_k"/"top_p" → the sampling scan
+        (`top_p` routes via the nucleus warper when passed)."""
         from leaf_tpu.models import coca
+        if generation_type == "beam_search":
+            kw.pop("top_k", None)
+            kw.pop("top_p", None)
+            return coca.generate_beamsearch(self.params, self.cfg, images,
+                                            dtype=self.dtype, **kw)
+        if generation_type not in ("top_k", "top_p"):
+            raise ValueError(
+                f"generation_type must be top_k | top_p | beam_search, "
+                f"got {generation_type!r}")
         if key is None:
             key = jax.random.PRNGKey(0)
+        if generation_type == "top_p":
+            kw.setdefault("top_p", 0.1)   # the reference's default
         return coca.generate(self.params, self.cfg, images, key,
                              dtype=self.dtype, **kw)
 

@@ -94,6 +94,64 @@ def test_coca_generate(tiny_coca):
     np.testing.assert_array_equal(out, out2)
 
 
+def test_top_p_filter_matches_hf_warper():
+    """top_p_filter vs the REAL HF TopPLogitsWarper (the class behind
+    the reference's `generation_type="top_p"`, `coca_model.py:265-268`)
+    on random logit batteries across top_p values, plus min_tokens_to_keep
+    and an all-ties keep-count check."""
+    torch = pytest.importorskip("torch")
+    from transformers import TopPLogitsWarper
+
+    rng = np.random.default_rng(11)
+    for top_p in (0.1, 0.5, 0.9, 1.0):
+        logits = rng.standard_normal((4, 257)).astype(np.float32) * 3
+        ref = TopPLogitsWarper(top_p=top_p)(
+            torch.zeros((4, 1), dtype=torch.long),
+            torch.from_numpy(logits)).numpy()
+        ours = np.asarray(lcoca.top_p_filter(jnp.asarray(logits), top_p))
+        np.testing.assert_array_equal(np.isinf(ours), np.isinf(ref),
+                                      err_msg=f"top_p={top_p}")
+        np.testing.assert_allclose(
+            np.where(np.isinf(ours), 0.0, ours),
+            np.where(np.isinf(ref), 0.0, ref), rtol=1e-6)
+    # min_tokens_to_keep guards a peaked distribution at tiny top_p
+    peaked = np.full((1, 50), -20.0, np.float32)
+    peaked[0, 7] = 10.0
+    out = np.asarray(lcoca.top_p_filter(jnp.asarray(peaked), 0.01))
+    assert np.isfinite(out[0, 7]) and np.isinf(out[0, :7]).all()
+    # exact ties: keep-count matches HF's (order within ties may differ)
+    ties = np.zeros((1, 10), np.float32)
+    ref = TopPLogitsWarper(top_p=0.35)(
+        torch.zeros((1, 1), dtype=torch.long),
+        torch.from_numpy(ties)).numpy()
+    ours = np.asarray(lcoca.top_p_filter(jnp.asarray(ties), 0.35))
+    assert np.isfinite(ours).sum() == np.isfinite(ref).sum()
+
+
+def test_coca_generate_top_p(tiny_coca):
+    """Nucleus sampling runs jitted, respects SOT/min-length, is
+    deterministic per key, and top_p→tiny degenerates to greedy."""
+    cfg, params = tiny_coca
+    images, _ = make_batch(cfg, np.random.default_rng(4))
+    gen = jax.jit(lambda im, k: lcoca.generate(
+        params, cfg, im, k, seq_len=8, top_p=0.9, min_seq_len=3,
+        sot_token_id=998, eos_token_id=999))
+    out = np.asarray(gen(images, jax.random.PRNGKey(0)))
+    assert out.shape == (2, cfg.multimodal.context_length)
+    assert (out[:, 0] == 998).all()
+    assert not (out[:, 1:3] == 999).any()
+    np.testing.assert_array_equal(
+        out, np.asarray(gen(images, jax.random.PRNGKey(0))))
+    # a vanishing nucleus keeps only the argmax → greedy decisions
+    tiny = np.asarray(jax.jit(lambda im, k: lcoca.generate(
+        params, cfg, im, k, seq_len=8, top_p=1e-9, min_seq_len=3,
+        sot_token_id=998, eos_token_id=999))(images, jax.random.PRNGKey(2)))
+    greedy = np.asarray(jax.jit(lambda im, k: lcoca.generate(
+        params, cfg, im, k, seq_len=8, top_k=1, min_seq_len=3,
+        sot_token_id=998, eos_token_id=999))(images, jax.random.PRNGKey(3)))
+    np.testing.assert_array_equal(tiny, greedy)
+
+
 def test_coca_registry():
     cfg = lcoca.get_coca_config("coca_ViT-B-32")
     assert cfg.embed_dim == 512

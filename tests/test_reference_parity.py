@@ -253,6 +253,58 @@ def test_coca_generation_decision_parity(ref_open_clip, torch, monkeypatch):
         assert (ours[:, L:] == cfg.pad_id).all()
 
 
+def test_coca_beamsearch_decision_parity(ref_open_clip, torch, monkeypatch):
+    """Group beam search decisions vs the reference's OWN
+    `_generate_beamsearch` (`coca_model.py:329-476`) running the REAL
+    HF BeamSearchScorer (imported from its private module path — see
+    _enable_reference_generation): same random-init weights →
+    token-for-token identical captions across group/beam shapes,
+    min-length blocks, and a repetition-penalty recipe.  This pins the
+    whole chain our jitted scan re-implements: raw-logit accumulation,
+    the -1e9 beam init, the sorted 2*bg candidate buffer with
+    rank<bg EOS routing into replace-worst hypothesis pools, the
+    early_stopping=False retirement heuristic, and finalize's
+    normalisation + EOS append."""
+    import jax
+    import jax.numpy as jnp
+    from leaf_tpu.models import coca as lcoca
+    from leaf_tpu.models.coca_interop import coca_openclip_to_params
+
+    import open_clip.coca_model as cm
+    _enable_reference_generation(monkeypatch, cm)
+
+    torch.manual_seed(0)
+    ref = ref_open_clip.create_model("coca_ViT-B-32", pretrained=None).eval()
+    with torch.no_grad():
+        ref.text_decoder.text_projection.normal_(0, 0.02)
+    cfg = lcoca.coca_vit_b_32()
+    params = jax.tree.map(jnp.asarray,
+                          coca_openclip_to_params(ref.state_dict(), cfg))
+
+    rng = np.random.default_rng(7)
+    images = rng.standard_normal((2, 224, 224, 3)).astype(np.float32)
+    img_t = torch.from_numpy(images.transpose(0, 3, 1, 2))
+
+    for K, G, min_len, rep_pen, seq_len in ((6, 3, 5, 1.0, 12),
+                                            (4, 2, 3, 1.3, 10),
+                                            (2, 1, 2, 1.0, 15)):
+        with torch.no_grad():
+            ref_out = ref.generate(
+                img_t, generation_type="beam_search", num_beams=K,
+                num_beam_groups=G, min_seq_len=min_len, seq_len=seq_len,
+                repetition_penalty=rep_pen,
+                fixed_output_length=True).numpy()
+        ours = np.asarray(lcoca.generate_beamsearch(
+            params, cfg, jnp.asarray(images), num_beams=K,
+            num_beam_groups=G, min_seq_len=min_len, seq_len=seq_len,
+            repetition_penalty=rep_pen))
+        assert ref_out.shape[1] == seq_len
+        np.testing.assert_array_equal(
+            ours[:, :seq_len], ref_out,
+            err_msg=f"K={K} G={G} min={min_len} rep={rep_pen}")
+        assert (ours[:, seq_len:] == cfg.pad_id).all()
+
+
 def test_rn50_forward_parity(ref_open_clip, torch):
     """Random-init reference RN50 vision tower → our pytree → identical
     image features (BN inference mode)."""
