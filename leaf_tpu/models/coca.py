@@ -446,6 +446,148 @@ def _cross_attention(p: Params, q_in, kv_in, n_heads: int):
     return out @ p["out_w"].astype(dtype) + p["out_b"].astype(dtype)
 
 
+# -- KV-cached incremental decoding ------------------------------------------
+#
+# The generation scans below historically re-encoded the full prefix
+# every step, exactly as the reference loop does (`coca_model.py:
+# 289-298,389-396` — it passes `past_key_values` nowhere).  Both the
+# CLIP-style text tower and the multimodal decoder are strictly causal
+# in their token positions — the appended CLS sits at the END of the
+# sequence (`transformer.py:784-789`), so ordinary positions never
+# attend to it — which makes standard KV caching EXACT: each step
+# projects one new position, appends its K/V into a fixed-shape cache,
+# and attends over the position-masked cache.  Cross-attention K/V
+# depend only on the image embeddings and are computed once per
+# generation.  HF text towers (coca_roberta-*) are bidirectional
+# (mean-pooled), so their token embeddings are NOT prefix-stable and
+# generation keeps the full re-encode for them.
+
+def _split_heads(t: jnp.ndarray, n_heads: int) -> jnp.ndarray:
+    N, S, D = t.shape
+    return t.reshape(N, S, n_heads, D // n_heads).transpose(0, 2, 1, 3)
+
+
+def _cached_self_attention(p: Params, q_in, cache_k, cache_v, pos,
+                           n_heads: int):
+    """One-position self-attention over a fixed-shape KV cache.
+    q_in [N,1,D]; cache_[kv] [N,H,S,hd].  Writes position `pos`, then
+    attends the new query over columns <= pos (identical key set, and
+    per-key dot products, as the full causal row)."""
+    dtype = q_in.dtype
+    D = q_in.shape[-1]
+    qkv = q_in @ p["qkv_w"].astype(dtype) + p["qkv_b"].astype(dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    cache_k = jax.lax.dynamic_update_slice(
+        cache_k, _split_heads(k, n_heads).astype(cache_k.dtype),
+        (0, 0, pos, 0))
+    cache_v = jax.lax.dynamic_update_slice(
+        cache_v, _split_heads(v, n_heads).astype(cache_v.dtype),
+        (0, 0, pos, 0))
+    hd = D // n_heads
+    logits = jnp.einsum("bhqd,bhkd->bhqk", _split_heads(q, n_heads),
+                        cache_k.astype(dtype),
+                        preferred_element_type=jnp.float32) * hd ** -0.5
+    logits = logits + jnp.where(jnp.arange(cache_k.shape[2]) <= pos,
+                                0.0, -jnp.inf)
+    probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, cache_v.astype(dtype))
+    out = out.transpose(0, 2, 1, 3).reshape(-1, 1, D)
+    return (out @ p["out_w"].astype(dtype) + p["out_b"].astype(dtype),
+            cache_k, cache_v)
+
+
+def init_generation_cache(params: Params, cfg: CoCaConfig,
+                          image_embs: jnp.ndarray, dtype=jnp.float32):
+    """Build the `decode_one` cache for N rows: zeroed text-tower and
+    decoder self-attention K/V (stacked over layers, sized by the
+    multimodal context) plus the per-layer cross-attention K/V
+    projected once from ln_1_kv(image_embs)."""
+    N = image_embs.shape[0]
+    tc, m = cfg.text, cfg.multimodal
+    S = m.context_length
+    zeros = lambda L, H, W: jnp.zeros((L, N, H, S, W // H), dtype)  # noqa: E731
+    tk = zeros(tc.layers, tc.heads, tc.width)
+    dk = zeros(m.layers, m.heads, m.width)
+
+    pd = params["text_decoder"]
+    cross = dict(pd["cross_blocks"])
+    ln_kv = cross.pop("ln_1_kv")
+    D = m.width
+    img = image_embs.astype(dtype)
+
+    def one(cp, lnp):
+        kv_in = layers.layer_norm(lnp, img, m.ln_eps)
+        w = cp["attn"]["qkv_w"].astype(dtype)
+        b = cp["attn"]["qkv_b"].astype(dtype)
+        k = kv_in @ w[:, D:2 * D] + b[D:2 * D]
+        v = kv_in @ w[:, 2 * D:] + b[2 * D:]
+        return _split_heads(k, m.heads), _split_heads(v, m.heads)
+
+    ck_img, cv_img = jax.vmap(one)(cross, ln_kv)
+    return (tk, tk, dk, dk, ck_img, cv_img)
+
+
+def decode_one(params: Params, cfg: CoCaConfig, tok: jnp.ndarray, pos,
+               cache, dtype=jnp.float32):
+    """One cached generation step: token ids [N] sitting at position
+    `pos` → vocab logits for position pos+1 [N, V] + updated cache.
+    Numerically the take-at-`pos` row of encode_text_coca → decode."""
+    tk, tv, dk, dv, ck_img, cv_img = cache
+    tc, m = cfg.text, cfg.multimodal
+    act = layers.quick_gelu if cfg.quick_gelu else layers.gelu
+    pt = params["text"]
+    x = pt["token_embedding"].astype(dtype)[tok][:, None, :]
+    x = x + jax.lax.dynamic_slice_in_dim(
+        pt["positional_embedding"].astype(dtype), pos, 1, 0)
+
+    def tbody(h, layer):
+        lp, ck, cv = layer
+        a, ck, cv = _cached_self_attention(
+            lp["attn"], layers.layer_norm(lp["ln_1"], h, tc.ln_eps),
+            ck, cv, pos, tc.heads)
+        h = h + a
+        h = h + layers.mlp(lp["mlp"],
+                           layers.layer_norm(lp["ln_2"], h, tc.ln_eps), act)
+        return h, (ck, cv)
+
+    x, (tk, tv) = jax.lax.scan(tbody, x, (pt["blocks"], tk, tv))
+
+    pd = params["text_decoder"]
+    cross = dict(pd["cross_blocks"])
+    cross.pop("ln_1_kv")
+    D = m.width
+    hd = D // m.heads
+
+    def dbody(h, layer):
+        sp, cp, ck, cv, ki, vi = layer
+        a, ck, cv = _cached_self_attention(
+            sp["attn"], layers.layer_norm(sp["ln_1"], h, m.ln_eps),
+            ck, cv, pos, m.heads)
+        h = h + a
+        h = h + layers.mlp(sp["mlp"],
+                           layers.layer_norm(sp["ln_2"], h, m.ln_eps), act)
+        q_in = layers.layer_norm(cp["ln_1"], h, m.ln_eps)
+        w = cp["attn"]["qkv_w"].astype(dtype)
+        b = cp["attn"]["qkv_b"].astype(dtype)
+        q = _split_heads(q_in @ w[:, :D] + b[:D], m.heads)
+        lg = jnp.einsum("bhqd,bhkd->bhqk", q, ki.astype(dtype),
+                        preferred_element_type=jnp.float32) * hd ** -0.5
+        pr = jax.nn.softmax(lg, axis=-1).astype(dtype)
+        o = jnp.einsum("bhqk,bhkd->bhqd", pr, vi.astype(dtype))
+        o = o.transpose(0, 2, 1, 3).reshape(-1, 1, D)
+        h = h + (o @ cp["attn"]["out_w"].astype(dtype)
+                 + cp["attn"]["out_b"].astype(dtype))
+        h = h + layers.mlp(cp["mlp"],
+                           layers.layer_norm(cp["ln_2"], h, m.ln_eps), act)
+        return h, (ck, cv)
+
+    x, (dk, dv) = jax.lax.scan(dbody, x,
+                               (pd["blocks"], cross, dk, dv, ck_img, cv_img))
+    x = layers.layer_norm(pd["ln_final"], x, m.ln_eps)
+    logits = (x @ pd["text_projection"].astype(dtype))[:, 0]
+    return logits, (tk, tv, dk, dv, ck_img, cv_img)
+
+
 def forward(params: Params, cfg: CoCaConfig, images, tokens,
             dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
     """Training forward (reference `coca_model.py:167-201`): labels are
@@ -500,6 +642,7 @@ def generate(params: Params, cfg: CoCaConfig, images, key,
              sot_token_id: Optional[int] = None,
              eos_token_id: Optional[int] = None,
              pad_id: Optional[int] = None,
+             use_cache: bool = True,
              dtype=jnp.float32) -> jnp.ndarray:
     """Autoregressive caption sampling (top-k; top_k=1 is greedy) as a
     single jitted scan, decision-equal to the reference's HF-style loop
@@ -525,15 +668,11 @@ def generate(params: Params, cfg: CoCaConfig, images, key,
     pad_id = cfg.pad_id if pad_id is None else pad_id
     B = images.shape[0]
     seq_len = min(seq_len, cfg.multimodal.context_length)
+    use_cache = use_cache and not cfg.hf_text_name  # roberta: bidirectional
     _, image_embs = encode_image_coca(params, cfg, images, dtype=dtype)
 
-    def step(carry, _):
-        tokens, pos, done, seen, key = carry
-        text_latent, token_embs = encode_text_coca(
-            params, cfg, tokens, dtype=dtype)
-        logits = decode(params, cfg, image_embs, token_embs, dtype)
-        cur = jnp.take_along_axis(
-            logits, (pos - 1)[None, None, None].repeat(B, 0), axis=1)[:, 0]
+    def select(cur, pos, done, seen, key):
+        """Processors + sampling for one step's logits row [B, V]."""
         if repetition_penalty != 1.0:
             cur = jnp.where(
                 seen,
@@ -561,16 +700,38 @@ def generate(params: Params, cfg: CoCaConfig, images, key,
         nxt = jnp.where(done, pad_id, nxt)
         seen = seen | jax.nn.one_hot(nxt, seen.shape[-1], dtype=bool)
         done = done | (nxt == eos_token_id)
+        return nxt, done, seen, key
+
+    def step(carry, _):
+        tokens, pos, done, seen, key = carry
+        _, token_embs = encode_text_coca(params, cfg, tokens, dtype=dtype)
+        logits = decode(params, cfg, image_embs, token_embs, dtype)
+        cur = jnp.take_along_axis(
+            logits, (pos - 1)[None, None, None].repeat(B, 0), axis=1)[:, 0]
+        nxt, done, seen, key = select(cur, pos, done, seen, key)
         tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, pos))
         return (tokens, pos + 1, done, seen, key), None
+
+    def step_cached(carry, _):
+        tokens, pos, done, seen, key, cache = carry
+        prev = jax.lax.dynamic_slice(tokens, (0, pos - 1), (B, 1))[:, 0]
+        cur, cache = decode_one(params, cfg, prev, pos - 1, cache, dtype)
+        nxt, done, seen, key = select(cur, pos, done, seen, key)
+        tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, pos))
+        return (tokens, pos + 1, done, seen, key, cache), None
 
     tokens0 = jnp.full((B, cfg.multimodal.context_length), pad_id, jnp.int32)
     tokens0 = tokens0.at[:, 0].set(sot_token_id)
     seen0 = jnp.zeros((B, cfg.multimodal.vocab_size), bool) \
         .at[:, sot_token_id].set(True)
-    (tokens, _, _, _, _), _ = jax.lax.scan(
-        step, (tokens0, jnp.asarray(1), jnp.zeros((B,), bool), seen0, key),
-        None, length=seq_len - 1)
+    carry = (tokens0, jnp.asarray(1), jnp.zeros((B,), bool), seen0, key)
+    if use_cache:
+        cache0 = init_generation_cache(params, cfg, image_embs, dtype)
+        (tokens, *_), _ = jax.lax.scan(step_cached, carry + (cache0,),
+                                       None, length=seq_len - 1)
+    else:
+        (tokens, *_), _ = jax.lax.scan(step, carry, None,
+                                       length=seq_len - 1)
     return tokens
 
 
@@ -582,6 +743,7 @@ def generate_beamsearch(params: Params, cfg: CoCaConfig, images,
                         sot_token_id: Optional[int] = None,
                         eos_token_id: Optional[int] = None,
                         pad_id: Optional[int] = None,
+                        use_cache: bool = True,
                         dtype=jnp.float32) -> jnp.ndarray:
     """Group beam search as one jitted scan, decision-equal to the
     reference's `_generate_beamsearch` (`coca_model.py:329-476`) built
@@ -631,6 +793,7 @@ def generate_beamsearch(params: Params, cfg: CoCaConfig, images,
     steps = min(seq_len, S) - 1          # MaxLengthCriteria counts the SOT
     final_len = steps + 1
     lp = length_penalty
+    use_cache = use_cache and not cfg.hf_text_name  # roberta: bidirectional
     _, image_embs = encode_image_coca(params, cfg, images, dtype=dtype)
     image_embs_b = jnp.repeat(image_embs, K, axis=0)
 
@@ -663,13 +826,21 @@ def generate_beamsearch(params: Params, cfg: CoCaConfig, images,
         return pool_s, pool_t, pool_l, pool_n
 
     def step(carry, _):
-        tokens, seen, scores, pool, done, pos = carry
-        _, token_embs = encode_text_coca(
-            params, cfg, tokens.reshape(B * K, S), dtype=dtype)
-        logits = decode(params, cfg, image_embs_b, token_embs, dtype)
-        cur = jnp.take_along_axis(
-            logits, (pos - 1)[None, None, None].repeat(B * K, 0),
-            axis=1)[:, 0].astype(jnp.float32).reshape(B, G, bg, V)
+        if use_cache:
+            tokens, seen, scores, pool, done, pos, cache = carry
+            prev = jax.lax.dynamic_slice(
+                tokens, (0, 0, 0, pos - 1), (B, G, bg, 1)).reshape(B * K)
+            cur, cache = decode_one(params, cfg, prev, pos - 1, cache,
+                                    dtype)
+            cur = cur.astype(jnp.float32).reshape(B, G, bg, V)
+        else:
+            tokens, seen, scores, pool, done, pos = carry
+            _, token_embs = encode_text_coca(
+                params, cfg, tokens.reshape(B * K, S), dtype=dtype)
+            logits = decode(params, cfg, image_embs_b, token_embs, dtype)
+            cur = jnp.take_along_axis(
+                logits, (pos - 1)[None, None, None].repeat(B * K, 0),
+                axis=1)[:, 0].astype(jnp.float32).reshape(B, G, bg, V)
         # MinLengthLogitsProcessor: cur_len (incl. SOT) < min_seq_len
         cur = cur.at[..., eos_token_id].add(
             jnp.where(pos < min_seq_len, -jnp.inf, 0.0))
@@ -722,12 +893,28 @@ def generate_beamsearch(params: Params, cfg: CoCaConfig, images,
         tokens = jax.lax.dynamic_update_slice(
             gather(tokens), nb_tok[..., None], (0, 0, 0, pos))
         seen = gather(seen) | jax.nn.one_hot(nb_tok, V, dtype=bool)
+        if use_cache:
+            # beam reorder: each surviving beam inherits its source
+            # beam's K/V history (cross K/V skipped — identical across
+            # a group's rows by construction)
+            def reorder(c):
+                c2 = c.reshape(c.shape[0], B, G, bg, *c.shape[2:])
+                idx = nb_src.reshape(1, B, G, bg, *([1] * (c.ndim - 2)))
+                return jnp.take_along_axis(c2, idx, axis=3) \
+                    .reshape(c.shape)
+            tk, tv, dk, dv, ki, vi = cache
+            cache = (reorder(tk), reorder(tv), reorder(dk), reorder(dv),
+                     ki, vi)
+            return (tokens, seen, nb_s, pool, done, pos + 1, cache), None
         return (tokens, seen, nb_s, pool, done, pos + 1), None
 
-    (tokens, _, scores, pool, done, _), _ = jax.lax.scan(
-        step, (tokens0, seen0, scores0, (pool_s0, pool_t0, pool_l0,
-                                         pool_n0), done0, jnp.asarray(1)),
-        None, length=steps)
+    carry0 = (tokens0, seen0, scores0,
+              (pool_s0, pool_t0, pool_l0, pool_n0), done0, jnp.asarray(1))
+    if use_cache:
+        carry0 = carry0 + (init_generation_cache(params, cfg, image_embs_b,
+                                                 dtype),)
+    out, _ = jax.lax.scan(step, carry0, None, length=steps)
+    tokens, _, scores, pool, done = out[:5]
 
     # finalize: live beams of non-retired groups join their pools
     for k in range(bg):

@@ -94,6 +94,65 @@ def test_coca_generate(tiny_coca):
     np.testing.assert_array_equal(out, out2)
 
 
+def test_decode_one_matches_full_forward(tiny_coca):
+    """The KV-cached step (decode_one) reproduces the full
+    encode_text_coca → decode logits at every position: the CLS sits at
+    the END of the sequence so ordinary positions never attend to it,
+    making the cache exact, not approximate."""
+    cfg, params = tiny_coca
+    rng = np.random.default_rng(9)
+    images = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    _, image_embs = lcoca.encode_image_coca(params, cfg, images)
+
+    S = cfg.multimodal.context_length
+    tokens = np.zeros((2, S), np.int32)
+    tokens[:, 0] = 998
+    tokens[:, 1:] = rng.integers(1, 900, size=(2, S - 1))
+
+    _, token_embs = lcoca.encode_text_coca(params, cfg, jnp.asarray(tokens))
+    full = np.asarray(lcoca.decode(params, cfg, image_embs, token_embs))
+
+    cache = lcoca.init_generation_cache(params, cfg, image_embs)
+    step = jax.jit(lambda t, p, c: lcoca.decode_one(params, cfg, t, p, c))
+    for pos in range(S - 1):
+        lg, cache = step(jnp.asarray(tokens[:, pos]), jnp.asarray(pos),
+                         cache)
+        np.testing.assert_allclose(np.asarray(lg), full[:, pos],
+                                   atol=1e-4, rtol=1e-4,
+                                   err_msg=f"pos={pos}")
+
+
+def test_cached_generation_matches_uncached(tiny_coca):
+    """use_cache=True (the default) and the full-re-encode path make
+    identical decisions for greedy sampling and for group beam search,
+    including repetition penalty and min-length blocking."""
+    cfg, params = tiny_coca
+    rng = np.random.default_rng(6)
+    images = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+
+    for kw in ({"top_k": 1}, {"top_k": 1, "repetition_penalty": 1.3}):
+        a = jax.jit(lambda im, k: lcoca.generate(
+            params, cfg, im, k, seq_len=9, min_seq_len=3, use_cache=True,
+            sot_token_id=998, eos_token_id=999, **kw))(
+                images, jax.random.PRNGKey(0))
+        b = jax.jit(lambda im, k: lcoca.generate(
+            params, cfg, im, k, seq_len=9, min_seq_len=3, use_cache=False,
+            sot_token_id=998, eos_token_id=999, **kw))(
+                images, jax.random.PRNGKey(0))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(kw))
+
+    a = jax.jit(lambda im: lcoca.generate_beamsearch(
+        params, cfg, im, num_beams=4, num_beam_groups=2, min_seq_len=3,
+        seq_len=9, repetition_penalty=1.2, use_cache=True,
+        sot_token_id=998, eos_token_id=999))(images)
+    b = jax.jit(lambda im: lcoca.generate_beamsearch(
+        params, cfg, im, num_beams=4, num_beam_groups=2, min_seq_len=3,
+        seq_len=9, repetition_penalty=1.2, use_cache=False,
+        sot_token_id=998, eos_token_id=999))(images)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_top_p_filter_matches_hf_warper():
     """top_p_filter vs the REAL HF TopPLogitsWarper (the class behind
     the reference's `generation_type="top_p"`, `coca_model.py:265-268`)
