@@ -48,14 +48,33 @@ CONTEXT_BUCKETS = (16, 32, 48, 64, 77)
 # fragment the candidate batch.
 
 
-def bucket_tokens(tokens, buckets=CONTEXT_BUCKETS):
-    """Slice a [..., C] token buffer to the smallest safe bucket."""
+def bucket_tokens(tokens, buckets=CONTEXT_BUCKETS, need=None):
+    """Slice a [..., C] token buffer to the smallest safe bucket.
+
+    `need` overrides the locally-computed max(EOT)+1 — multi-host
+    callers pass a globally-coordinated value so every host slices to
+    the same width (`parallel.distributed.global_max_int32`)."""
     arr = np.asarray(tokens)
-    need = int(arr.argmax(-1).max()) + 1  # EOT is the max id per row
+    if need is None:
+        need = int(arr.argmax(-1).max()) + 1  # EOT is the max id per row
     for b in buckets:
         if need <= b <= arr.shape[-1]:
             return arr[..., :b]
     return arr
+
+
+def bucket_need(tokens) -> int:
+    """The local bucket requirement of a token buffer: max(EOT)+1."""
+    return int(np.asarray(tokens).argmax(-1).max()) + 1
+
+
+def bucket_tokens_coordinated(tokens, buckets=CONTEXT_BUCKETS):
+    """`bucket_tokens` with the width agreed across all hosts (one tiny
+    allgather per call; identical to `bucket_tokens` single-process)."""
+    from leaf_tpu.parallel.distributed import global_max_int32
+    arr = np.asarray(tokens)
+    need = int(global_max_int32([bucket_need(arr)])[0])
+    return bucket_tokens(arr, buckets, need=need)
 
 
 def can_bucket(cfg) -> bool:

@@ -74,6 +74,34 @@ def attack_captions(
     return out
 
 
+def _scheduler_from_config(sched_cfg: Dict) -> str:
+    """Map a checkpoint's scheduler_config.json `_class_name` to a
+    native stepping algorithm.  SD v1.x checkpoints ship PNDMScheduler
+    (with skip_prk_steps=true — the PLMS path), SD 2.x DDIMScheduler;
+    anything else (Euler, DPM-Solver, ...) falls back to DDIM with a
+    warning — a DOCUMENTED deviation from the reference pipeline, which
+    runs whatever the checkpoint names."""
+    name = sched_cfg.get("_class_name", "DDIMScheduler")
+    if name == "DDIMScheduler":
+        return "ddim"
+    if name == "PNDMScheduler":
+        if not sched_cfg.get("skip_prk_steps", False):
+            # the Runge-Kutta warmup variant is not implemented; no
+            # released SD checkpoint ships it (v1.x all set
+            # skip_prk_steps=true)
+            LOG.warning(
+                "PNDMScheduler with skip_prk_steps=false is not "
+                "implemented natively; using DDIM stepping — generated "
+                "images will differ from the reference pipeline")
+            return "ddim"
+        return "pndm"
+    LOG.warning(
+        "scheduler %s is not implemented natively; using DDIM stepping "
+        "— generated images will differ from the reference pipeline "
+        "(which runs the checkpoint's own scheduler)", name)
+    return "ddim"
+
+
 class SDComponents:
     """The modules the generation loop needs, decoupled from diffusers.
 
@@ -98,11 +126,15 @@ class SDComponents:
                  beta_start: float = 0.00085, beta_end: float = 0.012,
                  train_steps: int = 1000, steps_offset: int = 1,
                  prediction_type: str = "epsilon",
-                 set_alpha_to_one: bool = False):
+                 set_alpha_to_one: bool = False,
+                 scheduler: str = "ddim"):
         if prediction_type not in ("epsilon", "v_prediction"):
             raise ValueError(
                 f"unsupported prediction_type {prediction_type!r} "
                 "(epsilon | v_prediction)")
+        if scheduler not in ("ddim", "pndm"):
+            raise ValueError(
+                f"unsupported scheduler {scheduler!r} (ddim | pndm)")
         self.tokenize = tokenize
         self.text_encoder = text_encoder
         self.unet = unet
@@ -119,6 +151,11 @@ class SDComponents:
         # SD v1 configs ship set_alpha_to_one=false: the final DDIM
         # step uses alphas_cumprod[0], not exactly 1
         self.set_alpha_to_one = set_alpha_to_one
+        # the stepping algorithm the checkpoint ships ("_class_name" in
+        # scheduler_config.json): SD v1.x ships PNDMScheduler (PLMS),
+        # SD 2.x DDIMScheduler — the reference's AutoPipeline runs
+        # whichever the checkpoint names, so must we (ADVICE r4)
+        self.scheduler = scheduler
 
     @classmethod
     def from_pretrained(cls, sd_model_path: str,
@@ -175,7 +212,8 @@ class SDComponents:
             train_steps=sched_cfg.get("num_train_timesteps", 1000),
             steps_offset=sched_cfg.get("steps_offset", 1),
             prediction_type=sched_cfg.get("prediction_type", "epsilon"),
-            set_alpha_to_one=sched_cfg.get("set_alpha_to_one", False))
+            set_alpha_to_one=sched_cfg.get("set_alpha_to_one", False),
+            scheduler=_scheduler_from_config(sched_cfg))
 
 
 def generate_images(captions: Sequence[str],
@@ -184,11 +222,15 @@ def generate_images(captions: Sequence[str],
                     num_inference_steps: int = 50, seed: int = 0,
                     device: str = "cpu", guidance_scale: float = 7.5,
                     components: Optional[SDComponents] = None) -> np.ndarray:
-    """Native latent-diffusion generation: DDIM (eta=0, leading timestep
-    spacing + steps_offset — the SD scheduler configuration) with
-    classifier-free guidance against the empty prompt, 0.18215 latent
-    scaling, VAE decode, [0,1] clamp.  Returns [N, H, W, 3] float32 in
-    [0, 1] (the reference pipeline's `output_type="np"`).
+    """Native latent-diffusion generation: DDIM (eta=0) or PLMS (the
+    PNDMScheduler skip_prk_steps=true path SD v1.x checkpoints ship),
+    with leading timestep spacing + steps_offset, classifier-free
+    guidance against the empty prompt, 0.18215 latent scaling, VAE
+    decode, [0,1] clamp.  The algorithm follows the checkpoint's
+    scheduler_config (`SDComponents.scheduler`), as the reference's
+    AutoPipeline does (`eval_text_to_image.py:172-242`).  Returns
+    [N, H, W, 3] float32 in [0, 1] (the reference pipeline's
+    `output_type="np"`).
 
     Pass `components` to run without diffusers (tests inject tiny
     random-weight modules); otherwise weights load from
@@ -214,8 +256,18 @@ def generate_images(captions: Sequence[str],
                            c.train_steps, dtype=torch.float64) ** 2
     alphas_cumprod = torch.cumprod(1.0 - betas, dim=0)
     ratio = c.train_steps // num_inference_steps
-    timesteps = (torch.arange(num_inference_steps) * ratio).flip(0) \
-        + c.steps_offset
+    # leading spacing: t_i = i·ratio + steps_offset, descending
+    base_ts = torch.arange(num_inference_steps) * ratio + c.steps_offset
+    if int(base_ts.max()) > c.train_steps - 1:
+        # the offset pushed the largest timestep past the alpha table
+        # (num_inference_steps == train_steps with leading spacing);
+        # diffusers errors here too — clamping would silently remap the
+        # first step and shift its t_prev (ADVICE r4)
+        raise ValueError(
+            f"num_inference_steps={num_inference_steps} with "
+            f"steps_offset={c.steps_offset} yields timestep "
+            f"{int(base_ts.max())} past the {c.train_steps}-entry alpha "
+            "table; use fewer steps")
     # set_alpha_to_one=false (the SD v1 config): the final step uses
     # alphas_cumprod[0], not exactly 1
     final_alpha = (torch.ones(()) if c.set_alpha_to_one
@@ -225,31 +277,88 @@ def generate_images(captions: Sequence[str],
     latents = torch.randn(B, c.latent_channels, size, size,
                           generator=gen, device=device)
 
+    def prev_sample_ddim(sample, t, t_prev, out):
+        """One DDIM (eta=0) step from the guided model output."""
+        a_t = alphas_cumprod[t].float()
+        if c.prediction_type == "v_prediction":
+            # v = sqrt(a)·eps − sqrt(1−a)·x0  (SD 2.x checkpoints)
+            x0 = a_t.sqrt() * sample - (1 - a_t).sqrt() * out
+            eps = a_t.sqrt() * out + (1 - a_t).sqrt() * sample
+        else:
+            eps = out
+            x0 = (sample - (1 - a_t).sqrt() * eps) / a_t.sqrt()
+        a_prev = (alphas_cumprod[t_prev].float() if t_prev >= 0
+                  else final_alpha)
+        return a_prev.sqrt() * x0 + (1 - a_prev).sqrt() * eps
+
+    def prev_sample_pndm(sample, t, t_prev, out):
+        """The PNDM transfer step (the DDIM eta=0 formula in the PNDM
+        paper's rearrangement) applied to a (possibly multistep-
+        combined) model output."""
+        a_t = alphas_cumprod[t].float()
+        a_prev = (alphas_cumprod[t_prev].float() if t_prev >= 0
+                  else final_alpha)
+        b_t, b_prev = 1 - a_t, 1 - a_prev
+        if c.prediction_type == "v_prediction":
+            out = a_t.sqrt() * out + b_t.sqrt() * sample
+        denom = a_t * b_prev.sqrt() + (a_t * b_t * a_prev).sqrt()
+        return (a_prev / a_t).sqrt() * sample \
+            - (a_prev - a_t) * out / denom
+
     with torch.no_grad():
         cond = c.text_encoder(c.tokenize(list(captions)).to(device))
         uncond = c.text_encoder(c.tokenize([""] * B).to(device))
         emb = torch.cat([uncond, cond])
-        for t in timesteps.tolist():
-            t = min(int(t), c.train_steps - 1)
-            inp = torch.cat([latents, latents])
-            out = c.unet(inp, t, emb)
+
+        def predict(x, t):
             # classifier-free guidance on the raw model output (as the
-            # reference pipeline applies it), then interpret per the
-            # checkpoint's prediction_type
+            # reference pipeline applies it); interpretation per the
+            # checkpoint's prediction_type happens in the step fns
+            out = c.unet(torch.cat([x, x]), int(t), emb)
             out_u, out_c = out.chunk(2)
-            out = out_u + guidance_scale * (out_c - out_u)
-            a_t = alphas_cumprod[t].float()
-            if c.prediction_type == "v_prediction":
-                # v = sqrt(a)·eps − sqrt(1−a)·x0  (SD 2.x checkpoints)
-                x0 = a_t.sqrt() * latents - (1 - a_t).sqrt() * out
-                eps = a_t.sqrt() * out + (1 - a_t).sqrt() * latents
-            else:
-                eps = out
-                x0 = (latents - (1 - a_t).sqrt() * eps) / a_t.sqrt()
-            t_prev = t - ratio
-            a_prev = (alphas_cumprod[t_prev].float() if t_prev >= 0
-                      else final_alpha)
-            latents = a_prev.sqrt() * x0 + (1 - a_prev).sqrt() * eps
+            return out_u + guidance_scale * (out_c - out_u)
+
+        if c.scheduler == "pndm":
+            # PLMS (PNDMScheduler, skip_prk_steps=true): the second
+            # timestep is visited twice — the first interval is redone
+            # with the two-sample average (a Heun corrector) — then
+            # 2/3/4-point Adams-Bashforth over the stored outputs
+            plms_ts = torch.cat(
+                [base_ts[:-1], base_ts[-2:-1], base_ts[-1:]]).flip(0)
+            ets = []
+            cur_sample = None
+            for counter, t in enumerate(plms_ts.tolist()):
+                out = predict(latents, t)
+                if counter != 1:
+                    ets = ets[-3:] + [out]
+                    t_prev = t - ratio
+                else:
+                    # corrector replay: same interval, from the saved
+                    # pre-step sample
+                    t_prev = t
+                    t = t + ratio
+                if len(ets) == 1 and counter == 0:
+                    combined, sample = out, latents
+                    cur_sample = latents
+                elif len(ets) == 1 and counter == 1:
+                    combined = (out + ets[-1]) / 2
+                    sample, cur_sample = cur_sample, None
+                elif len(ets) == 2:
+                    combined = (3 * ets[-1] - ets[-2]) / 2
+                    sample = latents
+                elif len(ets) == 3:
+                    combined = (23 * ets[-1] - 16 * ets[-2]
+                                + 5 * ets[-3]) / 12
+                    sample = latents
+                else:
+                    combined = (55 * ets[-1] - 59 * ets[-2]
+                                + 37 * ets[-3] - 9 * ets[-4]) / 24
+                    sample = latents
+                latents = prev_sample_pndm(sample, t, t_prev, combined)
+        else:
+            for t in base_ts.flip(0).tolist():
+                latents = prev_sample_ddim(latents, t, t - ratio,
+                                           predict(latents, t))
         imgs = c.vae_decode(latents / c.latent_scale)
     imgs = (imgs / 2 + 0.5).clamp(0, 1)
     return imgs.permute(0, 2, 3, 1).float().cpu().numpy()

@@ -667,6 +667,18 @@ def generate(params: Params, cfg: CoCaConfig, images, key,
     eos_token_id = cfg.eos_token_id if eos_token_id is None else eos_token_id
     pad_id = cfg.pad_id if pad_id is None else pad_id
     B = images.shape[0]
+    if seq_len > cfg.multimodal.context_length:
+        # the reference supports longer captions via a sliding window
+        # over the last context_length tokens (`coca_model.py:300`,
+        # out[:, -max_seq_len:]); the fixed-shape scan caps at the
+        # context instead — say so rather than silently shortening
+        # (ADVICE r4)
+        import logging
+        logging.getLogger(__name__).warning(
+            "generate: seq_len=%d exceeds the multimodal context length "
+            "%d; capping (the reference would slide its window — "
+            "captions will be shorter than requested)", seq_len,
+            cfg.multimodal.context_length)
     seq_len = min(seq_len, cfg.multimodal.context_length)
     use_cache = use_cache and not cfg.hf_text_name  # roberta: bidirectional
     _, image_embs = encode_image_coca(params, cfg, images, dtype=dtype)

@@ -93,10 +93,12 @@ class CoCaModel:
         p = self.params if params is None else params
         return coca.forward(p, self.cfg, images, tokens, dtype=self.dtype)
 
-    def generate(self, images, key=None, generation_type: str = "top_k",
-                 **kw):
+    def generate(self, images, key=None,
+                 generation_type: str = "beam_search", **kw):
         """Caption generation, dispatched like the reference's
-        `CoCa.generate(generation_type=...)` (`coca_model.py:202-273`):
+        `CoCa.generate(generation_type=...)` (`coca_model.py:202-273`,
+        default "beam_search" — matching the reference's default, so
+        direct API users get reference-default captions; ADVICE r4):
         "beam_search" → the decision-faithful group beam scan (ignores
         `key` — deterministic), "top_k"/"top_p" → the sampling scan
         (`top_p` routes via the nucleus warper when passed)."""

@@ -146,16 +146,13 @@ def make_fare_attack(cfg: CLIPConfig, fcfg: FareConfig, dtype=jnp.float32):
             return apgd(loss_fn, images, norm=fcfg.norm, eps=fcfg.eps,
                         n_iter=fcfg.iterations_adv, is_train=True)
         # PGD with uniform init (reference passes a uniform perturbation,
-        # `adversarial_training_clip.py:352`).  One deliberate deviation:
-        # the init is clamped into the [0,1] image box BEFORE the first
-        # forward — the reference forwards the raw init and only clamps
-        # at the end of each iteration, so its first PGD step can score
-        # out-of-range pixels.  From iteration 2 on the two loops are
-        # identical (pinned bit-exact by the FARE trajectory parity
-        # test, which injects the raw init into both sides).
+        # `adversarial_training_clip.py:352`).  The raw init is forwarded
+        # unclamped — exactly as the reference does — and the image box
+        # is enforced only at each iteration's end inside `pgd`
+        # (`pgd_train.py:46-49`); clamping before the first forward
+        # would change the first step's gradients (ADVICE r4).
         pert0 = fcfg.eps * (2 * jax.random.uniform(key, images.shape,
                                                    images.dtype) - 1)
-        pert0 = jnp.clip(images + pert0, 0.0, 1.0) - images
         return pgd(loss_fn, images, norm=fcfg.norm, eps=fcfg.eps,
                    iterations=fcfg.iterations_adv,
                    stepsize=fcfg.stepsize_adv, mode="max",
