@@ -48,6 +48,14 @@ MODEL = os.environ.get("BENCH_MODEL", "ViT-L-14-quickgelu")
 STEPS = int(os.environ.get("BENCH_STEPS", 8))
 assert STEPS >= 1, "BENCH_STEPS must be >= 1"
 BASELINE_SAMPLES_PER_SEC = 90.0  # estimated A100 reference (see docstring)
+# FARE (image-side) A100 estimate — BASELINE.md "FARE derivation":
+# ViT-L vision fwd ≈ 162 GF (303.4 M dense params × 257 tokens);
+# ≈34 forward-equivalents/sample (PGD-10 at fwd + 2×fwd input-grad,
+# frozen anchor encode, train fwd+bwd) ≈ 5.51 TF/sample ≈ 705 TF/step
+# at bs=128; A100 bf16 312 TF/s at the same generous 40% MFU the text
+# derivation uses → ≈22.7 samples/s.  Pinned to the live model by
+# tests/test_bench_script.py::test_fare_baseline_derivation_matches_model.
+FARE_BASELINE_SAMPLES_PER_SEC = 22.7
 
 
 def main():
@@ -57,7 +65,7 @@ def main():
     import faulthandler
     try:
         faulthandler.dump_traceback_later(
-            int(os.environ.get("BENCH_WATCHDOG_S", 1800)), exit=True)
+            int(os.environ.get("BENCH_WATCHDOG_S", 3300)), exit=True)
         watchdog = True
     except Exception:  # noqa: BLE001 — e.g. pytest-captured stderr (no fileno)
         watchdog = False
@@ -158,6 +166,15 @@ def _bench_body(watchdog):
     def get_texts():
         return next(batch_iter) if batch_iter is not None else texts
 
+    # Every word in the pool is a single BPE token, so a w-word caption
+    # tokenizes to exactly w+2 ids (SOT + w + EOT) — "need" = w+2.  The
+    # ladder (below) exploits this to place whole batches in a chosen
+    # context bucket.
+    def make_texts(rng_, n_words, batch=BATCH):
+        if np.isscalar(n_words):
+            n_words = [int(n_words)] * batch
+        return [" ".join(rng_.choice(words, size=w)) for w in n_words]
+
     def one_step(state, step_rng):
         state, info = fused(state, frozen_text, get_texts(), step_rng)
         return state, info["metrics"]
@@ -180,20 +197,23 @@ def _bench_body(watchdog):
     # warm), and the round driver invokes this script exactly once.
     windows = int(os.environ.get("BENCH_WINDOWS", 3))
 
-    def measure(step, n_windows, rng_base=10, pre_step=None):
-        """Run n_windows timed windows of STEPS steps; returns
+    def measure(step, n_windows, rng_base=10, pre_step=None, texts_fn=None,
+                n_steps=STEPS):
+        """Run n_windows timed windows of n_steps steps; returns
         (best, median) steps/sec.  `pre_step` (if set) runs before each
         step OUTSIDE no particular overlap — used by the cold
         configuration to empty the anchor cache so every step pays the
-        epoch-0 frozen anchor encode."""
+        epoch-0 frozen anchor encode.  `texts_fn` overrides the caption
+        source (the length ladder feeds bucket-targeted batches)."""
+        texts_fn = texts_fn or get_texts
         times = []
         for w in range(n_windows):
             rngs = [np.random.default_rng(rng_base + 100 * w + i)
-                    for i in range(STEPS)]
-            step_texts = get_texts()
+                    for i in range(n_steps)]
+            step_texts = texts_fn()
             prepared = None
             t0 = time.perf_counter()
-            for i in range(STEPS):
+            for i in range(n_steps):
                 if pre_step is not None:
                     pre_step()
                 nonlocal_state[0], step_info = step(
@@ -201,13 +221,13 @@ def _bench_body(watchdog):
                     prepared=prepared)
                 metrics = step_info["metrics"]
                 prepared = None
-                if i + 1 < STEPS:
-                    step_texts = get_texts()
+                if i + 1 < n_steps:
+                    step_texts = texts_fn()
                     prepared = step.prepare_probes(step_texts, rngs[i + 1])
             np.asarray(metrics["loss"])   # hard sync (block_until_ready
             dt = time.perf_counter() - t0  # is unreliable via the tunnel)
             times.append(dt)
-        return STEPS / min(times), STEPS / float(np.median(times))
+        return n_steps / min(times), n_steps / float(np.median(times))
 
     nonlocal_state = [state]
     steps_per_sec, steps_per_sec_med = measure(fused, windows)
@@ -266,6 +286,149 @@ def _bench_body(watchdog):
         c_steps, c_steps_med = measure(fused_c, windows, rng_base=5000)
         out["constrained_samples_per_sec"] = round(c_steps * BATCH, 2)
         out["constrained_median"] = round(c_steps_med * BATCH, 2)
+
+    # ── caption-length ladder (VERDICT r4 #1) ────────────────────────
+    # The headline above is a 12-token caption workload; per-candidate
+    # compute scales ~linearly with the realized context bucket while
+    # the reference's cost is length-INDEPENDENT (it always pads to 77,
+    # `/root/reference/src/open_clip/tokenizer.py:256-263`), so
+    # vs_baseline is a function of caption length.  The ladder sweeps
+    # caption token lengths (whole batches of w-word single-BPE-token
+    # captions → w+2 tokens), keyed by CAPTION TOKENS — the reader's
+    # variable — with the realized probe bucket reported alongside.
+    # NB the attack's probes/candidates INSERT characters, so a
+    # caption that fills bucket b exactly pushes its probe buffers into
+    # the next bucket: cost is governed by the probe bucket, which is
+    # why the axis is caption length, not a nominal bucket.  One mixed
+    # long-tailed "alt-text-like" distribution (lognormal word counts,
+    # median 10, σ=0.75, clipped to [3, 70]) is measured too; per-batch
+    # max bucketing puts nearly every mixed bs=128 batch in the 77
+    # bucket, making it effectively a worst-case-length number.
+    if os.environ.get("BENCH_LADDER", "1") != "0":
+        from leaf_tpu.attacks.engine import bucket_tokens
+        l_steps = max(3, STEPS // 2)
+        ladder, ladder_buckets = {}, {}
+        for n_words in (10, 14, 30, 46, 62, 75):
+            rng_b = np.random.default_rng(300 + n_words)
+            texts_b = make_texts(rng_b, n_words)
+            key = str(n_words + 2)  # caption tokens: SOT + w + EOT
+            for w in range(2):  # compile + fill anchor cache
+                nonlocal_state[0], m = fused(
+                    nonlocal_state[0], frozen_text, texts_b,
+                    np.random.default_rng(40 + n_words + w))
+                np.asarray(m["metrics"]["loss"])
+            prep = fused.prepare_probes(texts_b, np.random.default_rng(7))
+            ladder_buckets[key] = int(
+                bucket_tokens(prep["probe_raw"]).shape[-1])
+            _, med = measure(fused, windows, rng_base=700 + n_words,
+                             texts_fn=lambda t=texts_b: t, n_steps=l_steps)
+            ladder[key] = round(med * BATCH, 2)
+        out["ladder_samples_per_sec"] = ladder
+        out["ladder_probe_buckets"] = ladder_buckets
+        out["ladder_vs_baseline"] = {
+            k: round(v / BASELINE_SAMPLES_PER_SEC, 3)
+            for k, v in ladder.items()}
+
+        rng_m = np.random.default_rng(99)
+        lens = np.clip(np.round(rng_m.lognormal(np.log(10), 0.75,
+                                                size=4 * BATCH)),
+                       3, 70).astype(int)
+        mixed_batches = [make_texts(rng_m, lens[i * BATCH:(i + 1) * BATCH])
+                         for i in range(4)]
+        from leaf_tpu.attacks.engine import bucket_tokens
+        hist = {}
+        for mb in mixed_batches:
+            w_b = bucket_tokens(tokenizer(mb)).shape[-1]
+            hist[str(w_b)] = hist.get(str(w_b), 0) + 1
+        m_iter = [0]
+
+        def mixed_fn():
+            mb = mixed_batches[m_iter[0] % 4]
+            m_iter[0] += 1
+            return mb
+        for w in range(4):  # one full cycle: compile + anchor cache
+            nonlocal_state[0], m = fused(
+                nonlocal_state[0], frozen_text, mixed_fn(),
+                np.random.default_rng(60 + w))
+            np.asarray(m["metrics"]["loss"])
+        _, mixed_med = measure(fused, windows, rng_base=900,
+                               texts_fn=mixed_fn, n_steps=l_steps)
+        out["mixed_samples_per_sec"] = round(mixed_med * BATCH, 2)
+        out["mixed_vs_baseline"] = round(
+            mixed_med * BATCH / BASELINE_SAMPLES_PER_SEC, 3)
+        out["mixed_batch_buckets"] = hist
+        out["workload_note"] = (
+            "headline 'value' is the 12-caption-token workload (the "
+            "'12' ladder row); see ladder_samples_per_sec for the full "
+            "caption-length dependence (reference baseline is "
+            "length-independent: pads to 77)")
+
+    # ── FARE image-side training throughput (VERDICT r4 #2) ─────────
+    # The second training pipeline: PGD-10 L∞ adversarial finetuning of
+    # the vision tower (reference
+    # `robust_vlm/train/adversarial_training_clip.py:309-433`,
+    # `scripts/train_fare_vith.sh` recipe at ViT-L scale).  One step =
+    # frozen anchor encode + 10×(fwd + input-grad) PGD + train fwd/bwd,
+    # bf16 with remat (ViT-L bs=128 does not fit un-remat on 16 GB).
+    if os.environ.get("BENCH_FARE", "1") != "0":
+        from leaf_tpu.train.fare import (
+            FareConfig, encode_vision, make_fare_attack,
+            make_fare_optimizer, make_fare_train_step)
+
+        fare_bs = int(os.environ.get("BENCH_FARE_BATCH", BATCH))
+        fare_steps = int(os.environ.get("BENCH_FARE_STEPS",
+                                        max(2, STEPS // 4)))
+        # single-device path (the FARE trainer's mesh path is exercised
+        # by its own tests); pull one replicated shard if the headline
+        # ran on a mesh — device-to-device, no host bounce
+        dev0 = jax.devices()[0]
+
+        def _single(x):
+            if mesh is not None and isinstance(x, jax.Array):
+                return jax.device_put(x.addressable_data(0), dev0)
+            return x
+
+        visual = jax.tree.map(_single, model.params["visual"])
+        fcfg = FareConfig(batch_size=fare_bs)
+        ftx = make_fare_optimizer(fcfg)
+        fstate = TrainState.create(jax.tree.map(jnp.copy, visual), ftx)
+        frozen_visual = jax.tree.map(jnp.copy, visual)
+        fattack = make_fare_attack(cfg, fcfg, dtype=jnp.bfloat16)
+        fstep = make_fare_train_step(cfg, fcfg, ftx, dtype=jnp.bfloat16)
+        fanchor = jax.jit(lambda p, x: encode_vision(
+            p, cfg, x, fcfg.output_normalize, dtype=jnp.bfloat16))
+        hw = cfg.vision.image_size
+        f_rng = np.random.default_rng(3)
+        images = jnp.asarray(f_rng.uniform(size=(fare_bs, hw, hw, 3)),
+                             jnp.float32)
+        cls = jnp.zeros((visual["proj"].shape[1], 1), jnp.float32)
+        targets = jnp.zeros((fare_bs,), jnp.int32)
+        fkey = jax.random.PRNGKey(11)
+
+        def fare_step():
+            nonlocal fstate, fkey
+            fkey, sub = jax.random.split(fkey)
+            emb = fanchor(frozen_visual, images)
+            adv = fattack(fstate.text_params, images, emb, targets, cls, sub)
+            fstate, fm = fstep(fstate, emb, images, adv, targets, cls)
+            return fm
+
+        for _ in range(2):  # compile + clock warm
+            np.asarray(fare_step()["loss"])
+        f_times = []
+        for _w in range(windows):
+            t0 = time.perf_counter()
+            for _ in range(fare_steps):
+                fm = fare_step()
+            np.asarray(fm["loss"])
+            f_times.append(time.perf_counter() - t0)
+        f_med = fare_steps / float(np.median(f_times)) * fare_bs
+        f_best = fare_steps / min(f_times) * fare_bs
+        out["fare_samples_per_sec"] = round(f_med, 3)
+        out["fare_samples_per_sec_best"] = round(f_best, 3)
+        out["fare_vs_baseline"] = round(
+            f_med / FARE_BASELINE_SAMPLES_PER_SEC, 3)
+        out["fare_batch"] = fare_bs
     print(json.dumps(out))
 
 

@@ -90,9 +90,23 @@ def get_data(args, preprocess: Callable, epoch: int = 0,
 
     if getattr(args, "val_text_classification", None):
         n = getattr(args, "n_val_text", 200)
-        data["train-agnews"] = get_text_classification_dataset(
-            "agnews", n_samples=n, test=False)
-        data["train-sst2"] = get_text_classification_dataset(
-            "sst2", n_samples=n, test=False)
+        if args.val_text_classification == "synthetic":
+            # dress-rehearsal path (docs/REPLICATION.md §5): the same
+            # in-training eval code path without HF egress — synthetic
+            # sentences with round-robin labels over each dataset's
+            # real class/anchor metadata
+            from leaf_tpu.data.textcls import TextClassificationData
+            from leaf_tpu.evals.textfare import _load_eval_samples
+            samples, _ = _load_eval_samples("synthetic", n)
+            for name, n_classes in (("agnews", 4), ("sst2", 2)):
+                labeled = [dict(s, label=i % n_classes)
+                           for i, s in enumerate(samples)]
+                data[f"train-{name}"] = TextClassificationData.from_samples(
+                    name, labeled)
+        else:
+            data["train-agnews"] = get_text_classification_dataset(
+                "agnews", n_samples=n, test=False)
+            data["train-sst2"] = get_text_classification_dataset(
+                "sst2", n_samples=n, test=False)
 
     return data

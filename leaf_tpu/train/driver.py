@@ -316,17 +316,43 @@ def main(args=None) -> Dict:
             "step": state.step,
         }
 
+    def export_model(epoch: int):
+        """Full-model OpenCLIP-format export next to the Orbax state.
+
+        The reference saves a complete state dict every epoch
+        (`train_AT_text_only.py:529-537`), which is what its eval CLIs
+        load; our Orbax payload holds only the trained text side, so
+        `checkpoints/model_epoch_<N>/open_clip_model.safetensors` (+
+        activation metadata) is the artifact the standalone evals,
+        convert.py and push_to_hf_hub consume (docs/REPLICATION.md §4).
+        """
+        import json
+
+        from leaf_tpu.convert import params_to_openclip, save_state_dict
+        out = os.path.join(ckpt_dir, f"model_epoch_{epoch}")
+        try:
+            sd = params_to_openclip(eval_params(), cfg)
+        except Exception as e:  # noqa: BLE001 — non-CLIP tower layouts
+            LOG.warning("skipping model export for epoch %d: %s", epoch, e)
+            return
+        save_state_dict(sd, out, "openclip")
+        with open(os.path.join(out, "open_clip_config.json"), "w") as f:
+            json.dump({"model_cfg": {"quick_gelu": bool(cfg.quick_gelu)}}, f)
+
     def save(epoch: int):
         ckpt.save_checkpoint(ckpt_dir, epoch, payload())
+        if master:
+            export_model(epoch)
         if args.delete_previous_checkpoint and master:
             # the save above is async — epoch_N must be COMMITTED
             # before epoch_{N-1} is deleted, or a crash in the write
             # window leaves zero resumable checkpoints
             ckpt.wait_for_checkpoints()
-            prev = os.path.join(ckpt_dir, f"epoch_{epoch - 1}")
-            if os.path.isdir(prev):
-                import shutil
-                shutil.rmtree(prev)
+            import shutil
+            for prev in (os.path.join(ckpt_dir, f"epoch_{epoch - 1}"),
+                         os.path.join(ckpt_dir, f"model_epoch_{epoch - 1}")):
+                if os.path.isdir(prev):
+                    shutil.rmtree(prev)
 
     def eval_params():
         p = dict(params)

@@ -591,7 +591,13 @@ class FusedLeafStep:
         info = {"best_pos": outs[0]["best_pos"] + outs[1]["best_pos"],
                 "best_char_idx": (outs[0]["best"], outs[1]["best"]),
                 "us": np.concatenate([outs[0]["us"], outs[1]["us"]]),
-                "base_texts": texts, "metrics": metrics}
+                "base_texts": texts, "metrics": metrics,
+                # attack-completion marker (utils.results.AsyncAttackTimer):
+                # the halves' adversarial token buffers are the final
+                # scoring outputs — ready when the attack's device work is
+                # done, BEFORE the train_only update (exact reference
+                # `times_*.csv` semantics, `utils_AT.py:298-311`)
+                "attack_marker": (outs[0]["adv"], outs[1]["adv"])}
         return state, info
 
     def __call__(self, state: TrainState, frozen_text, texts,
@@ -692,7 +698,13 @@ class FusedLeafStep:
                     state, self._put(cand_tokens), anchors)
 
         info = {"best_pos": best_pos, "best_char_idx": best, "us": us,
-                "base_texts": texts_cur, "metrics": metrics}
+                "base_texts": texts_cur, "metrics": metrics,
+                # on this (non-default) path the final scoring and the
+                # train update share one XLA program, so the marker's
+                # readiness includes the update's device tail —
+                # attack_seconds over-counts by that tail here; the k=1
+                # pipelined default is exact (see AsyncAttackTimer)
+                "attack_marker": best}
         return state, info
 
     def adv_sentences(self, texts, info):

@@ -34,7 +34,7 @@ from leaf_tpu.attacks.text import attack_text_charmer_batched, attack_text_leaf
 from leaf_tpu.parallel.sharding import put_batch
 from leaf_tpu.train.step import TrainState
 from leaf_tpu.utils.meters import AverageMeter
-from leaf_tpu.utils.results import TimingLedger
+from leaf_tpu.utils.results import AsyncAttackTimer, TimingLedger
 
 LOG = logging.getLogger(__name__)
 
@@ -169,6 +169,9 @@ def train_one_epoch_text_only(
         }
         if tracker is not None:
             tracker.log(log_data, step=rec["step"])
+    attack_timer = None
+    if fused_step is not None and timing is not None:
+        attack_timer = AsyncAttackTimer(timing)
     loader_it = iter(info.loader)
     batch = next(loader_it, None)
     prepared = None
@@ -194,14 +197,24 @@ def train_one_epoch_text_only(
         data_time_m.update(time.time() - end)
 
         if fused_step is not None:
-            t0 = time.time()
+            t0 = time.perf_counter()
             state, step_info = fused_step(state, frozen_text_params,
                                           list(texts), rng,
                                           prepared=prepared)
             metrics = step_info["metrics"]
-            attack_seconds = time.time() - t0
-            if timing is not None:
-                timing.append(attack_seconds)
+            # attack-only timing, reference `times_*.csv` semantics
+            # (`utils_AT.py:298-311`): the worker thread blocks on the
+            # step's attack marker (final scoring output) and records
+            # t_ready − t0, excluding the train update — without a
+            # main-thread sync that would break the loop's overlap.
+            # t0 is at step entry: steady-state (anchor-cache hit) that
+            # matches the reference's post-anchor start; cache-miss
+            # steps additionally include the fused anchor encode.
+            if attack_timer is not None:
+                attack_timer.submit(t0, step_info.get("attack_marker"))
+                attack_seconds = attack_timer.last  # lags ≤ 1 step
+            else:
+                attack_seconds = time.perf_counter() - t0
             # overlap: while this batch's phase-2 train dispatch runs
             # on device, pull batch i+1 and do its host-side probe prep
             # (BPE edit tokenisation + constraint masks).  rng draw
@@ -268,6 +281,8 @@ def train_one_epoch_text_only(
             data_time_m.reset()
 
     _flush(pending_log)
+    if attack_timer is not None:
+        attack_timer.close()  # every step's row written, in step order
     if profiling:
         jax.profiler.stop_trace()
     log_data.setdefault("train/loss", losses_m.avg if losses_m.count else 0.0)

@@ -9,6 +9,9 @@ from __future__ import annotations
 
 import csv
 import os
+import queue
+import threading
+import time
 from typing import Dict, List, Optional
 
 
@@ -93,3 +96,66 @@ class TimingLedger:
             if first:
                 writer.writerow(["0"])
             writer.writerow([seconds])
+
+
+class AsyncAttackTimer:
+    """Attack-only wall times for the *fused* LEAF step.
+
+    The reference's `times_{use_charmer}.csv` times exactly the inner
+    maximisation: the timer wraps the attack call, which fully syncs
+    because it returns host strings (`utils_AT.py:298-311`).  The fused
+    step never returns strings — its attack ends when the final
+    candidate-scoring output (`info["attack_marker"]`) becomes ready on
+    device, *before* the train update.  Blocking the training thread on
+    that readiness would serialise the loop's host/device overlap, so a
+    single worker thread waits on the markers FIFO and appends
+    (t_ready − t_start) to the ledger.  Rows land in step order; the
+    value logged inline (`last`) may lag the current step by one.
+
+    On the default k=1 pipelined path the marker is the two halves'
+    adversarial token buffers — scoring dispatches separate from the
+    train update, so the measurement is exact.  On the unpipelined
+    fused path the final scoring shares one XLA program with the train
+    update, so the marker completes with the program and attack_seconds
+    over-counts by that program's update tail (documented, non-default).
+    """
+
+    def __init__(self, ledger: TimingLedger):
+        self.ledger = ledger
+        self.last = 0.0
+        self._q: queue.Queue = queue.Queue()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def submit(self, t_start: float, marker) -> None:
+        """Enqueue a step: `t_start` from time.perf_counter() at attack
+        start, `marker` a jax array/pytree whose readiness marks the end
+        of the attack's device work."""
+        self._q.put((t_start, marker))
+
+    def _run(self):
+        import jax  # deferred: this module is imported by jax-free tools
+        while True:
+            item = self._q.get()
+            try:
+                if item is None:
+                    return
+                t_start, marker = item
+                try:
+                    jax.block_until_ready(marker)
+                except Exception:  # noqa: BLE001 — a failed dispatch
+                    pass           # surfaces in the main thread instead
+                dt = time.perf_counter() - t_start
+                self.last = dt
+                self.ledger.append(dt)
+            finally:
+                self._q.task_done()
+
+    def drain(self) -> None:
+        """Block until every submitted step has been timed and written."""
+        self._q.join()
+
+    def close(self) -> None:
+        self.drain()
+        self._q.put(None)
+        self._thread.join()

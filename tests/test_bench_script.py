@@ -20,12 +20,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def _run_bench(monkeypatch, capsys, **env):
     for k in ("BENCH_BATCH", "BENCH_RHO", "BENCH_MODEL", "BENCH_STEPS",
-              "BENCH_MESH", "BENCH_TARS"):
+              "BENCH_MESH", "BENCH_TARS", "BENCH_LADDER", "BENCH_FARE"):
         monkeypatch.delenv(k, raising=False)
     monkeypatch.setenv("BENCH_MODEL", "ViT-tiny-test")
     monkeypatch.setenv("BENCH_BATCH", "8")
     monkeypatch.setenv("BENCH_RHO", "4")
     monkeypatch.setenv("BENCH_STEPS", "2")
+    # the length ladder and FARE sections are exercised by their own
+    # dedicated tests; keep the smoke tests fast
+    monkeypatch.setenv("BENCH_LADDER", "0")
+    monkeypatch.setenv("BENCH_FARE", "0")
     for k, v in env.items():
         monkeypatch.setenv(k, v)
     spec = importlib.util.spec_from_file_location(
@@ -100,6 +104,101 @@ def test_baseline_derivation_matches_model():
     assert a100_samples_per_sec == pytest.approx(90.0, rel=0.02)
     assert bench.BASELINE_SAMPLES_PER_SEC == pytest.approx(
         a100_samples_per_sec, rel=0.02)
+
+
+def test_fare_baseline_derivation_matches_model():
+    """Pin BASELINE.md's FARE A100-estimate derivation to the live model
+    (VERDICT r4 #2: the image-side pipeline needs the same pinned
+    honesty the text derivation got in r4)."""
+    import importlib.util
+
+    import jax
+    import jax.tree_util as jtu
+
+    from leaf_tpu.models import create_model
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_for_fare_constants", os.path.join(REPO, "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    model = create_model("ViT-L-14-quickgelu", precision="bf16")
+    vis = model.params["visual"]
+    vcfg = model.cfg.vision
+    # blocks are stacked scan-style (leading layer dim), so the dense
+    # matmul weights are the ndim>=3 leaves; ndim==2 leaves are the
+    # stacked biases / LN params (negligible FLOPs)
+    blocks = sum(
+        leaf.size for path, leaf in jtu.tree_leaves_with_path(vis)
+        if "blocks" in jtu.keystr(path) and leaf.ndim >= 3)
+    patch = vis["patch_embedding"].size
+    proj = vis["proj"].size
+    assert blocks == 301_989_888   # BASELINE.md: 302.0 M dense block
+    assert patch == 602_112        # 14×14×3×1024 patchify matmul
+    assert proj == 786_432
+
+    # forward FLOPs per 224px image: 257 tokens through 24 blocks +
+    # patchify over the 256 patches + final projection + attention
+    # score/value matmuls
+    tokens = (vcfg.image_size // vcfg.patch_size) ** 2 + 1
+    assert tokens == 257
+    fwd = (2 * blocks * tokens + 2 * patch * (tokens - 1) + 2 * proj
+           + vcfg.layers * 2 * (2 * tokens * tokens * vcfg.width))
+    assert fwd == pytest.approx(162.0e9, rel=0.01)
+
+    # per reference FARE step at bs=128: frozen anchor (1 fwd) +
+    # PGD-10 at (1 fwd + 2 fwd input-grad) each + train fwd+bwd (3 fwd)
+    # = 34 forward-equivalents/sample
+    B = 128
+    per_step = B * 34 * fwd
+    assert per_step == pytest.approx(705e12, rel=0.01)
+    a100 = 312e12 * 0.40 / per_step * B
+    assert a100 == pytest.approx(22.7, rel=0.01)
+    assert bench.FARE_BASELINE_SAMPLES_PER_SEC == pytest.approx(a100,
+                                                                rel=0.01)
+
+
+def test_bench_fare_section(monkeypatch, capsys):
+    """BENCH_FARE reports the image-side pipeline's throughput and its
+    vs_baseline ratio in the same JSON line (VERDICT r4 #2)."""
+    r = _run_bench(monkeypatch, capsys, BENCH_FARE="1",
+                   BENCH_FARE_BATCH="4", BENCH_FARE_STEPS="2",
+                   BENCH_CONSTRAINED="0", BENCH_COLD="0")
+    assert r["fare_samples_per_sec"] > 0
+    assert r["fare_batch"] == 4
+    assert r["fare_vs_baseline"] == pytest.approx(
+        r["fare_samples_per_sec"] / 22.7, rel=0.02)
+
+
+def test_bench_length_ladder(monkeypatch, capsys):
+    """BENCH_LADDER reports per-bucket and mixed-length-distribution
+    throughput so the headline's caption-length sensitivity is on the
+    table (VERDICT r4 #1).  The reference comparison point is
+    length-independent (pads to 77), so ladder_vs_baseline shares the
+    headline's denominator."""
+    r = _run_bench(monkeypatch, capsys, BENCH_LADDER="1",
+                   BENCH_CONSTRAINED="0", BENCH_COLD="0")
+    ladder = r["ladder_samples_per_sec"]
+    # keyed by caption TOKENS (w words + SOT + EOT); the "12" row is
+    # the headline workload
+    assert set(ladder) == {"12", "16", "32", "48", "64", "77"}
+    assert all(v > 0 for v in ladder.values())
+    assert r["ladder_vs_baseline"]["77"] == pytest.approx(
+        ladder["77"] / 90.0, rel=0.02)
+    # probes/candidates INSERT a character, so a bucket-filling caption
+    # overflows its own bucket: the 16-token row must realize a >16
+    # probe bucket (the reason the axis is caption tokens, not buckets)
+    pb = r["ladder_probe_buckets"]
+    assert set(pb) == set(ladder)
+    assert pb["12"] == 16 and pb["16"] == 32 and pb["77"] == 77
+    assert r["mixed_samples_per_sec"] > 0
+    # per-batch max bucketing: the realized bucket histogram is
+    # reported (at the production bs=128 the long tail puts nearly
+    # every batch in the 77 bucket; at this test's bs=8 the max is
+    # noisier, so only the bucket-membership invariant is pinned)
+    assert sum(r["mixed_batch_buckets"].values()) == 4
+    assert set(r["mixed_batch_buckets"]) <= {"16", "32", "48", "64", "77"}
+    assert "workload_note" in r
 
 
 def test_bench_plain_path(monkeypatch, capsys):
