@@ -357,6 +357,46 @@ def _bench_body(watchdog):
         out["mixed_vs_baseline"] = round(
             mixed_med * BATCH / BASELINE_SAMPLES_PER_SEC, 3)
         out["mixed_batch_buckets"] = hist
+
+        # same lognormal stream, but batches composed by caption-length
+        # bucketing (`--bucket-by-length`, data.common.bucket_batches) —
+        # the TPU-first lever that recovers the short-caption rate on
+        # long-tailed alt-text streams (the reference has no analogue:
+        # it pads everything to 77).  Same-length captions share a
+        # batch, so the per-batch-max probe bucket stays small for the
+        # bulk of the distribution instead of being dragged to 77 by
+        # the tail.
+        from leaf_tpu.data.common import bucket_batches
+        lens_b = np.clip(np.round(rng_m.lognormal(np.log(10), 0.75,
+                                                  size=8 * BATCH)),
+                         3, 70).astype(int)
+        pool = make_texts(rng_m, lens_b, batch=8 * BATCH)
+        grouped = [b for b in bucket_batches(
+            iter(pool), BATCH,
+            lambda t: int(np.argmax(tokenizer([t])[0]) + 1),
+            (16, 32, 48, 64, 77)) if len(b) == BATCH]
+        bhist = {}
+        for gb in grouped:
+            w_b = bucket_tokens(tokenizer(gb)).shape[-1]
+            bhist[str(w_b)] = bhist.get(str(w_b), 0) + 1
+        g_iter = [0]
+
+        def grouped_fn():
+            gb = grouped[g_iter[0] % len(grouped)]
+            g_iter[0] += 1
+            return gb
+        for w in range(len(grouped)):  # full cycle: compile each bucket
+            nonlocal_state[0], m = fused(
+                nonlocal_state[0], frozen_text, grouped_fn(),
+                np.random.default_rng(80 + w))
+            np.asarray(m["metrics"]["loss"])
+        _, grp_med = measure(fused, windows, rng_base=1700,
+                             texts_fn=grouped_fn,
+                             n_steps=max(l_steps, len(grouped)))
+        out["mixed_bucketed_samples_per_sec"] = round(grp_med * BATCH, 2)
+        out["mixed_bucketed_vs_baseline"] = round(
+            grp_med * BATCH / BASELINE_SAMPLES_PER_SEC, 3)
+        out["mixed_bucketed_batch_buckets"] = bhist
         out["workload_note"] = (
             "headline 'value' is the 12-caption-token workload (the "
             "'12' ladder row); see ladder_samples_per_sec for the full "

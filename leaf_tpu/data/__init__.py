@@ -42,6 +42,21 @@ def get_data(args, preprocess: Callable, epoch: int = 0,
     data: Dict[str, object] = {}
     preprocess_val = preprocess_val or preprocess
 
+    length_fn = None
+    if getattr(args, "bucket_by_length", False):
+        from leaf_tpu.models.factory import get_tokenizer
+        tok = get_tokenizer(getattr(args, "model", "") or "")
+        if not hasattr(tok, "encode"):
+            raise ValueError(
+                "--bucket-by-length needs a tokenizer with a raw "
+                "encode() (the CLIP byte-BPE one); model "
+                f"{getattr(args, 'model', '')!r} resolves to "
+                f"{type(tok).__name__}")
+        ctx = tok.context_length
+
+        def length_fn(text: str, _tok=tok, _ctx=ctx) -> int:
+            return min(len(_tok.encode(text)) + 2, _ctx)  # SOT + ids + EOT
+
     if getattr(args, "dataset_type", None) == "synthetic":
         data["train"] = get_synthetic_dataset(
             args.train_num_samples or 100, args.batch_size,
@@ -58,6 +73,9 @@ def get_data(args, preprocess: Callable, epoch: int = 0,
                           process_count=process_count,
                           text_only=text_only,
                           workers=getattr(args, "workers", 4),
+                          bucket_by_length=getattr(
+                              args, "bucket_by_length", False),
+                          length_fn=length_fn,
                           upsampling_factors=(
                               [float(x) for x in
                                args.train_data_upsampling_factors.split("::")]

@@ -78,6 +78,51 @@ class Prefetcher:
             stop.set()
 
 
+def bucket_for(n: int, bounds) -> int:
+    """Smallest bucket boundary that fits length `n` (overflow → the
+    largest).  `bounds` must be sorted ascending."""
+    for b in bounds:
+        if n <= b:
+            return b
+    return bounds[-1]
+
+
+def bucket_batches(it: Iterator, batch_size: int,
+                   length_of: Callable[[Any], int],
+                   boundaries: Iterable[int]) -> Iterator[list]:
+    """Group a (pre-shuffled) sample stream into length-homogeneous
+    batches: each sample is routed to the smallest `boundaries` bucket
+    that fits `length_of(sample)` (overflow → the largest), and a batch
+    is emitted the moment any bucket fills.
+
+    TPU-first rationale: the fused attack step pads every probe/
+    candidate buffer to the BATCH's max context bucket
+    (`attacks/engine.py::CONTEXT_BUCKETS`), so one 70-token caption in
+    an otherwise-short batch makes all 128 samples pay 77-wide scoring.
+    Grouping similar lengths recovers the short-caption rate on real
+    long-tailed alt-text streams (the reference has no equivalent lever:
+    it pads everything to 77 unconditionally,
+    `/root/reference/src/open_clip/tokenizer.py:256-263`).
+
+    Locality/ordering trade-off: like classic seq2seq length bucketing,
+    batches are no longer an unbiased sample of the stream — lengths
+    correlate within a batch.  At the end of the stream, leftovers are
+    flushed longest-bucket-first in mixed batches (a final partial batch
+    is yielded too; callers that need fixed batch sizes drop or roll it,
+    as `WdsDataset.batches` does)."""
+    bounds = sorted(boundaries)
+    buckets: dict = {b: [] for b in bounds}
+    for sample in it:
+        buf = buckets[bucket_for(length_of(sample), bounds)]
+        buf.append(sample)
+        if len(buf) == batch_size:
+            yield list(buf)
+            buf.clear()
+    leftovers = [s for b in reversed(bounds) for s in buckets[b]]
+    for i in range(0, len(leftovers), batch_size):
+        yield leftovers[i:i + batch_size]
+
+
 def shuffle_buffer(it: Iterator, bufsize: int, initial: int, rng) -> Iterator:
     """Streaming reservoir shuffle (webdataset `_shuffle` semantics):
     fill a buffer of `bufsize`, then yield a random element per incoming

@@ -21,7 +21,12 @@ from typing import Callable, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from leaf_tpu.data.common import DataInfo, Prefetcher, shuffle_buffer
+from leaf_tpu.data.common import (
+    DataInfo,
+    Prefetcher,
+    bucket_for,
+    shuffle_buffer,
+)
 
 LOG = logging.getLogger(__name__)
 
@@ -255,6 +260,13 @@ class WdsConfig:
     sample_shuffle_initial: int = SAMPLE_SHUFFLE_INITIAL
     text_only: bool = False   # skip image decode (LEAF text-AT)
     workers: int = 4          # decode threads (`--workers`)
+    # length-bucketed batch composition (opt-in, `--bucket-by-length`):
+    # group captions of similar token length into the same batch so the
+    # fused attack's per-batch-max context bucket stays small on
+    # long-tailed alt-text streams (see data.common.bucket_batches).
+    bucket_by_length: bool = False
+    length_fn: Optional[Callable[[str], int]] = None
+    length_buckets: Optional[Sequence[int]] = None
 
 
 class WdsDataset:
@@ -328,26 +340,51 @@ class WdsDataset:
         def stack(images):
             return None if cfg.text_only else np.stack(images)
 
+        if cfg.bucket_by_length:
+            if cfg.length_fn is None:
+                raise ValueError("bucket_by_length requires length_fn")
+            from leaf_tpu.attacks.engine import CONTEXT_BUCKETS
+            bounds = sorted(cfg.length_buckets or CONTEXT_BUCKETS)
+        else:
+            bounds = [0]  # single accumulator == plain batching
+        buckets = {b: ([], []) for b in bounds}
+
+        def route(s):
+            if not cfg.bucket_by_length:
+                return buckets[0]
+            return buckets[bucket_for(cfg.length_fn(s["text"]), bounds)]
+
+        def pending():
+            return sum(len(t) for _, t in buckets.values())
+
         def batches():
             produced = 0
             pass_ = 0
-            images, texts = [], []
             while target is None or produced < target:
                 n_before = produced
                 for s in self._samples(epoch, pass_):
+                    images, texts = route(s)
                     images.append(s["image"])
                     texts.append(s["text"])
                     if len(texts) == cfg.batch_size:
                         yield stack(images), list(texts)
-                        images, texts = [], []
+                        images.clear()
+                        texts.clear()
                         produced += 1
                         if target is not None and produced >= target:
                             return
                 if target is None:
-                    if texts:  # eval: final partial batch
-                        yield stack(images), list(texts)
+                    # eval: flush leftovers longest-first in (possibly
+                    # mixed, possibly partial) batches
+                    left_i = [im for b in reversed(bounds)
+                              for im in buckets[b][0]]
+                    left_t = [t for b in reversed(bounds)
+                              for t in buckets[b][1]]
+                    for i in range(0, len(left_t), cfg.batch_size):
+                        yield (stack(left_i[i:i + cfg.batch_size]),
+                               left_t[i:i + cfg.batch_size])
                     return
-                if produced == n_before and not texts:
+                if produced == n_before and not pending():
                     # a full pass yielded nothing: silently returning
                     # fewer than `target` batches would hang every
                     # OTHER host of a multi-host run at the next

@@ -53,6 +53,14 @@ def parse_args(args: Optional[List[str]] = None) -> argparse.Namespace:
     p.add_argument("--imagenet-val", type=str, default=None)
     p.add_argument("--imagenet-v2", type=str, default=None)
     p.add_argument("--workers", type=int, default=4)
+    p.add_argument("--bucket-by-length", default=False, action="store_true",
+                   help="group captions of similar token length into the "
+                        "same batch (wds train pipeline) so the fused "
+                        "attack's per-batch-max context bucket stays small "
+                        "on long-tailed alt-text streams; TPU-first lever "
+                        "with no reference equivalent (upstream pads all "
+                        "captions to 77). Trade-off: caption lengths "
+                        "correlate within a batch")
 
     # -- run management -----------------------------------------------------
     p.add_argument("--logs", type=str, default="./logs/")

@@ -198,6 +198,17 @@ def test_bench_length_ladder(monkeypatch, capsys):
     # noisier, so only the bucket-membership invariant is pinned)
     assert sum(r["mixed_batch_buckets"].values()) == 4
     assert set(r["mixed_batch_buckets"]) <= {"16", "32", "48", "64", "77"}
+    # the bucketed-composition configuration (--bucket-by-length lever)
+    # measures the same lognormal stream with length-homogeneous
+    # batches; its realized buckets must spread below 77 (that is the
+    # point) and throughput must be positive
+    assert r["mixed_bucketed_samples_per_sec"] > 0
+    assert r["mixed_bucketed_vs_baseline"] == pytest.approx(
+        r["mixed_bucketed_samples_per_sec"] / 90.0, rel=0.02)
+    bhist = r["mixed_bucketed_batch_buckets"]
+    assert sum(bhist.values()) >= 1
+    assert set(bhist) <= {"16", "32", "48", "64", "77"}
+    assert any(int(k) < 77 for k in bhist)
     assert "workload_note" in r
 
 

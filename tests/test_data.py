@@ -464,3 +464,104 @@ def test_resolve_resume_latest_missing_sidecar(tmp_path):
     bogus.mkdir()
     with pytest.raises(ValueError, match="sidecar"):
         resolve_resume(str(bogus), str(tmp_path))
+
+
+# -- length-bucketed batch composition (round 5) -------------------------
+
+def make_varlen_shard(path, lengths, key_offset=0):
+    """Caption-only tar whose captions have the given word counts."""
+    with tarfile.open(path, "w") as tf:
+        for i, n_words in enumerate(lengths):
+            key = f"{key_offset + i:06d}"
+            txt = " ".join(["word"] * n_words).encode()
+            info = tarfile.TarInfo(f"{key}.txt")
+            info.size = len(txt)
+            tf.addfile(info, io.BytesIO(txt))
+    return path
+
+
+def test_bucket_batches_helper():
+    """common.bucket_batches: emit when a bucket fills; flush leftovers
+    longest-first at stream end (partial final batch allowed)."""
+    from leaf_tpu.data.common import bucket_batches, bucket_for
+
+    items = [1, 2, 17, 3, 18, 4, 19, 90, 5]  # lengths == identity
+    out = list(bucket_batches(iter(items), 2, lambda x: x, (16, 32, 77)))
+    # first fills: [1,2] (bucket 16), [17,18] (32), [3,4] (16)
+    assert out[:3] == [[1, 2], [17, 18], [3, 4]]
+    # leftovers longest-first: 90 (overflow -> 77), 19 (32), 5 (16)
+    assert out[3:] == [[90, 19], [5]]
+    assert bucket_for(77, [16, 32, 77]) == 77
+    assert bucket_for(400, [16, 32, 77]) == 77
+
+
+def test_wds_bucket_by_length_train(tmp_path):
+    """Train mode with bucket_by_length: every emitted batch is full
+    size AND length-homogeneous (all captions in one context bucket),
+    and equal-batch rounding still yields exactly num_batches."""
+    from leaf_tpu.data.common import bucket_for
+
+    p = str(tmp_path / "s-0000.tar")
+    # 8 short (2 words), 8 medium (20 words), 8 long (60 words)
+    make_varlen_shard(p, [2, 20, 60] * 8)
+    length_fn = lambda t: len(t.split()) + 2  # noqa: E731
+    bounds = (16, 32, 48, 64, 77)
+    cfg = WdsConfig(urls=p, batch_size=4, is_train=True, num_samples=24,
+                    seed=0, text_only=True, bucket_by_length=True,
+                    length_fn=length_fn, length_buckets=bounds,
+                    sample_shuffle_size=16, sample_shuffle_initial=4)
+    batches = list(WdsDataset(cfg, preprocess=None))
+    assert len(batches) == 6  # ceil(24/4)
+    for _, texts in batches:
+        assert len(texts) == 4
+        bks = {bucket_for(length_fn(t), bounds) for t in texts}
+        assert len(bks) == 1, (bks, texts)
+
+
+def test_wds_bucket_by_length_eval_flushes_all(tmp_path):
+    """Eval mode: bucketing must not drop samples — leftovers flush in
+    (possibly mixed/partial) batches and the multiset is preserved."""
+    p = str(tmp_path / "s-0000.tar")
+    lengths = [2, 20, 60, 5, 33, 70, 9]
+    make_varlen_shard(p, lengths)
+    cfg = WdsConfig(urls=p, batch_size=4, is_train=False, text_only=True,
+                    bucket_by_length=True,
+                    length_fn=lambda t: len(t.split()) + 2)
+    got = sorted(len(t.split()) for _, ts in WdsDataset(cfg, None)
+                 for t in ts)
+    assert got == sorted(lengths)
+
+
+def test_wds_bucket_by_length_requires_length_fn(tmp_path):
+    p = str(tmp_path / "s-0000.tar")
+    make_varlen_shard(p, [2, 3, 4, 5])
+    cfg = WdsConfig(urls=p, batch_size=2, is_train=False, text_only=True,
+                    bucket_by_length=True)
+    with pytest.raises(ValueError, match="length_fn"):
+        list(WdsDataset(cfg, None))
+
+
+def test_get_data_bucket_by_length_wiring(tmp_path):
+    """--bucket-by-length wires a BPE token-count length_fn into the wds
+    train pipeline (driver flag surface -> WdsConfig)."""
+    from types import SimpleNamespace
+
+    from leaf_tpu.data import get_data
+
+    p = str(tmp_path / "s-0000.tar")
+    make_varlen_shard(p, [2] * 6 + [40] * 6)
+    args = SimpleNamespace(
+        dataset_type="webdataset", train_data=p, batch_size=3,
+        train_num_samples=12, seed=0, model="ViT-tiny-test",
+        bucket_by_length=True, train_data_upsampling_factors=None,
+        val_data=None, imagenet_val=None, imagenet_v2=None,
+        val_text_classification=None, workers=1)
+    data = get_data(args, preprocess=None, text_only=True)
+    ds = data["train"].loader
+    assert ds.cfg.bucket_by_length
+    # the wired length_fn counts BPE tokens incl. SOT/EOT, capped at 77
+    assert ds.cfg.length_fn("word word") == 4
+    assert ds.cfg.length_fn(" ".join(["word"] * 100)) == 77
+    for _, texts in ds:
+        words = {len(t.split()) for t in texts}
+        assert words in ({2}, {40})
