@@ -82,9 +82,36 @@ def apply_edit(sentence: str, z: int, u: int, vocab: Sequence[int] = DEFAULT_VOC
 def generate_all_sentences_at_z(sentence: str, z: int,
                                 vocab: Sequence[int] = DEFAULT_VOCAB,
                                 k: int = 1, alternative: Optional[int] = -1) -> List[str]:
-    """All |V| single-edit variants at slot z (`utils_attacks.py:215-224`)."""
-    return [apply_edit(sentence, z, u, vocab, k, alternative)
-            for u in range(len(vocab))]
+    """All |V| single-edit variants at slot z (`utils_attacks.py:215-224`).
+
+    Equivalent to `[apply_edit(sentence, z, u, ...) for u in
+    range(len(vocab))]` but hoists the slot expansion out of the vocab
+    loop: for a fixed (sentence, z) the collapsed prefix/suffix strings
+    are constant, so each variant is a single O(L) concat instead of a
+    Python-level slot rebuild — ~10× on the charmer's candidate-
+    generation phase, which profiling showed dominated the batched
+    attack's host time (tools/profile_charmer.py).  Exactness is pinned
+    by the byte-exact reference-parity tests in tests/test_edits.py.
+    NB `existing` is the raw slot char including the '_' placeholder of
+    empty insertion slots — writing '_' into an empty slot must take
+    the self-substitution branch, as in apply_edit."""
+    chars, mask = expand_slots(sentence, k)
+    existing = chars[z]
+    prefix = "".join(c for c, m in zip(chars[:z], mask[:z]) if m)
+    suffix = "".join(c for c, m in zip(chars[z + 1:], mask[z + 1:]) if m)
+    removed = prefix + suffix
+    out: List[str] = []
+    for code in vocab:
+        if code == -1:
+            out.append(removed)
+            continue
+        ch = chr(code)
+        if ch == existing and alternative is not None:
+            out.append(removed if alternative == -1
+                       else prefix + chr(alternative) + suffix)
+        else:
+            out.append(prefix + ch + suffix)
+    return out
 
 
 def generate_all_sentences(sentence: str,

@@ -50,6 +50,54 @@ def _pad_rows(tokenizer, sentences, rows):
     return tokenizer(flat).reshape(len(rows), n_max, -1), mask
 
 
+def _fused_ok(native, constraint, sentences) -> bool:
+    """The C++ fused edit+tokenize path applies when unconstrained,
+    native is built, and every sentence is printable ASCII (same guard
+    as `_edit_tokens_fast`)."""
+    return (constraint is None and native is not None
+            and all(s.isascii() and "&" not in s for s in sentences))
+
+
+def _fused_probe_grid(native, sentences, ctx):
+    """Space probes at every slot, as (z, cp) grids through the fused
+    tokenizer: returns (tokens [B, P, ctx], mask [B, P], n_slots).
+    Probe index == slot index (slot-ordered), matching the string
+    path's `generate_all_sentences(S, SPACE_VOCAB)` ordering."""
+    B = len(sentences)
+    n_slots = [edits.num_slots(len(S)) for S in sentences]
+    P = max(n_slots)
+    zs = np.zeros((B, P), np.int32)
+    cps = np.full((B, P), -1, np.int32)  # pad = no-op delete@slot0
+    mask = np.zeros((B, P), bool)
+    for i, m in enumerate(n_slots):
+        zs[i, :m] = np.arange(m)
+        cps[i, :m] = ord(" ")
+        mask[i, :m] = True
+    tokens = native.encode_edits(sentences, zs, cps, ctx).reshape(B, P, ctx)
+    return tokens, mask, n_slots
+
+
+def _fused_cand_grid(native, sentences, top, n, vocab, n_slots, ctx):
+    """Full-vocab candidates at the top-n slots: returns (tokens
+    [B, n·|V|, ctx], mask, zs).  Candidate order is position-major then
+    vocab, matching `generate_all_sentences(S, vocab, subset_z=top)`;
+    the winner b decodes as (z=zs[i, b], u=b % |V|)."""
+    B = len(sentences)
+    vcodes = np.asarray(vocab, np.int32)
+    nv = len(vcodes)
+    R = n * nv
+    zs = np.zeros((B, R), np.int32)
+    cps = np.full((B, R), -1, np.int32)
+    mask = np.zeros((B, R), bool)
+    for i, m in enumerate(n_slots):
+        vn = min(n, m)
+        zs[i, :vn * nv] = np.repeat(top[i, :vn], nv)
+        cps[i, :vn * nv] = np.tile(vcodes, vn)
+        mask[i, :vn * nv] = True
+    tokens = native.encode_edits(sentences, zs, cps, ctx).reshape(B, R, ctx)
+    return tokens, mask, zs
+
+
 def _edit_tokens_fast(tokenizer, sentences, zs: np.ndarray, cps: np.ndarray):
     """[B] sentences + [B, rho] (slot, codepoint) edits → [B, rho, C]
     tokens via the C++ fused path, or None when unavailable."""
@@ -257,12 +305,45 @@ def attack_text_charmer_batched(
 
     Returns the adversarial sentences (distance bookkeeping as in the
     sequential variant is per-round uniform: all sentences run k
-    rounds)."""
+    rounds).
+
+    Unconstrained + ASCII + native tokenizer available, the whole
+    search runs through the C++ fused edit+tokenize path
+    (`bpe_encode_edits`): no candidate strings are ever materialised —
+    only the winning edit is applied on host.  Profiling
+    (tools/profile_charmer.py) showed host candidate generation +
+    tokenisation was 57% of the batched milliseconds; the fused path
+    removes it.  Decisions are identical to the string path (same
+    position-major × vocab candidate order, same masks), pinned by
+    `test_charmer_batched_fused_matches_string_path`."""
     sentences = list(sentences)
     B = len(sentences)
     if objective in ("sim", "dissim"):
         anchor_features = _normalize_np(anchor_features)
     anchors = np.asarray(anchor_features)
+
+    native = _native_of(tokenizer)
+    if _fused_ok(native, constraint, sentences):
+        ctx = getattr(tokenizer, "context_length", 77)
+        nv = len(vocab)
+        for _ in range(k):
+            tokens, pmask, n_slots = _fused_probe_grid(native, sentences,
+                                                       ctx)
+            _, _, loss = scorer.score_rows(text_params, tokens, anchors,
+                                           objective, mask=pmask)
+            top = np.argsort(-np.asarray(loss), axis=1,
+                             kind="stable")[:, :n]
+            tokens, cmask, zs2 = _fused_cand_grid(native, sentences, top,
+                                                  n, vocab, n_slots, ctx)
+            best_idx, _, _ = scorer.score_rows(text_params, tokens,
+                                               anchors, objective,
+                                               mask=cmask)
+            # materialise only the winners
+            sentences = [
+                edits.apply_edit(sentences[i], int(zs2[i, b]), int(b) % nv,
+                                 vocab, 1, -1)
+                for i, b in enumerate(best_idx)]
+        return sentences
 
     for _ in range(k):
         # ---- phase 1: ALL space substitutions, padded across sentences
@@ -345,12 +426,43 @@ def attack_text_charmer_classification_batched(
     identical to `attack_text_charmer_classification` (including the
     early exit — a sentence whose prediction has flipped is frozen for
     the remaining rounds), but probes/candidates share device batches.
+    Unconstrained ASCII batches run through the C++ fused edit+tokenize
+    grids (`_fused_probe_grid`/`_fused_cand_grid`) — no candidate
+    strings materialised; decisions pinned identical by
+    `test_charmer_classification_batched_fused_matches_string_path`.
     """
     sentences = list(sentences)
     B = len(sentences)
     class_features = _normalize_np(class_features)
     labels = np.asarray(labels)
     done = np.zeros(B, bool)
+
+    native = _native_of(tokenizer)
+    if _fused_ok(native, None, sentences):
+        ctx = getattr(tokenizer, "context_length", 77)
+        nv = len(vocab)
+        for _ in range(k):
+            if done.all():
+                break
+            tokens, pmask, n_slots = _fused_probe_grid(native, sentences,
+                                                       ctx)
+            loss, _ = scorer.score_classification_rows(
+                text_params, tokens, class_features, labels, pmask)
+            top = np.argsort(-loss, axis=1, kind="stable")
+            tokens, cmask, zs2 = _fused_cand_grid(native, sentences, top,
+                                                  n, vocab, n_slots, ctx)
+            loss, preds = scorer.score_classification_rows(
+                text_params, tokens, class_features, labels, cmask)
+            best = np.argmax(loss, axis=1)
+            for i in range(B):
+                if done[i]:
+                    continue      # frozen after an earlier flip
+                b = int(best[i])
+                sentences[i] = edits.apply_edit(
+                    sentences[i], int(zs2[i, b]), b % nv, vocab, 1, -1)
+                if preds[i, b] != labels[i]:
+                    done[i] = True
+        return sentences
 
     def pad_rows(rows):
         return _pad_rows(tokenizer, sentences, rows)

@@ -258,3 +258,61 @@ def test_charmer_classification_batched_matches_sequential(setup):
         scorer, params["text"], tok, sentences, class_feats, labels,
         n=4, k=2)
     assert batched == seq
+
+
+def test_charmer_batched_fused_matches_string_path(setup, monkeypatch):
+    """The C++ fused edit+tokenize charmer path (no candidate strings
+    materialised) must make byte-identical decisions to the string
+    path, incl. multi-round (k=2) and the sim objective."""
+    import leaf_tpu.attacks.text as text_mod
+    from leaf_tpu.attacks.text import attack_text_charmer_batched
+    cfg, params, scorer, tok = setup
+    if text_mod._native_of(tok) is None:
+        pytest.skip("native tokenizer unavailable")
+    sentences = ["a photo of a cat", "hello world", "stocks fall!", "x"]
+    anchors = anchors_for(scorer, params, sentences, tok, normalize=True)
+    fused = attack_text_charmer_batched(
+        scorer, params["text"], tok, sentences, anchors, "sim", n=4, k=2)
+    monkeypatch.setattr(text_mod, "_native_of", lambda t: None)
+    plain = attack_text_charmer_batched(
+        scorer, params["text"], tok, sentences, anchors, "sim", n=4, k=2)
+    assert fused == plain
+
+
+def test_charmer_batched_non_ascii_falls_back(setup):
+    """Non-ASCII sentences must route to the string path (the native
+    tokenizer is ASCII-only) and still return a valid attack."""
+    from leaf_tpu.attacks.text import attack_text_charmer_batched
+    cfg, params, scorer, tok = setup
+    sentences = ["a photo of a cat", "café au lait"]
+    anchors = anchors_for(scorer, params, sentences, tok)
+    out = attack_text_charmer_batched(
+        scorer, params["text"], tok, sentences, anchors, n=3, k=1)
+    assert len(out) == 2 and all(isinstance(s, str) for s in out)
+    assert all(lev(a, b) <= 1 for a, b in zip(out, sentences))
+
+
+def test_charmer_classification_batched_fused_matches_string_path(
+        setup, monkeypatch):
+    """Fused-grid classification charmer must match the string path
+    decision-for-decision, including the early-exit freeze (k=2)."""
+    import leaf_tpu.attacks.text as text_mod
+    from leaf_tpu.attacks.text import (
+        attack_text_charmer_classification_batched,
+    )
+    cfg, params, scorer, tok = setup
+    if text_mod._native_of(tok) is None:
+        pytest.skip("native tokenizer unavailable")
+    class_feats = anchors_for(scorer, params,
+                              ["a photo of a dog", "a photo of a car",
+                               "a photo of a tree"], tok, normalize=True)
+    sentences = ["a photo of a dog", "the car is red", "tall green tree"]
+    labels = [0, 1, 2]
+    fused = attack_text_charmer_classification_batched(
+        scorer, params["text"], tok, sentences, class_feats, labels,
+        n=4, k=2)
+    monkeypatch.setattr(text_mod, "_native_of", lambda t: None)
+    plain = attack_text_charmer_classification_batched(
+        scorer, params["text"], tok, sentences, class_feats, labels,
+        n=4, k=2)
+    assert fused == plain

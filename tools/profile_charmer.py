@@ -16,9 +16,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv=None):
@@ -143,6 +147,72 @@ def main(argv=None):
 
     timeit("phase2_score_ms", p2)
 
+    # ---- fused-path phase ladder (the default batched path when the
+    # C++ tokenizer is available: no candidate strings materialised) --
+    from leaf_tpu.attacks.text import _native_of
+    fph = {}
+    native = _native_of(tokenizer)
+    if native is not None:
+        ctx = getattr(tokenizer, "context_length", 77)
+        B = len(sentences)
+        n_slots = [edits.num_slots(len(S)) for S in sentences]
+        P = max(n_slots)
+
+        def fused_p1_prep():
+            zs = np.zeros((B, P), np.int32)
+            cps = np.full((B, P), -1, np.int32)
+            pm = np.zeros((B, P), bool)
+            for i, m in enumerate(n_slots):
+                zs[i, :m] = np.arange(m)
+                cps[i, :m] = ord(" ")
+                pm[i, :m] = True
+            return native.encode_edits(sentences, zs, cps, ctx
+                                       ).reshape(B, P, ctx), pm
+
+        def timeitf(key, fn):
+            ts = []
+            for _ in range(args.reps):
+                t0 = time.perf_counter()
+                out_ = fn()
+                ts.append((time.perf_counter() - t0) * 1e3 / args.batch)
+            fph[key] = round(float(np.median(ts)), 2)
+            return out_
+
+        ftokens, fpm = timeitf("p1_grid_encode_ms", fused_p1_prep)
+
+        def fp1():
+            _, _, l_ = scorer.score_rows(text_params, ftokens, anchors,
+                                         "sim", mask=fpm)
+            sync(l_)
+            return l_
+        floss = timeitf("p1_score_ms", fp1)
+        ftop = np.argsort(-np.asarray(floss), axis=1,
+                          kind="stable")[:, :args.n]
+        vcodes = np.asarray(edits.DEFAULT_VOCAB, np.int32)
+        nv = len(vcodes)
+
+        def fused_p2_prep():
+            R = args.n * nv
+            zs2 = np.zeros((B, R), np.int32)
+            cps2 = np.full((B, R), -1, np.int32)
+            cm = np.zeros((B, R), bool)
+            for i, m in enumerate(n_slots):
+                vn = min(args.n, m)
+                zs2[i, :vn * nv] = np.repeat(ftop[i, :vn], nv)
+                cps2[i, :vn * nv] = np.tile(vcodes, vn)
+                cm[i, :vn * nv] = True
+            return native.encode_edits(sentences, zs2, cps2, ctx
+                                       ).reshape(B, R, ctx), cm
+
+        ftokens2, fcm = timeitf("p2_grid_encode_ms", fused_p2_prep)
+
+        def fp2():
+            b, _, l_ = scorer.score_rows(text_params, ftokens2, anchors,
+                                         "sim", mask=fcm)
+            sync(l_)
+            return b
+        timeitf("p2_score_ms", fp2)
+
     out = {
         "model": args.model, "batch": args.batch, "n": args.n, "k": args.k,
         "mean_chars": L, "probes_per_sentence": int(n_probes),
@@ -150,8 +220,10 @@ def main(argv=None):
         "sequential_ms_per_sentence": round(float(np.median(seq_ms)), 1),
         "batched_ms_per_sentence": round(float(np.median(bat_ms)), 1),
         "speedup": round(float(np.median(seq_ms) / np.median(bat_ms)), 2),
-        "phases": ph,
+        "phases_string_path": ph,
         "phase_sum_ms": round(sum(ph.values()), 1),
+        "phases_fused_path": fph,
+        "fused_phase_sum_ms": round(sum(fph.values()), 1),
     }
     print(json.dumps(out))
     return out
