@@ -50,12 +50,16 @@ def _pad_rows(tokenizer, sentences, rows):
     return tokenizer(flat).reshape(len(rows), n_max, -1), mask
 
 
-def _fused_ok(native, constraint, sentences) -> bool:
+def _fused_ok(native, constraint, sentences, vocab) -> bool:
     """The C++ fused edit+tokenize path applies when unconstrained,
-    native is built, and every sentence is printable ASCII (same guard
-    as `_edit_tokens_fast`)."""
+    native is built, every sentence is printable ASCII (same guard as
+    `_edit_tokens_fast`), and every vocab codepoint is single-byte
+    ASCII (the native ApplyEdit writes one char per edit; a bare
+    inserted '&' is fine — html-unescape only rewrites full entity
+    sequences, which the ASCII-'&'-free sentence guard covers)."""
     return (constraint is None and native is not None
-            and all(s.isascii() and "&" not in s for s in sentences))
+            and all(s.isascii() and "&" not in s for s in sentences)
+            and all(c == -1 or 0 < c < 128 for c in vocab))
 
 
 def _fused_probe_grid(native, sentences, ctx):
@@ -144,7 +148,11 @@ def attack_text_leaf(
     # Fast path (unconstrained): the C++ tokenizer applies each
     # (slot, char) edit and tokenizes in one pass, so candidate strings
     # are never materialised — only the B winners are reconstructed.
-    fast_ok = constraint is None
+    # Single-byte-ASCII vocab only (native ApplyEdit writes one char;
+    # a bare inserted '&' is fine — html-unescape only rewrites full
+    # entity sequences, which the ASCII-sentence guard already covers).
+    fast_ok = constraint is None and all(
+        c == -1 or 0 < c < 128 for c in vocab)
 
     best_feats = None
     for _ in range(k):
@@ -323,7 +331,7 @@ def attack_text_charmer_batched(
     anchors = np.asarray(anchor_features)
 
     native = _native_of(tokenizer)
-    if _fused_ok(native, constraint, sentences):
+    if _fused_ok(native, constraint, sentences, vocab):
         ctx = getattr(tokenizer, "context_length", 77)
         nv = len(vocab)
         for _ in range(k):
@@ -438,7 +446,7 @@ def attack_text_charmer_classification_batched(
     done = np.zeros(B, bool)
 
     native = _native_of(tokenizer)
-    if _fused_ok(native, None, sentences):
+    if _fused_ok(native, None, sentences, vocab):
         ctx = getattr(tokenizer, "context_length", 77)
         nv = len(vocab)
         for _ in range(k):

@@ -16,7 +16,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from leaf_tpu.attacks.engine import CandidateScorer
-from leaf_tpu.attacks.text import attack_text_charmer_classification
+from leaf_tpu.attacks.text import (
+    attack_text_charmer_classification_batched,
+)
 from leaf_tpu.data.textcls import TextClassificationData
 from leaf_tpu.models import clip as lclip
 from leaf_tpu.utils.results import ResultsLedger
@@ -53,28 +55,37 @@ def eval_zero_shot_text(
         "sentence", "original_label", "predicted_label", "adv_sentence",
         "adv_label"]) if out_csv else None
 
+    samples = textcls.samples if n_test is None else textcls.samples[:n_test]
+    # batched charmer (decision-identical to the per-sentence reference
+    # loop — pinned by
+    # test_charmer_classification_batched_matches_sequential) shares
+    # device batches across sentences: ~2.7× the sequential eval
+    # wall-clock on chip (tools/profile_charmer.py)
+    chunk_size = 16
     acc = acc_adv = n = 0
-    for i, d in enumerate(textcls.samples):
-        if n_test is not None and i >= n_test:
-            break
-        sentence, label = d["text"], d["label"]
-        adv_sentence, _ = attack_text_charmer_classification(
-            scorer, params["text"], tokenizer, sentence, label_features,
-            label, n=rho, k=k, vocab=textcls.vocab)
+    for c0 in range(0, len(samples), chunk_size):
+        chunk = samples[c0:c0 + chunk_size]
+        sentences = [d["text"] for d in chunk]
+        labels = [d["label"] for d in chunk]
+        adv_sentences = attack_text_charmer_classification_batched(
+            scorer, params["text"], tokenizer, sentences, label_features,
+            labels, n=rho, k=k, vocab=textcls.vocab)
         feats = scorer.encode_text(
-            params["text"], tokenizer([sentence, adv_sentence]),
+            params["text"], tokenizer(sentences + adv_sentences),
             normalize=True)
         probs = np.asarray(feats.astype(jnp.float32)
                            @ jnp.asarray(label_features).T.astype(jnp.float32))
-        preds = probs.argmax(-1)
-        acc += int(preds[0] == label)
-        acc_adv += int(preds[1] == label)
-        n += 1
-        if ledger is not None:
-            ledger.append({"sentence": sentence, "original_label": label,
-                           "predicted_label": int(preds[0]),
-                           "adv_sentence": adv_sentence,
-                           "adv_label": int(preds[1])})
+        preds = probs.argmax(-1).reshape(2, len(chunk))
+        for j, (sentence, label) in enumerate(zip(sentences, labels)):
+            acc += int(preds[0, j] == label)
+            acc_adv += int(preds[1, j] == label)
+            n += 1
+            if ledger is not None:
+                ledger.append({"sentence": sentence,
+                               "original_label": label,
+                               "predicted_label": int(preds[0, j]),
+                               "adv_sentence": adv_sentences[j],
+                               "adv_label": int(preds[1, j])})
     if n == 0:
         return {"acc": 0.0, "acc_adv": 0.0, "n": 0}
     return {"acc": acc / n, "acc_adv": acc_adv / n, "n": n}

@@ -195,12 +195,22 @@ def test_fare_on_mesh_matches_single_device(tiny):
                                rtol=1e-4)
     for leaf in jax.tree.leaves(out1["params"]["visual"]):
         assert leaf.sharding.is_fully_replicated
-    for a, b in zip(jax.tree.leaves(out0["params"]["visual"]),
-                    jax.tree.leaves(out1["params"]["visual"])):
-        # two compounding AdamW steps double the psum-vs-serial
-        # reduction-order deltas (see the train-step test comment)
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-3, atol=2e-4)
+    # PGD L∞ takes sign(grad): any psum-vs-serial reduction-order delta
+    # at a near-zero grad coordinate flips that pixel's step by
+    # 2·stepsize, and AdamW then converts the resulting grad difference
+    # into an O(lr)-per-step difference on a handful of params — an
+    # inherent property of sign() under any reduction-order change, not
+    # a sharding bug (surfaced when bff813c aligned the PGD init with
+    # the reference's raw-init forwarding and shifted the trajectory).
+    # So: the bulk must agree tightly, and the sign-flip tail must be
+    # tiny AND bounded by the 2-step AdamW envelope (~2·steps·lr).
+    diffs = np.concatenate([
+        np.abs(np.asarray(a) - np.asarray(b)).ravel()
+        for a, b in zip(jax.tree.leaves(out0["params"]["visual"]),
+                        jax.tree.leaves(out1["params"]["visual"]))])
+    assert np.quantile(diffs, 0.999) < 1e-5, np.quantile(diffs, 0.999)
+    assert (diffs > 2e-4).mean() < 1e-3, (diffs > 2e-4).mean()
+    assert diffs.max() <= 2 * fcfg.steps * fcfg.lr + 1e-5, diffs.max()
 
 
 def test_fused_step_mesh_kernels_via_shard_map(tiny, monkeypatch):
