@@ -62,11 +62,32 @@ def _fused_ok(native, constraint, sentences, vocab) -> bool:
             and all(c == -1 or 0 < c < 128 for c in vocab))
 
 
+def _constrain_grid(constraint, sentences, tokens, grid_mask, zs, cps,
+                    native, ctx):
+    """Apply the word-validity constraint to a fused (z, cp) grid the
+    way the string path's `filter_batched` does — invalid candidates
+    are REPLACED by the clean sentence (they score as the original, not
+    -inf), preserving index↔slot correspondence.  Returns the validity
+    array so the caller can freeze the winner when an invalid (== the
+    original) candidate wins."""
+    if constraint is None:
+        return None
+    valid = np.asarray(
+        constraint.valid_edits_batch(sentences, zs, cps, alternative=-1),
+        bool)
+    clean = native.encode_batch(list(sentences), ctx)
+    repl = ~valid & grid_mask
+    if repl.any():
+        i_idx, j_idx = np.nonzero(repl)
+        tokens[i_idx, j_idx] = clean[i_idx]
+    return valid
+
+
 def _fused_probe_grid(native, sentences, ctx):
     """Space probes at every slot, as (z, cp) grids through the fused
-    tokenizer: returns (tokens [B, P, ctx], mask [B, P], n_slots).
-    Probe index == slot index (slot-ordered), matching the string
-    path's `generate_all_sentences(S, SPACE_VOCAB)` ordering."""
+    tokenizer: returns (tokens [B, P, ctx], mask [B, P], n_slots,
+    zs, cps).  Probe index == slot index (slot-ordered), matching the
+    string path's `generate_all_sentences(S, SPACE_VOCAB)` ordering."""
     B = len(sentences)
     n_slots = [edits.num_slots(len(S)) for S in sentences]
     P = max(n_slots)
@@ -78,14 +99,14 @@ def _fused_probe_grid(native, sentences, ctx):
         cps[i, :m] = ord(" ")
         mask[i, :m] = True
     tokens = native.encode_edits(sentences, zs, cps, ctx).reshape(B, P, ctx)
-    return tokens, mask, n_slots
+    return tokens, mask, n_slots, zs, cps
 
 
 def _fused_cand_grid(native, sentences, top, n, vocab, n_slots, ctx):
     """Full-vocab candidates at the top-n slots: returns (tokens
-    [B, n·|V|, ctx], mask, zs).  Candidate order is position-major then
-    vocab, matching `generate_all_sentences(S, vocab, subset_z=top)`;
-    the winner b decodes as (z=zs[i, b], u=b % |V|)."""
+    [B, n·|V|, ctx], mask, zs, cps).  Candidate order is position-major
+    then vocab, matching `generate_all_sentences(S, vocab,
+    subset_z=top)`; the winner b decodes as (z=zs[i, b], u=b % |V|)."""
     B = len(sentences)
     vcodes = np.asarray(vocab, np.int32)
     nv = len(vcodes)
@@ -99,7 +120,7 @@ def _fused_cand_grid(native, sentences, top, n, vocab, n_slots, ctx):
         cps[i, :vn * nv] = np.tile(vcodes, vn)
         mask[i, :vn * nv] = True
     tokens = native.encode_edits(sentences, zs, cps, ctx).reshape(B, R, ctx)
-    return tokens, mask, zs
+    return tokens, mask, zs, cps
 
 
 def _edit_tokens_fast(tokenizer, sentences, zs: np.ndarray, cps: np.ndarray):
@@ -331,25 +352,35 @@ def attack_text_charmer_batched(
     anchors = np.asarray(anchor_features)
 
     native = _native_of(tokenizer)
-    if _fused_ok(native, constraint, sentences, vocab):
+    # constrained batches stay fused only when the word-validity masks
+    # are ALSO native (the Python validity fallback would recount words
+    # per candidate, slower than the string path it replaces)
+    if _fused_ok(native, None, sentences, vocab) and (
+            constraint is None or constraint._get_native() is not None):
         ctx = getattr(tokenizer, "context_length", 77)
         nv = len(vocab)
         for _ in range(k):
-            tokens, pmask, n_slots = _fused_probe_grid(native, sentences,
-                                                       ctx)
+            tokens, pmask, n_slots, zs, cps = _fused_probe_grid(
+                native, sentences, ctx)
+            _constrain_grid(constraint, sentences, tokens, pmask, zs,
+                            cps, native, ctx)
             _, _, loss = scorer.score_rows(text_params, tokens, anchors,
                                            objective, mask=pmask)
             top = np.argsort(-np.asarray(loss), axis=1,
                              kind="stable")[:, :n]
-            tokens, cmask, zs2 = _fused_cand_grid(native, sentences, top,
-                                                  n, vocab, n_slots, ctx)
+            tokens, cmask, zs2, cps2 = _fused_cand_grid(
+                native, sentences, top, n, vocab, n_slots, ctx)
+            cvalid = _constrain_grid(constraint, sentences, tokens, cmask,
+                                     zs2, cps2, native, ctx)
             best_idx, _, _ = scorer.score_rows(text_params, tokens,
                                                anchors, objective,
                                                mask=cmask)
-            # materialise only the winners
+            # materialise only the winners; an invalid winner IS the
+            # original sentence (the string path's in-place replacement)
             sentences = [
-                edits.apply_edit(sentences[i], int(zs2[i, b]), int(b) % nv,
-                                 vocab, 1, -1)
+                sentences[i] if cvalid is not None and not cvalid[i, b]
+                else edits.apply_edit(sentences[i], int(zs2[i, b]),
+                                      int(b) % nv, vocab, 1, -1)
                 for i, b in enumerate(best_idx)]
         return sentences
 
@@ -452,13 +483,13 @@ def attack_text_charmer_classification_batched(
         for _ in range(k):
             if done.all():
                 break
-            tokens, pmask, n_slots = _fused_probe_grid(native, sentences,
-                                                       ctx)
+            tokens, pmask, n_slots, _, _ = _fused_probe_grid(
+                native, sentences, ctx)
             loss, _ = scorer.score_classification_rows(
                 text_params, tokens, class_features, labels, pmask)
             top = np.argsort(-loss, axis=1, kind="stable")
-            tokens, cmask, zs2 = _fused_cand_grid(native, sentences, top,
-                                                  n, vocab, n_slots, ctx)
+            tokens, cmask, zs2, _ = _fused_cand_grid(
+                native, sentences, top, n, vocab, n_slots, ctx)
             loss, preds = scorer.score_classification_rows(
                 text_params, tokens, class_features, labels, cmask)
             best = np.argmax(loss, axis=1)

@@ -316,3 +316,29 @@ def test_charmer_classification_batched_fused_matches_string_path(
         scorer, params["text"], tok, sentences, class_feats, labels,
         n=4, k=2)
     assert fused == plain
+
+
+def test_charmer_batched_constrained_fused_matches_string_path(
+        setup, monkeypatch):
+    """Constrained batched charmer through the fused grids + native
+    word-validity masks must match the string path (filter_batched
+    replaces invalid candidates with the original in place) —
+    including the invalid-winner-freezes-sentence case."""
+    import leaf_tpu.attacks.text as text_mod
+    from leaf_tpu.attacks.text import attack_text_charmer_batched
+    cfg, params, scorer, tok = setup
+    c = WordConstraint()
+    if text_mod._native_of(tok) is None or c._get_native() is None:
+        pytest.skip("native tokenizer/word-dict unavailable")
+    sentences = ["a photo of a cat", "hello world", "stocks fall!"]
+    anchors = anchors_for(scorer, params, sentences, tok)
+    fused = attack_text_charmer_batched(
+        scorer, params["text"], tok, sentences, anchors, n=4, k=2,
+        constraint=c)
+    monkeypatch.setattr(text_mod, "_native_of", lambda t: None)
+    plain = attack_text_charmer_batched(
+        scorer, params["text"], tok, sentences, anchors, n=4, k=2,
+        constraint=c)
+    assert fused == plain
+    for s0, s1 in zip(sentences, fused):
+        assert c.count(s1) < c.count(s0) or s1 == s0
