@@ -246,9 +246,35 @@ def attack_text_bruteforce(
     constraint: Optional[WordConstraint] = None,
 ) -> Tuple[str, int]:
     """Exhaustive k=1 attack: score every ((k+1)L+k)·|V| single edit
-    (reference `utils_attacks.py:395-449`)."""
+    (reference `utils_attacks.py:395-449`).  ASCII sentences run
+    through the C++ fused edit+tokenize grid (+ native word-validity
+    masks when constrained) like the batched charmer; decision parity
+    with the string path is pinned by
+    `test_bruteforce_fused_matches_string_path`."""
     if objective in ("sim", "dissim"):
         anchor_features = _normalize_np(anchor_features)
+
+    native = _native_of(tokenizer)
+    if _fused_ok(native, None, [sentence], vocab) and (
+            constraint is None or constraint._get_native() is not None):
+        ctx = getattr(tokenizer, "context_length", 77)
+        nv = len(vocab)
+        m = edits.num_slots(len(sentence))
+        zs = np.repeat(np.arange(m, dtype=np.int32), nv)[None]
+        cps = np.tile(np.asarray(vocab, np.int32), m)[None]
+        tokens = native.encode_edits([sentence], zs, cps, ctx)
+        valid = _constrain_grid(constraint, [sentence],
+                                tokens.reshape(1, m * nv, ctx),
+                                np.ones((1, m * nv), bool), zs, cps,
+                                native, ctx)
+        loss = scorer.score_flat(text_params, tokens, anchor_features,
+                                 objective)
+        b = int(np.argmax(loss))
+        if valid is not None and not valid[0, b]:
+            return sentence, 1  # invalid winner == the original
+        return edits.apply_edit(sentence, int(zs[0, b]), b % nv,
+                                vocab, 1, -1), 1
+
     candidates = edits.generate_all_sentences(sentence, vocab, alternative=-1)
     if constraint is not None:
         candidates = constraint.filter(sentence, candidates)

@@ -342,3 +342,27 @@ def test_charmer_batched_constrained_fused_matches_string_path(
     assert fused == plain
     for s0, s1 in zip(sentences, fused):
         assert c.count(s1) < c.count(s0) or s1 == s0
+
+
+def test_bruteforce_fused_matches_string_path(setup, monkeypatch):
+    """Fused-grid bruteforce == string-path bruteforce, unconstrained
+    and constrained."""
+    import leaf_tpu.attacks.text as text_mod
+    from leaf_tpu.attacks.text import attack_text_bruteforce
+    cfg, params, scorer, tok = setup
+    if text_mod._native_of(tok) is None:
+        pytest.skip("native tokenizer unavailable")
+    c = WordConstraint()
+    s = "a photo of a cat"
+    anchor = anchors_for(scorer, params, [s], tok)[0]
+    outs = {}
+    for key, cons in (("plain", None), ("constrained", c)):
+        if cons is not None and cons._get_native() is None:
+            pytest.skip("native word dict unavailable")
+        outs[key] = attack_text_bruteforce(
+            scorer, params["text"], tok, s, anchor, constraint=cons)
+    monkeypatch.setattr(text_mod, "_native_of", lambda t: None)
+    for key, cons in (("plain", None), ("constrained", c)):
+        ref = attack_text_bruteforce(
+            scorer, params["text"], tok, s, anchor, constraint=cons)
+        assert outs[key] == ref, key
