@@ -262,3 +262,117 @@ def test_two_process_contrastive_driver(tmp_path):
         outs.append(json.loads(out.strip().splitlines()[-1]))
     assert all(o["step"] == 2 for o in outs)
     assert (logs / "mhc" / "results.csv").exists()
+
+
+BUCKET_WORKER = textwrap.dedent("""
+    import os, sys, json
+    proc_id = int(sys.argv[1]); port = sys.argv[2]; tars = sys.argv[3]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(f"localhost:{port}", 2, proc_id)
+    import numpy as np
+    import jax.numpy as jnp
+    sys.path.insert(0, %(repo)r)
+    from jax.sharding import Mesh
+    from leaf_tpu.data.wds import WdsConfig, WdsDataset
+    from leaf_tpu.models import create_model
+    from leaf_tpu.parallel.mesh import replicate
+    from leaf_tpu.tokenizer import get_tokenizer
+    from leaf_tpu.train.fused import FusedLeafStep
+    from leaf_tpu.train.optim import make_optimizer
+    from leaf_tpu.train.schedules import cosine_lr
+    from leaf_tpu.train.step import TrainState
+
+    tok = get_tokenizer()
+    cfg = WdsConfig(urls=os.path.join(tars, "s-{000..001}.tar"),
+                    batch_size=4, is_train=True, num_samples=16, seed=0,
+                    text_only=True, bucket_by_length=True,
+                    length_fn=lambda t: len(tok.encode(t)) + 2,
+                    process_index=proc_id, process_count=2,
+                    sample_shuffle_size=8, sample_shuffle_initial=2)
+    batches = [texts for _, texts in WdsDataset(cfg, None)]
+
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    model = create_model("ViT-tiny-test")
+    tx = make_optimizer(cosine_lr(1e-3, 1, 100), weight_decay=1e-4)
+    params = replicate(model.params["text"], mesh)
+    frozen = replicate(jax.tree.map(np.asarray, model.params["text"]), mesh)
+    state = TrainState.create(jax.tree.map(jnp.copy, params), tx)
+    fused = FusedLeafStep(model.cfg, tx, tok, rho=4, mesh=mesh)
+
+    widths = []
+    _p1, _p1c = fused.phase1, fused.phase1_cached
+    def p1(frozen_t, train_t, clean_t, probes):
+        widths.append(int(probes.shape[-1]))
+        return _p1(frozen_t, train_t, clean_t, probes)
+    def p1c(train_t, probes, anch):
+        widths.append(int(probes.shape[-1]))
+        return _p1c(train_t, probes, anch)
+    fused.phase1, fused.phase1_cached = p1, p1c
+
+    rng = np.random.default_rng(11 + proc_id)
+    losses, word_sets = [], []
+    for texts in batches:
+        word_sets.append(sorted({len(t.split()) for t in texts}))
+        state, info = fused(state, frozen, texts, rng)
+        losses.append(float(info["metrics"]["loss"]))
+    print(json.dumps({"proc": proc_id, "losses": losses,
+                      "widths": widths, "word_sets": word_sets}),
+          flush=True)
+""") % {"repo": REPO}
+
+
+@pytest.mark.timeout(600)
+def test_two_process_bucket_by_length(tmp_path):
+    """--bucket-by-length composed with the coordinated bucket
+    allgather: each host's wds pipeline emits length-HOMOGENEOUS
+    batches from its own shard slice; the realized dispatch width per
+    step is the max over the two hosts' batch buckets, identical on
+    both; global losses agree."""
+    import io
+    import tarfile
+
+    tars = tmp_path / "tars"
+    tars.mkdir()
+    # shard 0: all short (2-word) captions; shard 1: half short, half
+    # long (30 single-token words -> 32 caption tokens -> probe
+    # buffers overflow into the 48 bucket)
+    lengths = {0: [2] * 8, 1: [2, 30] * 4}
+    for s, lens in lengths.items():
+        with tarfile.open(tars / f"s-{s:03d}.tar", "w") as tf:
+            for i, n_words in enumerate(lens):
+                txt = " ".join(["word"] * n_words).encode()
+                info = tarfile.TarInfo(f"{s}-{i:04d}.txt")
+                info.size = len(txt)
+                tf.addfile(info, io.BytesIO(txt))
+
+    script = tmp_path / "bucket_worker.py"
+    script.write_text(BUCKET_WORKER)
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), str(i), str(port), str(tars)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True)
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=540)
+        assert p.returncode == 0, err[-3000:]
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+    a, b = sorted(outs, key=lambda o: o["proc"])
+
+    # per-host batches are length-homogeneous
+    for o in (a, b):
+        assert all(len(ws) == 1 for ws in o["word_sets"]), o["word_sets"]
+    # global losses identical (psum over the stitched batch)
+    np.testing.assert_array_equal(a["losses"], b["losses"])
+    # realized dispatch width per step == max over the hosts' batch
+    # buckets (2-word -> 16, 30-word -> 48), identical on both hosts
+    assert a["widths"] == b["widths"], (a["widths"], b["widths"])
+    expect = [48 if (wa == [30] or wb == [30]) else 16
+              for wa, wb in zip(a["word_sets"], b["word_sets"])]
+    assert a["widths"] == expect, (a["widths"], a["word_sets"],
+                                   b["word_sets"])
