@@ -140,8 +140,9 @@ def main(args=None) -> Dict:
     init_distributed_device()
     master = is_master()
 
-    run_name = args.name or time.strftime("contrastive-%Y_%m_%d-%H_%M_%S")
-    out_dir = os.path.join(args.custom_out_folder or args.logs, run_name)
+    run_name = args.name or ((args.custom_out_folder or "")
+                             + time.strftime("contrastive-%Y_%m_%d-%H_%M_%S"))
+    out_dir = os.path.join(args.logs, run_name)
     ckpt_dir = os.path.join(out_dir, "checkpoints")
     os.makedirs(out_dir, exist_ok=True)
     LOG.info("contrastive run: %s → %s", run_name, out_dir)

@@ -54,11 +54,16 @@ RESULT_COLUMNS = [
 
 
 def build_run_name(args) -> str:
+    """Run folder name under --logs.  `--custom_out_folder` is a NAME
+    PREFIX, as upstream (`/root/reference/train_AT_text_only.py:483`
+    concatenates it into './results/<prefix>text_only_k...'), NOT an
+    alternative logs root."""
     import datetime
     if args.name:
         return args.name
+    prefix = getattr(args, "custom_out_folder", None) or ""
     now = datetime.datetime.now().strftime("%Y_%m_%d-%H_%M_%S")
-    return (f"{now}-model_{args.model.replace('/', '-')}-lr_{args.lr}-"
+    return (f"{prefix}{now}-model_{args.model.replace('/', '-')}-lr_{args.lr}-"
             f"b_{args.batch_size}-rho_{args.rho}-k_{args.k_adv}")
 
 
@@ -81,7 +86,7 @@ def main(args=None) -> Dict:
                           args.matmul_precision)
 
     run_name = build_run_name(args)
-    out_dir = os.path.join(args.custom_out_folder or args.logs, run_name)
+    out_dir = os.path.join(args.logs, run_name)
     ckpt_dir = os.path.join(out_dir, "checkpoints")
     os.makedirs(out_dir, exist_ok=True)
     # file log: master-only unless --log-local (reference
