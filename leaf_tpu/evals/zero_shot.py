@@ -84,6 +84,12 @@ def run_text_classification(scorer: CandidateScorer, params, tokenizer,
     )
     samples = textcls.samples[:n_val] if n_val is not None \
         else textcls.samples
+    # length-sorted chunks keep each chunk's probe-grid width and
+    # context bucket at the CHUNK max instead of the dataset max
+    # (decision-safe — per-sentence searches are row-independent,
+    # test_eval_zero_shot_text_order_invariant); only aggregate
+    # accuracies leave this function, so no order restore is needed
+    samples = sorted(samples, key=lambda d: len(d["text"]))
     acc = acc_adv = n = 0
     template = textcls.template
     for start in range(0, len(samples), attack_batch):

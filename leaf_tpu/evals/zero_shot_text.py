@@ -50,6 +50,7 @@ def eval_zero_shot_text(
     k: int = 1,
     n_test: Optional[int] = None,
     out_csv: Optional[str] = None,
+    chunk_size: int = 16,
 ) -> Dict[str, float]:
     ledger = ResultsLedger(out_csv, fresh=True, stream=True, columns=[
         "sentence", "original_label", "predicted_label", "adv_sentence",
@@ -61,12 +62,24 @@ def eval_zero_shot_text(
     # test_charmer_classification_batched_matches_sequential) shares
     # device batches across sentences: ~2.7× the sequential eval
     # wall-clock on chip (tools/profile_charmer.py)
-    chunk_size = 16
-    acc = acc_adv = n = 0
-    for c0 in range(0, len(samples), chunk_size):
-        chunk = samples[c0:c0 + chunk_size]
-        sentences = [d["text"] for d in chunk]
-        labels = [d["label"] for d in chunk]
+    # length-sorted chunk composition: every device buffer in a chunk is
+    # padded/bucketed to the CHUNK max (probe grid P = max slot count,
+    # context bucket = max EOT, `CandidateScorer.score_*` /
+    # `_pad_rows`), so grouping similar-length sentences keeps both
+    # small on real mixed-length datasets (AG-News sentences span ~3× in
+    # length) — the eval-side analogue of the trainer's
+    # `--bucket-by-length`.  Decision-safe: the per-sentence search never
+    # reads other rows (padding rows are masked; context bucketing is
+    # feature-invariant per `can_bucket`), so results are identical to
+    # dataset-order chunks — pinned by
+    # test_eval_zero_shot_text_order_invariant — and rows are reported
+    # and ledgered in ORIGINAL dataset order.
+    order = sorted(range(len(samples)), key=lambda i: len(samples[i]["text"]))
+    rows: Dict[int, Dict] = {}
+    for c0 in range(0, len(order), chunk_size):
+        idx = order[c0:c0 + chunk_size]
+        sentences = [samples[i]["text"] for i in idx]
+        labels = [samples[i]["label"] for i in idx]
         adv_sentences = attack_text_charmer_classification_batched(
             scorer, params["text"], tokenizer, sentences, label_features,
             labels, n=rho, k=k, vocab=textcls.vocab)
@@ -75,17 +88,20 @@ def eval_zero_shot_text(
             normalize=True)
         probs = np.asarray(feats.astype(jnp.float32)
                            @ jnp.asarray(label_features).T.astype(jnp.float32))
-        preds = probs.argmax(-1).reshape(2, len(chunk))
-        for j, (sentence, label) in enumerate(zip(sentences, labels)):
-            acc += int(preds[0, j] == label)
-            acc_adv += int(preds[1, j] == label)
-            n += 1
-            if ledger is not None:
-                ledger.append({"sentence": sentence,
-                               "original_label": label,
-                               "predicted_label": int(preds[0, j]),
-                               "adv_sentence": adv_sentences[j],
-                               "adv_label": int(preds[1, j])})
+        preds = probs.argmax(-1).reshape(2, len(idx))
+        for j, i in enumerate(idx):
+            rows[i] = {"sentence": sentences[j],
+                       "original_label": labels[j],
+                       "predicted_label": int(preds[0, j]),
+                       "adv_sentence": adv_sentences[j],
+                       "adv_label": int(preds[1, j])}
+    acc = acc_adv = 0
+    n = len(samples)
+    for i in range(n):
+        acc += int(rows[i]["predicted_label"] == rows[i]["original_label"])
+        acc_adv += int(rows[i]["adv_label"] == rows[i]["original_label"])
+        if ledger is not None:
+            ledger.append(rows[i])
     if n == 0:
         return {"acc": 0.0, "acc_adv": 0.0, "n": 0}
     return {"acc": acc / n, "acc_adv": acc_adv / n, "n": n}

@@ -83,6 +83,47 @@ def test_eval_zero_shot_text(setup, tmp_path):
     assert 0 <= out["acc_adv"] <= out["acc"] <= 1 or out["acc_adv"] <= 1
 
 
+def test_eval_zero_shot_text_order_invariant(setup, tmp_path):
+    """Length-sorted chunk composition is decision-safe: per-sentence
+    results are identical whatever order the dataset arrives in (and
+    whatever chunk each sentence lands in), and the CSV reports rows in
+    ORIGINAL dataset order."""
+    import csv
+
+    cfg, params, _, scorer, tok = setup
+    texts = ["tax cut", "the team won the cup after extra time",
+             "stocks rally", "a very long report about the quarterly "
+             "earnings of the company and its many subsidiaries",
+             "rain", "election results are in and counting continues"]
+    samples = [{"text": t, "label": i % 3} for i, t in enumerate(texts)]
+
+    def run(order, name):
+        d = TextClassificationData.from_samples(
+            "agnews", [samples[i] for i in order])
+        feats = class_anchor_features(scorer, params, tok, d,
+                                      label_encoder="text")
+        out = eval_zero_shot_text(scorer, params, tok, d, feats, rho=3,
+                                  k=1, out_csv=str(tmp_path / name),
+                                  chunk_size=2)
+        with open(tmp_path / name) as f:
+            rows = list(csv.DictReader(f))
+        return out, rows
+
+    fwd_order = list(range(len(samples)))
+    rev_order = fwd_order[::-1]
+    out_f, rows_f = run(fwd_order, "fwd.csv")
+    out_r, rows_r = run(rev_order, "rev.csv")
+
+    # rows come back in the input's dataset order…
+    assert [r["sentence"] for r in rows_f] == texts
+    assert [r["sentence"] for r in rows_r] == texts[::-1]
+    # …and each sentence's decision is independent of chunk composition
+    by_sentence_f = {r["sentence"]: r for r in rows_f}
+    by_sentence_r = {r["sentence"]: r for r in rows_r}
+    assert by_sentence_f == by_sentence_r
+    assert out_f == out_r
+
+
 def test_evaluate_scores_perfect_retrieval():
     # identity scores: image i ↔ texts [2i, 2i+1]
     n_img = 4
