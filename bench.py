@@ -69,8 +69,22 @@ def main():
         watchdog = True
     except Exception:  # noqa: BLE001 — e.g. pytest-captured stderr (no fileno)
         watchdog = False
+    out = {}
     try:
-        _bench_body(watchdog)
+        try:
+            _bench_body(watchdog, out)
+        except Exception as e:  # noqa: BLE001
+            # the tunneled TPU's remote-compile service can drop a
+            # connection mid-run (observed: INTERNAL "response body
+            # closed" 18 min in).  The driver invokes this script ONCE
+            # per round: if the headline metric already landed, a
+            # failed OPTIONAL section (cold/constrained/ladder/fare)
+            # must degrade to a partial-but-valid artifact, not lose
+            # the whole run.
+            if not out.get("metric"):
+                raise  # nothing measured yet — a real failure
+            out["partial_error"] = f"{type(e).__name__}: {e}"[:300]
+            print(json.dumps(out))
     finally:
         # an exception mid-bench must not leave an armed exit=True
         # watchdog in a long-lived caller's interpreter
@@ -78,7 +92,7 @@ def main():
             faulthandler.cancel_dump_traceback_later()
 
 
-def _bench_body(watchdog):
+def _bench_body(watchdog, out):
 
     from leaf_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
@@ -232,7 +246,7 @@ def _bench_body(watchdog):
     nonlocal_state = [state]
     steps_per_sec, steps_per_sec_med = measure(fused, windows)
     samples_per_sec = steps_per_sec * BATCH
-    out = {
+    out.update({
         "metric": "leaf_train_samples_per_sec",
         "value": round(samples_per_sec, 2),
         "unit": "samples/s",
@@ -241,7 +255,7 @@ def _bench_body(watchdog):
         "value_median": round(steps_per_sec_med * BATCH, 2),
         "vs_baseline_median": round(
             steps_per_sec_med * BATCH / BASELINE_SAMPLES_PER_SEC, 3),
-    }
+    })
 
     # cold = epoch-0: the anchor-feature cache is empty, so every step
     # runs the fused phase1 (frozen anchor encode + probe scoring)
